@@ -1,0 +1,128 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at the given sf dir, then compares row count, sorted column names,
+dtypes (loosely), and an order-insensitive value hash. Exit 1 on any
+mismatch.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import sys
+import time
+from datetime import date, datetime
+from decimal import Decimal
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon_value(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, Decimal):
+        return repr(float(v))
+    if isinstance(v, datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_value(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def frame_hash(columns: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    lines = sorted("\x1f".join(canon_value(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as e
+    from taxi_data_datapipeline_spark.session import get_spark
+
+    spark = get_spark("check_oracle", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as ex:
+            print(f"FAIL {name}: spark error: {ex}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as ex:
+            print(f"FAIL {name}: duckdb error: {ex}")
+            failures += 1
+            continue
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"columns spark={sorted(scols)} oracle={sorted(ocols)}")
+        if not problems:
+            hs, ho = frame_hash(scols, srows), frame_hash(ocols, orows)
+            if hs != ho:
+                problems.append("value-hash mismatch")
+                # show a diff sample
+                sset = {"\x1f".join(canon_value(r[i]) for i in sorted(range(len(scols)), key=lambda i: scols[i])) for r in srows}
+                oset = {"\x1f".join(canon_value(r[i]) for i in sorted(range(len(ocols)), key=lambda i: ocols[i])) for r in orows}
+                for x in list(sset - oset)[:3]:
+                    print(f"  spark-only: {x!r}")
+                for x in list(oset - sset)[:3]:
+                    print(f"  oracle-only: {x!r}")
+        if problems:
+            print(f"FAIL {name}: {'; '.join(problems)} ({time.time()-t0:.1f}s)")
+            failures += 1
+        else:
+            print(f"ok   {name}: {len(srows)} rows match ({time.time()-t0:.1f}s)")
+    print(f"\n{len(qs) if not only else len(only)} queries, {failures} failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
