@@ -1,0 +1,570 @@
+"""Standard relational surface (SURVEY §7.2 step 4) — the operators the
+reference lacks entirely (§2.5-§2.8): joins of every flavor, window
+functions, grouping sets, set operations, top-k, distinct aggregation,
+JSON/string/date scalars.
+
+All plans are declarative DataFrame code: Catalyst picks broadcast vs
+sort-merge joins (dims < autoBroadcastJoinThreshold broadcast automatically;
+`F.broadcast` hints mark intent where the dim is provably small), pushes
+filters into the parquet scans, and prunes columns.
+
+Float-parity convention (see queries.py module doc): money aggregates are
+DECIMAL sums cast back to DOUBLE — exact and order-independent, so shuffle
+partitioning can't change the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from taxi_data_datapipeline_spark.queries import load, register
+
+
+def _dec_sum(col, scale: int = 2, alias: str | None = None):
+    """Exact decimal sum of a double expression, surfaced as DOUBLE."""
+    out = F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+    return out.alias(alias) if alias else out
+
+
+# --- aggregation ------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: multi-measure grouped aggregation.
+
+    Partial aggregation is map-side (6 groups -> trivially small shuffle);
+    at 100 TB this plan is scan-bound, which is optimal.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity"), 2, "sum_qty"),
+            _dec_sum(F.col("l_extendedprice"), 2, "sum_base_price"),
+            _dec_sum(disc_price, 4, "sum_disc_price"),
+            _dec_sum(disc_price * (1 + F.col("l_tax")), 6, "sum_charge"),
+            (_dec_sum(F.col("l_quantity"), 2) / F.count("*")).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "distinct_agg",
+    """
+SELECT o_orderstatus,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(DISTINCT o_orderpriority) AS n_priorities,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (absent from the reference, §2.4 note)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register("approx_distinct")  # HLL sketches differ across engines -> rows-only
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the 100 TB way to count
+    distincts without a giant exact-distinct shuffle. No oracle: sketch
+    estimates are engine-specific by construction."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+    )
+
+
+@register(
+    "rollup_agg",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n,
+       GROUPING(l_returnflag)::INT AS g_flag,
+       GROUPING(l_linestatus)::INT AS g_status
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping() markers (hierarchical subtotals)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        _dec_sum(F.col("l_quantity"), 2, "sum_qty"),
+        F.count("*").alias("n"),
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+    )
+
+
+@register(
+    "cube_agg",
+    """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       COUNT(*) AS n
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions (all 4 grouping sets)."""
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        _dec_sum(F.col("o_totalprice"), 2, "sum_price"),
+        F.count("*").alias("n"),
+    )
+
+
+# --- joins ------------------------------------------------------------------
+
+
+@register(
+    "join_broadcast_dim",
+    """
+SELECT n.n_name AS nation, r.r_name AS region,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY n.n_name, r.r_name
+""",
+)
+def q_join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact x two tiny dims. Both dims broadcast (hinted — they
+    are O(10..100) rows at any SF), so the fact table never shuffles for
+    the join; the only exchange is the final small groupBy."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            _dec_sum(F.col("c_acctbal"), 2, "total_acctbal"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+SELECT l.l_orderkey,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> fact joins -> grouped revenue.
+
+    The c_mktsegment filter prunes customer before the join (pushed to the
+    scan); at scale the filtered customer side broadcasts or AQE converts
+    the join after seeing runtime stats."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "revenue"))
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    """
+SELECT n.n_name AS nation,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+""",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with a compound join condition."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "revenue"))
+    )
+
+
+@register(
+    "semi_join",
+    """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+""",
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers with at least one big order."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "anti_join",
+    """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no orders at all."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "outer_join_agg",
+    """
+SELECT c.c_custkey,
+       COUNT(o.o_orderkey) AS n_orders,
+       CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spent
+FROM customer c
+LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey
+""",
+)
+def q_outer_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join + per-customer order stats (zero for orderless)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")), F.lit(0)
+            ).cast("double").alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "range_join",
+    """
+SELECT o.o_orderkey, COUNT(*) AS n_ship_within_30d
+FROM orders o
+JOIN lineitem l
+  ON l.l_orderkey = o.o_orderkey
+ AND l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+GROUP BY o.o_orderkey
+""",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: equi-key + date-interval predicate. The equi key makes
+    this a hash join with a residual range filter — no O(n*m) blowup."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate < o.o_orderdate + F.expr("INTERVAL 30 DAY"))
+    )
+    return o.join(li, cond).groupBy("o_orderkey").agg(F.count("*").alias("n_ship_within_30d"))
+
+
+# --- windows ----------------------------------------------------------------
+
+
+@register(
+    "window_rank",
+    """
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+         RANK() OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderpriority) AS prio_rank
+  FROM orders)
+WHERE rn <= 3
+""",
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking windows: top-3 orders per customer by price (unique-key tie
+    break) + a rank with ties. One shuffle on the partition key."""
+    o = load(spark, sf_dir, "orders")
+    w_price = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    w_prio = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w_price).alias("rn"),
+            F.rank().over(w_prio).alias("prio_rank"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_running",
+    """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS running_spend,
+       LAG(o_orderkey) OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey) AS prev_order,
+       LEAD(o_orderkey) OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS next_order
+FROM orders
+""",
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic windows: running sum + lag/lead over a deterministic order."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("running_spend"),
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+    )
+
+
+# --- sorts / limits / set ops -------------------------------------------------
+
+
+@register(
+    "topk_orders",
+    """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25
+""",
+)
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k: Spark plans orderBy+limit as TakeOrderedAndProject (per-
+    partition heaps + driver merge of k rows — no global sort at 100 TB)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+    )
+
+
+@register(
+    "set_ops",
+    """
+SELECT c_nationkey AS nationkey, 'both' AS which
+FROM customer
+INTERSECT
+SELECT s_nationkey, 'both' FROM supplier
+UNION ALL
+SELECT * FROM (
+  SELECT c_nationkey, 'customer_only' FROM customer
+  EXCEPT
+  SELECT s_nationkey, 'customer_only' FROM supplier)
+""",
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL over nation keys."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    both = c.intersect(s).withColumn("which", F.lit("both"))
+    only_c = c.subtract(s).withColumn("which", F.lit("customer_only"))
+    return both.unionByName(only_c)
+
+
+@register(
+    "union_normalize",
+    """
+SELECT o_orderkey AS id, 'order' AS kind, o_totalprice AS amount FROM orders
+UNION ALL
+SELECT event_id, 'event', value FROM events
+""",
+)
+def q_union_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-all with schema alignment (reference U1/U2 generalized)."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.lit("order").alias("kind"),
+        F.col("o_totalprice").alias("amount"),
+    )
+    e = load(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id"),
+        F.lit("event").alias("kind"),
+        F.col("value").alias("amount"),
+    )
+    return o.unionByName(e)
+
+
+# --- scalar surface ----------------------------------------------------------
+
+
+@register(
+    "json_extract",
+    """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k
+FROM events
+WHERE props IS NOT NULL
+""",
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the events.props payload column."""
+    e = load(spark, sf_dir, "events")
+    return e.filter(F.col("props").isNotNull()).select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+@register(
+    "string_funcs",
+    """
+SELECT doc_id,
+       LOWER(SUBSTR(text, 1, 20)) AS head,
+       LENGTH(text) AS n_chars2,
+       REPLACE(source, 'src', 'source_') AS src,
+       CASE WHEN CONTAINS(text, 'spark') THEN 1 ELSE 0 END AS has_spark
+FROM documents
+""",
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar surface over documents."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.lower(F.substring("text", 1, 20)).alias("head"),
+        F.length("text").alias("n_chars2"),
+        F.regexp_replace("source", "src", "source_").alias("src"),
+        F.when(F.col("text").contains("spark"), 1).otherwise(0).alias("has_spark"),
+    )
+
+
+@register(
+    "date_funcs",
+    """
+SELECT o_orderkey,
+       EXTRACT(year FROM o_orderdate)::INT AS y,
+       EXTRACT(month FROM o_orderdate)::INT AS m,
+       EXTRACT(day FROM o_orderdate)::INT AS d,
+       ISODOW(o_orderdate)::INT AS iso_dow,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS due_date
+FROM orders
+""",
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar surface (reference F2-F4 generalized)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.expr("extract(dayofweek_iso FROM o_orderdate)").cast("int").alias("iso_dow"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 90).alias("due_date"),
+    )
+
+
+@register(
+    "case_when_agg",
+    """
+SELECT EXTRACT(year FROM o_orderdate)::INT AS y,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+       COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('F','O')) AS n_other,
+       CAST(SUM(CAST(CASE WHEN o_totalprice > 150000 THEN o_totalprice ELSE 0 END
+                AS DECIMAL(18,2))) AS DOUBLE) AS big_order_value
+FROM orders
+GROUP BY 1
+""",
+)
+def q_case_when_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (reference A3 generalized to FILTER/CASE)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy(F.year("o_orderdate").alias("y")).agg(
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+        F.count_if(F.col("o_orderstatus") == "O").alias("n_open"),
+        F.count_if(~F.col("o_orderstatus").isin("F", "O")).alias("n_other"),
+        F.sum(
+            F.when(F.col("o_totalprice") > 150000, F.col("o_totalprice"))
+            .otherwise(0)
+            .cast("decimal(18,2)")
+        ).cast("double").alias("big_order_value"),
+    )
