@@ -1,0 +1,151 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Convention for image/audio/video at 100 TB scale:
+
+* content is an opaque ``binary`` column (or a reference struct
+  ``{uri string, offset long, length long}`` for out-of-table blobs);
+* typed metadata travels in a sibling struct column (``media_meta``);
+* decode / feature-extract / resize / frame-sample run as Arrow-batched
+  ``mapInPandas`` stages — Python touches each batch once, everything
+  before/after stays JVM-side;
+* partitioning: payload rows are large, so stages run after a
+  ``repartition`` sized to keep ~tens of MB of payload per Arrow batch
+  (``spark.sql.execution.arrow.maxRecordsPerBatch`` caps rows).
+
+The actual codecs (PIL/ffmpeg/soundfile) are NOT in this container, so
+``decode_image`` raises NotImplementedError and the feature extractor uses a
+deterministic fake derived from the payload bytes — the Spark-side plumbing
+(schemas, batching, UDF signatures) is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("byte_entropy", T.DoubleType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real decoder stub — image libraries are not available in this
+    environment. Wire PIL/torchvision here in production."""
+    raise NotImplementedError("image codecs not available in this container")
+
+
+def _fake_features(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in for an image/audio embedding: fixed-dim byte
+    histogram projection. Pure function of the payload bytes."""
+    acc = [0] * dim
+    for i, b in enumerate(payload):
+        acc[i % dim] += b
+    total = max(sum(acc), 1)
+    return [round(a / total, 6) for a in acc]
+
+
+def _entropy(payload: bytes) -> float:
+    import math
+
+    if not payload:
+        return 0.0
+    counts: dict[int, int] = {}
+    for b in payload:
+        counts[b] = counts.get(b, 0) + 1
+    n = len(payload)
+    return round(-sum((c / n) * math.log2(c / n) for c in counts.values()), 6)
+
+
+def extract_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads (mapInPandas).
+
+    One Python pass per Arrow batch; output schema is fixed/typed so
+    downstream joins and similarity ops stay JVM-side.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[payload_col]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": payloads.map(len).astype("int32"),
+                    "byte_entropy": payloads.map(_entropy),
+                    "feature": payloads.map(_fake_features),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(fn, FEATURE_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    every_n_bytes: int = 64,
+    frame_len: int = 16,
+) -> DataFrame:
+    """Frame sampling plumbing: one row per sampled 'frame' (byte slice as a
+    stand-in for video frames). Output explodes rows, so run it after
+    repartitioning to keep per-task output bounded."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_idx, out_frames = [], [], []
+            for _id, payload in zip(pdf[id_col], pdf[payload_col]):
+                for k, off in enumerate(range(0, len(payload), every_n_bytes)):
+                    out_ids.append(_id)
+                    out_idx.append(k)
+                    out_frames.append(bytes(payload[off : off + frame_len]))
+            yield pd.DataFrame({"doc_id": out_ids, "frame_idx": out_idx, "frame": out_frames})
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(fn, schema)
+
+
+def attach_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Attach the typed metadata struct (stubbed mime sniff from magic bytes —
+    JVM-side expression, no Python)."""
+    p = F.col(payload_col)
+    mime = (
+        F.when(F.substring(p, 1, 3) == bytes([0xFF, 0xD8, 0xFF]), "image/jpeg")
+        .when(F.substring(p, 1, 4) == b"\x89PNG", "image/png")
+        .when(F.substring(p, 1, 4) == b"RIFF", "audio/wav")
+        .otherwise("application/octet-stream")
+    )
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            mime.alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ),
+    )

@@ -1,0 +1,147 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+
+* **brute-force cosine top-k** — exact baseline: one map-side dot product
+  per row (codegen'd array fold, no UDF) + TakeOrderedAndProject. At 100 TB
+  this is a single scan: fine for one-off queries, the wrong shape for
+  repeated queries — hence:
+* **LSH-bucketed (sign random projection)** — H seeded hyperplanes give an
+  H-bit bucket per vector; a query probes only its bucket (and optionally
+  neighboring buckets). Hyperplane components are derived from xxhash64 of
+  (plane, dimension) — deterministic, reproducible across runs/engines, no
+  stored model. This is the IVF-style scale path: candidate set shrinks by
+  ~2^H, recall tunable via H and multi-probe.
+
+Cosine arithmetic is done in double with an in-order fold so results are
+deterministic and oracle-matchable after round(.,6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """In-order double-precision dot product of two array columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine to a constant query vector.
+
+    The query vector is a literal array (broadcast in the plan itself);
+    orderBy+limit plans as TakeOrderedAndProject — per-partition heaps,
+    no global sort.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = F.round(cosine(F.col(vec_col), q), 6)
+    return (
+        df.select(F.col(id_col), sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplane(plane: int, dim: int) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-1, 1):
+    xxhash64(plane, dim) scaled. Reproducible anywhere, no stored model."""
+    h = F.xxhash64(F.lit(plane), F.lit(dim))
+    return (h.cast("double") / F.lit(float(2**63)))
+
+
+def srp_bucket(vec_col: Column, n_planes: int, n_dims: int) -> Column:
+    """Sign-random-projection bucket id: bit p = sign(vec . hyperplane_p)."""
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_dims - 1)),
+                lambda i: F.element_at(vec_col, (i + 1).cast("int")).cast("double")
+                * _srp_component(p, i),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket.bitwiseOR(F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long")))
+    return bucket
+
+
+def _srp_component(plane: int, dim_idx: Column) -> Column:
+    h = F.xxhash64(F.lit(plane), dim_idx)
+    return h.cast("double") / F.lit(float(2**63))
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 4,
+) -> DataFrame:
+    """ANN top-k: restrict the exact cosine scan to the query's SRP bucket.
+
+    With H planes the candidate set is ~n/2^H; recall<1 by construction
+    (tune H down / multi-probe up for recall). Deterministic given the
+    seeded hyperplanes.
+    """
+    n_dims = len(query_vec)
+    # driver-side bucket of the constant query vector (same formula)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    bucketed = df.withColumn("_bucket", srp_bucket(F.col(vec_col), n_planes, n_dims))
+    # compute the query's bucket with a 1-row plan to keep one code path
+    qrow = df.sparkSession.range(1).select(srp_bucket(q, n_planes, n_dims).alias("b"))
+    qbucket = qrow.collect()[0]["b"]
+    sim = F.round(cosine(F.col(vec_col), q), 6)
+    return (
+        bucketed.filter(F.col("_bucket") == qbucket)
+        .select(F.col(id_col), sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def similarity_join(
+    df: DataFrame,
+    block_col: str,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """All-pairs cosine >= threshold inside blocking keys (e.g. label,
+    LSH bucket). Equi-join on the block key bounds the quadratic term."""
+    v = df.select(
+        F.col(block_col).alias("_blk"), F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    sim = F.round(cosine(F.col("a._v"), F.col("b._v")), 6)
+    return (
+        a.join(b, (F.col("a._blk") == F.col("b._blk")) & (F.col("a._id") < F.col("b._id")))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._blk").alias(block_col),
+            sim.alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

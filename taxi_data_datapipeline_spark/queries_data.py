@@ -1,0 +1,364 @@
+"""Training-data-pipeline queries: dedup, similarity search, text analysis,
+multimodal column plumbing — the north-star extensions (SURVEY §7.2 step 5)
+over the ``documents`` and ``embeddings`` tables.
+
+Oracle-parity notes: token/shingle semantics are mirrored exactly in DuckDB
+SQL (regex split + empty filter + distinct 3-grams); md5/sha256 agree across
+engines; cosine/jaccard values are ROUND(.,6) so fold order can't flip the
+hash. MinHash-LSH and SimHash queries are verified against brute-force
+oracles where the data's similarity gap makes LSH recall deterministic
+(near-dup pairs here sit at jaccard >= 0.95; banding catches those with
+probability ~1-1e-6 given 8 bands x 4 rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from taxi_data_datapipeline_spark.functions.text import (
+    LANG_STOPWORDS,
+    bpe_ish_tokens,
+    fingerprint,
+    lang_id,
+    lang_votes,
+    quality_features,
+    quality_score,
+    token_count,
+)
+from taxi_data_datapipeline_spark.operators.dedup import (
+    blocked_jaccard_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash_dedup,
+)
+from taxi_data_datapipeline_spark.operators.similarity import (
+    brute_force_topk,
+    cosine,
+    lsh_topk,
+    norm,
+    similarity_join,
+)
+from taxi_data_datapipeline_spark.queries import load, register
+
+# Shared DuckDB snippets mirroring functions/text.py exactly.
+_SQL_TOKS = r"list_filter(string_split_regex(text, '\s+'), t -> t != '')"
+_SQL_GRAMS = f"""
+CASE WHEN len({_SQL_TOKS}) >= 3
+     THEN list_distinct(list_transform(
+              generate_series(1, len({_SQL_TOKS}) - 2),
+              i -> {_SQL_TOKS}[i] || ' ' || {_SQL_TOKS}[i+1] || ' ' || {_SQL_TOKS}[i+2]))
+     ELSE [array_to_string({_SQL_TOKS}, ' ')]
+END
+"""
+_SQL_JACCARD = (
+    "ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)"
+    " / len(list_distinct(list_concat(a.grams, b.grams))), 6)"
+)
+
+
+# --- deduplication -----------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    r"""
+SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (normalized-text) duplicate groups — hash groupBy, one shuffle."""
+    return exact_dedup(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "minhash_lsh_dedup",
+    f"""
+WITH g AS (SELECT doc_id, {_SQL_GRAMS} AS grams FROM documents)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {_SQL_JACCARD} AS jaccard
+  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+WHERE jaccard >= 0.5
+""",
+)
+def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + LSH banding (8x4) + exact verification at jaccard>=0.5.
+
+    Oracle is the brute-force all-pairs scan: valid because verified pairs
+    here sit far above the banding recall cliff (see module doc).
+    """
+    return minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"),
+        num_perm=32,
+        bands=8,
+        jaccard_threshold=0.5,
+    )
+
+
+@register(
+    "ngram_jaccard_blocked",
+    f"""
+WITH g AS (SELECT doc_id, lang, n_chars // 100 AS lenb, {_SQL_GRAMS} AS grams
+           FROM documents)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {_SQL_JACCARD} AS jaccard
+  FROM g a JOIN g b
+    ON a.lang = b.lang AND a.lenb = b.lenb AND a.doc_id < b.doc_id)
+WHERE jaccard >= 0.05
+""",
+)
+def q_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise 3-gram Jaccard inside (lang, length-bucket) blocks —
+    the bounded-quadratic ground-truth dedup tier."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "lenb", F.expr("n_chars DIV 100")
+    )
+    return blocked_jaccard_pairs(
+        docs, block_cols=["lang", "lenb"], threshold=0.05
+    ).select("doc_a", "doc_b", "jaccard")
+
+
+@register("simhash_pairs")  # engine-specific 64-bit hashing -> rows-only
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates (hamming <= 3 within 16-bit prefix
+    buckets). Fingerprint bits derive from xxhash64 — no cross-engine
+    oracle; correctness is unit-tested (identical/near docs -> close
+    fingerprints)."""
+    return simhash_dedup(load(spark, sf_dir, "documents"), max_hamming=3)
+
+
+# --- similarity search --------------------------------------------------------
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        load(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).select("embedding").first()
+    )
+    return list(row["embedding"])
+
+
+_COS_SQL = (
+    "list_dot_product(e.embedding::DOUBLE[], q.qv) /"
+    " (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(q.qv, q.qv)))"
+)
+
+
+@register(
+    "embedding_topk",
+    f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, ROUND({_COS_SQL}, 6) AS cosine_sim
+FROM embeddings e CROSS JOIN q
+ORDER BY cosine_sim DESC, vec_id
+LIMIT 10
+""",
+)
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 to vec_id=0 — the exact ANN baseline."""
+    return brute_force_topk(load(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10)
+
+
+@register("embedding_lsh_topk")  # ANN recall < 1 by construction -> rows-only
+def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via sign-random-projection buckets (4 seeded hyperplanes):
+    scan only the query's bucket (~1/16 of the corpus)."""
+    return lsh_topk(
+        load(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10, n_planes=4
+    )
+
+
+@register(
+    "similarity_join_label",
+    """
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings)
+SELECT id_a, id_b, label, cosine_sim FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
+         ROUND(list_dot_product(a.ev, b.ev) /
+               (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev))), 6)
+             AS cosine_sim
+  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+WHERE cosine_sim >= 0.3
+""",
+)
+def q_similarity_join_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked all-pairs cosine join (block = label), threshold 0.3."""
+    return similarity_join(
+        load(spark, sf_dir, "embeddings"), block_col="label", threshold=0.3
+    )
+
+
+@register(
+    "embedding_norms",
+    """
+SELECT vec_id, label,
+       ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm
+FROM embeddings
+""",
+)
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector scalar surface: per-row L2 norm (codegen'd array fold)."""
+    e = load(spark, sf_dir, "embeddings")
+    return e.select("vec_id", "label", F.round(norm(F.col("embedding")), 6).alias("l2_norm"))
+
+
+# --- text analysis ------------------------------------------------------------
+
+
+@register(
+    "token_stats",
+    rf"""
+SELECT doc_id,
+       len({_SQL_TOKS}) AS n_tokens,
+       len(list_filter(string_split_regex(lower(text), '[^\p{{L}}\p{{N}}]+'), t -> t != ''))
+           AS n_subtokens
+FROM documents
+""",
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish subword-boundary tokens."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.size(bpe_ish_tokens(F.col("text"))).alias("n_subtokens"),
+    )
+
+
+@register(
+    "quality_scores",
+    rf"""
+WITH f AS (
+  SELECT doc_id,
+         len({_SQL_TOKS}) AS n_tokens,
+         length(text) AS n_chars,
+         ROUND(CAST(length(text) - len({_SQL_TOKS}) + 1 AS DOUBLE) / len({_SQL_TOKS}), 6)
+             AS avg_word_len,
+         ROUND(CAST(length(regexp_replace(text, '[^\.,;:!\?]', '', 'g')) AS DOUBLE)
+               / length(text), 6) AS punct_ratio,
+         ROUND(CAST(len(list_filter({_SQL_TOKS},
+                    t -> lower(t) IN ('the','and','of','to','a','in','is','it'))) AS DOUBLE)
+               / len({_SQL_TOKS}), 6) AS stopword_ratio
+  FROM documents)
+SELECT doc_id, n_tokens, n_chars, avg_word_len, punct_ratio, stopword_ratio,
+       ROUND(
+         (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.25 ELSE 0.0 END) +
+         (CASE WHEN avg_word_len BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END) +
+         (CASE WHEN stopword_ratio >= 0.01 THEN 0.25 ELSE 0.0 END) +
+         (CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0.0 END), 2) AS quality
+FROM f
+""",
+)
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality features + composite score (length / word-length /
+    stopword / punctuation heuristics)."""
+    d = load(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["n_chars"].alias("n_chars"),
+        feats["avg_word_len"].alias("avg_word_len"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def _lang_votes_sql() -> str:
+    cols = []
+    for lang in sorted(LANG_STOPWORDS):
+        words = ",".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        cols.append(
+            f"len(list_filter(list_transform({_SQL_TOKS}, t -> lower(t)),"
+            f" t -> t IN ({words}))) AS v_{lang}"
+        )
+    return ",\n       ".join(cols)
+
+
+@register(
+    "lang_id_heuristic",
+    f"""
+WITH v AS (SELECT doc_id, lang AS labeled_lang, {_lang_votes_sql()} FROM documents)
+SELECT doc_id, labeled_lang,
+       CASE WHEN GREATEST(v_de, v_en, v_es, v_fr, v_zh) = 0 THEN 'en'
+            WHEN v_de = GREATEST(v_de, v_en, v_es, v_fr, v_zh) THEN 'de'
+            WHEN v_en = GREATEST(v_de, v_en, v_es, v_fr, v_zh) THEN 'en'
+            WHEN v_es = GREATEST(v_de, v_en, v_es, v_fr, v_zh) THEN 'es'
+            WHEN v_fr = GREATEST(v_de, v_en, v_es, v_fr, v_zh) THEN 'fr'
+            ELSE 'zh' END AS predicted_lang
+FROM v
+""",
+)
+def q_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID (argmax, alphabetical tie-break, 'en'
+    fallback) next to the labeled lang for eyeballing accuracy."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        lang_id(F.col("text")).alias("predicted_lang"),
+    )
+
+
+@register(
+    "doc_fingerprints",
+    r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+       sha256(text) AS content_sha
+FROM documents
+""",
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized md5 fingerprint + raw sha256 content hash per document."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("fingerprint"),
+        F.sha2(F.col("text"), 256).alias("content_sha"),
+    )
+
+
+# --- multimodal plumbing --------------------------------------------------------
+
+
+@register(
+    "multimodal_bytes",
+    """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS content_sha,
+       CASE WHEN octet_length(encode(text)) >= 256 THEN 'large' ELSE 'small' END AS size_class
+FROM documents
+""",
+)
+def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column plumbing: treat text bytes as a blob payload,
+    extract typed metadata (byte length, content hash, size class) — the
+    pattern image/audio columns use (see operators/multimodal.py)."""
+    d = load(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(F.col("text")).alias("n_bytes"),
+        F.sha2(blob, 256).alias("content_sha"),
+        F.when(F.octet_length(F.col("text")) >= 256, "large").otherwise("small").alias("size_class"),
+    )
+
+
+@register("multimodal_features")  # Pandas-UDF path -> rows-only
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fake 'decode + feature extract' over binary payloads via
+    mapInPandas — exercises the real multimodal plumbing (Arrow batches,
+    binary columns, struct metadata) with a stub decoder."""
+    from taxi_data_datapipeline_spark.operators.multimodal import extract_features
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return extract_features(d, payload_col="payload", id_col="doc_id")
