@@ -1,0 +1,202 @@
+"""Flagship pipeline runner: discover -> normalize -> pivot -> sink -> report.
+
+Re-expresses the reference's end-to-end ``main()`` (``pivot_all_files.py:
+366-554``) as ONE Spark job:
+
+* file discovery + name filter + priority sort + max-files slice
+  (reference ``pivot_all_files.py:399-409``) stay driver-side — they are
+  metadata operations on a path list;
+* the per-file process fan-out, per-batch partial aggregation, intermediate
+  parquet materialization, and final combine (reference §3.1 steps 6-7)
+  collapse into the single-shuffle ``hourly_pivot`` plan — Spark's task
+  scheduler replaces the process pool, and partial/final HashAggregate
+  replaces the hand-rolled three-level merge;
+* run metrics (input rows, month-mismatch audit, parse failures, low-count
+  drops — reference A3/A7) ride the SAME job via ``DataFrame.observe``,
+  which is exactly-once per successful action (safe under task retries,
+  unlike accumulators);
+* the final table writes straight to the output URI (an ``s3a://`` path on
+  a real cluster covers the reference's separate ``aws s3 cp`` step S8);
+* the metrics report renders to JSON or LaTeX like the reference's
+  ``generate_report`` (``pivot_all_files.py:507-541``).
+
+Scale: the only data movement is the pivot's one shuffle on the
+(type, date, place) key; everything else is embarrassingly parallel scan +
+map-side work. No driver-side data ever materializes except the observed
+metric scalars.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import asdict, dataclass, field
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from taxi_data_datapipeline_spark.operators.pivot import HOUR_COLUMNS, row_total
+from taxi_data_datapipeline_spark.operators.pivot import pivot_counts
+from taxi_data_datapipeline_spark.sources.ingest import normalize_trips
+from taxi_data_datapipeline_spark.sources.paths import discover_parquet_files
+
+
+@dataclass
+class PipelineConfig:
+    """CLI-surface of the reference ``main()`` (``pivot_all_files.py:367-392``)."""
+
+    input_path: str
+    output_path: str
+    min_rides: int = 50
+    max_files: int | None = None
+    name_filter: str | None = None  # reference: "tripdata" (S5)
+    report_path: str | None = None
+    report_format: str = "json"  # "json" | "tex"
+    partition_output_by: list[str] = field(default_factory=list)
+
+
+@dataclass
+class PipelineMetrics:
+    """The reference's run-report record (``pivot_all_files.py:511-521``)."""
+
+    files_discovered: int = 0
+    files_processed: int = 0
+    files_skipped: int = 0
+    input_rows: int = 0
+    output_rows: int = 0
+    parse_failures: int = 0
+    month_mismatch_rows: int = 0
+    low_count_dropped: int = 0
+    wall_seconds: float = 0.0
+
+
+def _priority_sort(files: list[str]) -> list[str]:
+    """yellow/green before fhv (reference ``pivot_all_files.py:406``)."""
+
+    def key(p: str) -> tuple[int, str]:
+        low = p.lower()
+        if "yellow" in low or "green" in low:
+            return (0, p)
+        if "fhv" in low:
+            return (1, p)
+        return (2, p)
+
+    return sorted(files, key=key)
+
+
+def select_input_files(config: PipelineConfig) -> list[str]:
+    """Discovery + name filter + priority sort + slice (reference S1/S5/O2/O4)."""
+    files = discover_parquet_files(config.input_path)
+    if config.name_filter:
+        files = [f for f in files if config.name_filter in f.lower()]
+    files = _priority_sort(files)
+    if config.max_files is not None:
+        files = files[: config.max_files]
+    return files
+
+
+def build_wide_plan(
+    trips: DataFrame, min_rides: int
+) -> tuple[DataFrame, Observation, Observation]:
+    """Attach audit observations and build the pivot plan.
+
+    Returns (wide_df, ingest_observation, having_observation). The ingest
+    observation yields input_rows / parse_failures / month_mismatch
+    (reference A3 semantics: mismatches are COUNTED, the rows still
+    aggregate); the having observation yields the low-count drop count
+    (reference P3 stats dict).
+    """
+    ingest_obs = Observation("ingest")
+    mismatch = (
+        F.col("pickup_datetime").isNotNull()
+        & F.col("file_year").isNotNull()
+        & (
+            (F.year("pickup_datetime") != F.col("file_year"))
+            | (F.month("pickup_datetime") != F.col("file_month"))
+        )
+    )
+    trips = trips.observe(
+        ingest_obs,
+        F.count(F.lit(1)).alias("input_rows"),
+        F.sum(F.col("pickup_datetime").isNull().cast("long")).alias("parse_failures"),
+        F.sum(mismatch.cast("long")).alias("month_mismatch"),
+    )
+
+    prepared = trips.filter(F.col("pickup_datetime").isNotNull()).select(
+        F.col("taxi_type"),
+        F.to_date("pickup_datetime").alias("date"),
+        F.col("pickup_place").cast("string").alias("pickup_place"),
+        F.hour("pickup_datetime").alias("hour"),
+    )
+    unfiltered = pivot_counts(
+        prepared,
+        index_cols=["taxi_type", "date", "pickup_place"],
+        bucket_col="hour",
+        domain=range(24),
+        prefix="hour_",
+        min_total=None,
+    )
+    having_obs = Observation("having")
+    total = row_total(HOUR_COLUMNS)
+    unfiltered = unfiltered.observe(
+        having_obs,
+        F.sum((total < min_rides).cast("long")).alias("low_count_dropped"),
+        F.sum((total >= min_rides).cast("long")).alias("kept"),
+    )
+    wide = unfiltered.filter(total >= min_rides)
+    return wide, ingest_obs, having_obs
+
+
+def run_pivot_pipeline(
+    spark: SparkSession, config: PipelineConfig
+) -> PipelineMetrics:
+    """Execute the full pipeline; returns the observed run metrics."""
+    t0 = time.time()
+    files = select_input_files(config)
+    trips, ingest_report = normalize_trips(spark, files)
+    wide, ingest_obs, having_obs = build_wide_plan(trips, config.min_rides)
+
+    writer = wide.write.mode("overwrite")
+    if config.partition_output_by:
+        writer = writer.partitionBy(*config.partition_output_by)
+    writer.parquet(config.output_path)
+
+    ing = ingest_obs.get if files and ingest_report.resolved else {}
+    hav = having_obs.get if files and ingest_report.resolved else {}
+    metrics = PipelineMetrics(
+        files_discovered=len(files),
+        files_processed=len(ingest_report.resolved),
+        files_skipped=len(ingest_report.skipped),
+        input_rows=int(ing.get("input_rows") or 0),
+        parse_failures=int(ing.get("parse_failures") or 0),
+        month_mismatch_rows=int(ing.get("month_mismatch") or 0),
+        low_count_dropped=int(hav.get("low_count_dropped") or 0),
+        output_rows=int(hav.get("kept") or 0),
+        wall_seconds=round(time.time() - t0, 2),
+    )
+    if config.report_path:
+        write_report(metrics, config.report_path, config.report_format)
+    return metrics
+
+
+def render_report_tex(metrics: PipelineMetrics) -> str:
+    """LaTeX itemize report (reference ``pivot_all_files.py:524-537``)."""
+    lines = [
+        "\\begin{itemize}",
+        *[
+            f"  \\item {k.replace('_', ' ')}: {v}"
+            for k, v in asdict(metrics).items()
+        ],
+        "\\end{itemize}",
+    ]
+    return "\n".join(lines) + "\n"
+
+
+def write_report(metrics: PipelineMetrics, path: str, fmt: str = "json") -> None:
+    """Render metrics to JSON or .tex (reference X5)."""
+    if fmt == "tex":
+        body = render_report_tex(metrics)
+    else:
+        body = json.dumps(asdict(metrics), indent=2) + "\n"
+    with open(path, "w") as fh:
+        fh.write(body)

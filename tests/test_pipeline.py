@@ -1,0 +1,121 @@
+"""End-to-end pipeline runner test (reference main(), pivot_all_files.py:366-554).
+
+Builds a tiny two-file taxi-like dataset (heterogeneous schemas: yellow with
+tpep_* + PULocationID, green with lpep_* + lat/lon) and runs the full
+discover -> normalize -> pivot -> sink -> report flow.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from taxi_data_datapipeline_spark.plans.pipeline import (
+    PipelineConfig,
+    PipelineMetrics,
+    render_report_tex,
+    run_pivot_pipeline,
+    select_input_files,
+)
+
+
+@pytest.fixture(scope="module")
+def taxi_dir(tmp_path_factory):
+    base = tmp_path_factory.mktemp("taxi")
+
+    # 60 yellow rows in one (date, place) cell; 3 in another; one null ts;
+    # one Feb row inside the Jan file (month mismatch: counted, kept).
+    yts = [pd.Timestamp(f"2024-01-05 08:{m:02d}:00") for m in range(60)]
+    yts += [
+        pd.Timestamp("2024-01-06 09:00:00"),
+        pd.Timestamp("2024-01-06 09:10:00"),
+        pd.Timestamp("2024-01-06 09:20:00"),
+        pd.NaT,
+        pd.Timestamp("2024-02-01 00:00:00"),
+    ]
+    ypdf = pd.DataFrame(
+        {
+            "tpep_pickup_datetime": yts,
+            "PULocationID": [132] * 60 + [7, 7, 7, 1, 132],
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(ypdf),
+        str(base / "yellow_tripdata_2024-01.parquet"),
+        coerce_timestamps="us",
+    )
+
+    gpdf = pd.DataFrame(
+        {
+            "lpep_pickup_datetime": [pd.Timestamp("2024-02-10 12:00:00")] * 55,
+            "pickup_latitude": [40.7216] * 55,
+            "pickup_longitude": [-73.9943] * 55,
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(gpdf),
+        str(base / "green_tripdata_2024-02.parquet"),
+        coerce_timestamps="us",
+    )
+    return str(base)
+
+
+def test_select_input_files(taxi_dir):
+    cfg = PipelineConfig(input_path=taxi_dir, output_path="/dev/null", name_filter="tripdata")
+    files = select_input_files(cfg)
+    assert len(files) == 2
+    cfg2 = PipelineConfig(
+        input_path=taxi_dir, output_path="/dev/null", name_filter="tripdata", max_files=1
+    )
+    assert len(select_input_files(cfg2)) == 1
+
+
+def test_run_pivot_pipeline(spark, taxi_dir, tmp_path):
+    out = str(tmp_path / "wide.parquet")
+    report = str(tmp_path / "report.json")
+    cfg = PipelineConfig(
+        input_path=taxi_dir,
+        output_path=out,
+        min_rides=50,
+        name_filter="tripdata",
+        report_path=report,
+        report_format="json",
+    )
+    metrics = run_pivot_pipeline(spark, cfg)
+
+    assert metrics.files_discovered == 2
+    assert metrics.files_processed == 2
+    assert metrics.files_skipped == 0
+    assert metrics.input_rows == 65 + 55
+    assert metrics.parse_failures == 1
+    assert metrics.month_mismatch_rows == 1  # the Feb row inside the Jan file
+    # Kept: yellow (2024-01-05, 132) with 60; green latlon cell with 55.
+    # Dropped: place 7 (3 rides), the stray Feb yellow row (1), null excluded.
+    assert metrics.output_rows == 2
+    assert metrics.low_count_dropped == 2
+
+    wide = spark.read.parquet(out)
+    assert sorted(wide.columns) == sorted(
+        ["taxi_type", "date", "pickup_place", *[f"hour_{h}" for h in range(24)]]
+    )
+    rows = {(r.taxi_type, r.pickup_place): r for r in wide.collect()}
+    assert rows[("yellow", "132")].hour_8 == 60
+    assert rows[("green", "40.722_-73.994")].hour_12 == 55
+
+    with open(report) as fh:
+        rep = json.load(fh)
+    assert rep["input_rows"] == 120
+    assert rep["output_rows"] == 2
+
+
+def test_report_tex_render():
+    m = PipelineMetrics(input_rows=10, output_rows=2)
+    tex = render_report_tex(m)
+    assert tex.startswith("\\begin{itemize}")
+    assert "\\item input rows: 10" in tex
+    assert tex.rstrip().endswith("\\end{itemize}")
