@@ -47,12 +47,20 @@ def ngram_shingles(text: Column, n: int = 3) -> Column:
 
     Documents shorter than n tokens yield a single whole-text shingle so
     they still participate in dedup instead of silently vanishing.
+
+    Construction: zip_with over n shifted slices of the token array. The
+    obvious transform(sequence(...), i -> concat(element_at(toks, i+k)...))
+    formulation embeds the tokenizer expression INSIDE the lambda, so every
+    n-gram position re-splits the whole document — O(len^2) per doc.
+    zip_with evaluates each slice once, keeping shingling linear.
     """
     toks = tokens(text)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + k + 1).cast("int")) for k in range(n)]),
-    )
+    m = F.size(toks) - (n - 1)  # number of n-gram positions
+    grams = F.slice(toks, 1, m)
+    for k in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(toks, k + 1, m), lambda a, b: F.concat_ws(" ", a, b)
+        )
     return F.array_distinct(
         F.when(F.size(toks) >= n, grams).otherwise(F.array(F.concat_ws(" ", toks)))
     )

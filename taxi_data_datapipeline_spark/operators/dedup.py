@@ -79,14 +79,22 @@ def minhash_lsh_pairs(
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
     """
     rows = num_perm // bands
-    sig = df.select(
+    # Explode-then-aggregate minhash: shingles are computed ONCE per doc and
+    # the num_perm seeded mins run as codegen'd hash-aggregate columns with
+    # map-side partial aggregation — vs. num_perm interpreted array
+    # traversals (each re-deriving the shingle array) in the naive
+    # array_min(transform(...)) formulation. Same values, ~100x less CPU.
+    exploded = df.select(
         F.col(id_col).alias("_id"),
-        minhash_signature(F.col(text_col), num_perm, ngram).alias("sig"),
+        F.explode(ngram_shingles(F.col(text_col), ngram)).alias("gram"),
+    )
+    sig = exploded.groupBy("_id").agg(
+        *[F.min(F.xxhash64("gram", F.lit(i))).alias(f"m{i}") for i in range(num_perm)]
     )
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
-            F.xxhash64(*[F.element_at("sig", b * rows + r + 1) for r in range(rows)]).alias("bh"),
+            F.xxhash64(*[F.col(f"m{b * rows + r}") for r in range(rows)]).alias("bh"),
         )
         for b in range(bands)
     ]
@@ -146,27 +154,47 @@ def blocked_jaccard_pairs(
 ) -> DataFrame:
     """Exact pairwise n-gram Jaccard inside blocking keys.
 
-    The O(block^2) ground truth — blocking keys (language, length bucket,
-    source, ...) bound the quadratic term; the self-join is an equi-join on
-    the block key so it shuffles once and never crosses blocks.
+    Semantics: every same-block pair with jaccard >= threshold (threshold
+    must be > 0). Instead of the naive O(block^2) self-join with per-pair
+    array_intersect/array_union (quadratic in BOTH pair count and gram-set
+    size), this is the classic exploded similarity join:
+
+      1. explode distinct shingles -> (block, gram, id): one pass;
+      2. self equi-join on (block, gram): only pairs that SHARE a gram ever
+         materialize, and the join is a plain shuffled hash join on a
+         fine-grained key — |intersection| = the per-pair match count;
+      3. jaccard = inter / (|A| + |B| - inter) via two cheap joins to the
+         per-doc gram counts.
+
+    Zero-intersection pairs never appear, which is exactly right for any
+    threshold > 0. Cost scales with sum over grams of df(gram)^2 within a
+    block — bounded by the blocking, not by block^2 full-array scans.
     """
     g = df.select(
         *[F.col(c) for c in block_cols],
         F.col(id_col).alias("_id"),
         ngram_shingles(F.col(text_col), ngram).alias("grams"),
     )
-    a, b = g.alias("a"), g.alias("b")
-    cond = F.col("a._id") < F.col("b._id")
-    for c in block_cols:
-        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    sizes = g.select("_id", F.size("grams").alias("sz"))
+    ex = g.select(*block_cols, "_id", F.explode("grams").alias("gram"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, [*block_cols, "gram"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .groupBy(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("_id").alias("doc_b"), F.col("sz").alias("sz_b"))
     return (
-        a.join(b, cond)
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select(
-            F.col("a._id").alias("doc_a"),
-            F.col("b._id").alias("doc_b"),
+            "doc_a",
+            "doc_b",
             F.round(
-                F.size(F.array_intersect("a.grams", "b.grams")).cast("double")
-                / F.size(F.array_union("a.grams", "b.grams")),
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
                 6,
             ).alias("jaccard"),
         )
@@ -254,7 +282,7 @@ def simhash_dedup(
     recall; one prefix bucket keeps the demo plan simple and is noted as
     the recall/cost dial.
     """
-    s = df.select(F.col(id_col).alias("_id"), simhash(F.col(text_col), ngram=3).alias("sh"))
+    s = simhash_table(df, text_col=text_col, id_col=id_col, ngram=3)
     s = s.withColumn("bucket", F.shiftright("sh", 64 - prefix_bits))
     a, b = s.alias("a"), s.alias("b")
     ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
