@@ -106,18 +106,21 @@ def lang_votes(text: Column) -> dict[str, Column]:
 
 def lang_id(text: Column, default: str = "en") -> Column:
     """Argmax language vote with deterministic alphabetical tie-break;
-    ``default`` when no stopword hits at all."""
+    ``default`` when no stopword hits at all.
+
+    One array_max over (vote, -rank, lang) structs: struct comparison picks
+    the highest vote, ties falling to the alphabetically-first language
+    (-rank). The naive chained when(v > best, ...) formulation nests every
+    vote expression inside the next comparison, duplicating the tokenizer
+    exponentially in the number of languages.
+    """
     votes = lang_votes(text)
-    best = None
-    best_lang = None
-    for lang in sorted(votes):  # alphabetical: later entries win only if strictly greater
-        v = votes[lang]
-        if best is None:
-            best, best_lang = v, F.lit(lang)
-        else:
-            best_lang = F.when(v > best, F.lit(lang)).otherwise(best_lang)
-            best = F.when(v > best, v).otherwise(best)
-    return F.when(best > 0, best_lang).otherwise(F.lit(default))
+    entries = [
+        F.struct(v.alias("v"), F.lit(-i).alias("ni"), F.lit(lang).alias("lang"))
+        for i, (lang, v) in enumerate(sorted(votes.items()))
+    ]
+    best = F.array_max(F.array(*entries))
+    return F.when(best["v"] > 0, best["lang"]).otherwise(F.lit(default))
 
 
 def normalize_text(text: Column) -> Column:

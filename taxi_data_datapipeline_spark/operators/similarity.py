@@ -130,11 +130,19 @@ def similarity_join(
 ) -> DataFrame:
     """All-pairs cosine >= threshold inside blocking keys (e.g. label,
     LSH bucket). Equi-join on the block key bounds the quadratic term."""
+    # Norm is per-ROW, so compute it once before the join — the naive
+    # cosine(a, b) recomputes both norms for every PAIR. Same arithmetic
+    # (dot / (norm_a * norm_b)), so results are bit-identical.
     v = df.select(
-        F.col(block_col).alias("_blk"), F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        norm(F.col(vec_col)).alias("_n"),
     )
     a, b = v.alias("a"), v.alias("b")
-    sim = F.round(cosine(F.col("a._v"), F.col("b._v")), 6)
+    sim = F.round(
+        dot(F.col("a._v"), F.col("b._v")) / (F.col("a._n") * F.col("b._n")), 6
+    )
     return (
         a.join(b, (F.col("a._blk") == F.col("b._blk")) & (F.col("a._id") < F.col("b._id")))
         .select(
