@@ -56,3 +56,4 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 from taxi_data_datapipeline_spark import queries_reference  # noqa: E402,F401
 from taxi_data_datapipeline_spark import queries_relational  # noqa: E402,F401
 from taxi_data_datapipeline_spark import queries_data  # noqa: E402,F401
+from taxi_data_datapipeline_spark import queries_advanced  # noqa: E402,F401

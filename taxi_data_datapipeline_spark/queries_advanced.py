@@ -1,0 +1,281 @@
+"""Advanced surface: as-of join, sessionization, percentiles, grouping
+sets, TF-IDF, and the Structured Streaming hourly rollup.
+
+These go beyond the reference (which has no joins or windows at all —
+SURVEY §2.5-§2.6) and beyond the plain relational tier: each is an
+operator a large-scale training-data or time-series pipeline needs, built
+on Spark primitives with the scale path documented in the operator
+modules.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from taxi_data_datapipeline_spark.functions.text import bpe_ish_tokens
+from taxi_data_datapipeline_spark.operators.asof import asof_join
+from taxi_data_datapipeline_spark.queries import load, register
+
+# --- as-of join ---------------------------------------------------------------
+
+
+@register(
+    "asof_purchase_view",
+    """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+     v AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
+SELECT p.event_id, p.user_id, p.ts AS purchase_ts, v.ts AS last_view_ts
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+""",
+)
+def q_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution as-of join: each purchase gets the latest prior (or
+    simultaneous) view by the same user. Union-marker single-shuffle plan
+    (operators/asof.py) — no range-join blowup."""
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id"), F.col("ts")
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    out = asof_join(
+        purchases, views, on=["user_id"], left_ts="ts", right_ts="ts", right_cols=[]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("ts_asof").alias("last_view_ts"),
+    )
+
+
+# --- sessionization -----------------------------------------------------------
+
+
+@register(
+    "sessionize_events",
+    """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE OR
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged)
+SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM sess
+GROUP BY user_id, session_id
+""",
+)
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag -> new-session flag
+    -> running sum = session id -> per-session aggregate. One shuffle on
+    user_id serves both windows AND the final groupBy (same key)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev = F.lag("ts").over(w)
+    new_s = (
+        prev.isNull()
+        | (F.col("ts").cast("double") - prev.cast("double") > 30 * 60)
+    ).cast("long")
+    return (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn("new_s", new_s)
+        .withColumn("session_id", F.sum("new_s").over(wrun))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# --- percentiles --------------------------------------------------------------
+
+
+@register(
+    "percentile_prices",
+    """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+       ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group. Spark `percentile`
+    == DuckDB `quantile_cont` (both h = (n-1)p interpolation). The approx
+    path for 100 TB is `approx_percentile` (t-digest-style, bounded
+    memory); exact percentile shuffles the group's values."""
+    li = load(spark, sf_dir, "lineitem")
+    ps = {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p99": 0.99}
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.percentile("l_extendedprice", F.lit(p)), 6).alias(a)
+            for a, p in ps.items()
+        ]
+    )
+
+
+# --- grouping sets ------------------------------------------------------------
+
+
+@register(
+    "grouping_sets_agg",
+    """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+""",
+)
+def q_grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): Spark expands to a
+    single Expand + one hash aggregate — one shuffle for all three sets."""
+    o = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+# --- TF-IDF -------------------------------------------------------------------
+
+_SQL_SUBTOKS = (
+    r"list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), t -> t != '')"
+)
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_SUBTOKS}) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tc,
+         SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS dlen
+  FROM toks GROUP BY doc_id, term),
+df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS dfreq FROM toks GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND((tf.tc / tf.dlen) * LN(n.n_docs / df.dfreq), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n)
+SELECT doc_id, term, tfidf FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) AS rk
+  FROM scored)
+WHERE rk <= 3
+""",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document. explode -> (doc,term) counts ->
+    document frequency join -> windowed top-k. The df table is tiny
+    relative to the corpus (vocabulary-sized) — Catalyst broadcasts it."""
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id", F.explode(bpe_ish_tokens(F.col("text"))).alias("term")
+    )
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tc"))
+        .withColumn("dlen", F.sum("tc").over(Window.partitionBy("doc_id")))
+    )
+    dfreq = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("dfreq"))
+    scored = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            (F.col("tc") / F.col("dlen")) * F.log(F.lit(float(n_docs)) / F.col("dfreq")),
+            6,
+        ).alias("tfidf"),
+    )
+    wk = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+# --- structured streaming -----------------------------------------------------
+
+_stream_counter = itertools.count()
+
+
+@register(
+    "streaming_hourly_counts",
+    """
+SELECT event_type,
+       date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       COUNT(*) AS cnt
+FROM events
+GROUP BY 1, 2, 3
+""",
+)
+def q_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch hourly rollup executed through Structured Streaming:
+    parquet file source -> 1-hour tumbling window -> complete-mode memory
+    sink, drained with Trigger.AvailableNow. Over static input the result
+    equals the batch GROUP BY, which is the oracle. events.ts is stored as
+    TIMESTAMP(NANOS), so the stream reads it as long and floors to
+    microseconds exactly like the batch loader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # Glob form: the file-stream source requires a directory basePath, which
+    # it infers from the non-glob path prefix.
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{sf_dir}/events*.parquet")
+    )
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    agg = (
+        raw.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "event_type",
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "cnt",
+        )
+    )
+    name = f"stream_hourly_{next(_stream_counter)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
