@@ -47,3 +47,16 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def configure_scan_partitions(spark: SparkSession, partition_size: str | int) -> int:
+    """The reference's empirical batch-size optimizer (X1,
+    ``partition_optimization.py:61-134``) reduced to what it actually
+    controls on Spark: ``spark.sql.files.maxPartitionBytes``. AQE handles
+    the runtime half (coalescing/skew). Accepts "200MB"-style strings via
+    ``parse_size``; returns the byte value applied."""
+    from taxi_data_datapipeline_spark.sources.paths import parse_size
+
+    nbytes = parse_size(partition_size)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(nbytes))
+    return nbytes
