@@ -130,6 +130,33 @@ def sample_frames(
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(fn, schema)
 
 
+def resize_payloads(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    target_len: int = 256,
+) -> DataFrame:
+    """Resize plumbing: normalize every payload to ``target_len`` bytes
+    (truncate / zero-pad). A DETERMINISTIC FAKE for image resize — the real
+    implementation decodes via ``decode_image`` and resamples; the Spark
+    shape (Arrow-batched mapInPandas, binary in/binary out, stable schema)
+    is exactly what production uses."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = pdf[payload_col].map(
+                lambda p: bytes(p[:target_len]) + b"\x00" * max(0, target_len - len(p))
+            )
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "resized": resized}
+            )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("resized", T.BinaryType())]
+    )
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(fn, schema)
+
+
 def attach_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Attach the typed metadata struct (stubbed mime sniff from magic bytes —
     JVM-side expression, no Python)."""

@@ -362,3 +362,58 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
     return extract_features(d, payload_col="payload", id_col="doc_id")
+
+
+@register(
+    "multimodal_frames",
+    """
+SELECT doc_id, CAST(i AS INT) AS frame_idx,
+       substring(text, CAST(i * 64 + 1 AS INT), 16) AS frame
+FROM documents, UNNEST(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT))) AS t(i)
+""",
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (video-frame stand-in): one row per 16-char slice
+    every 64 chars, via Arrow-batched mapInPandas. Both engines slice by
+    Unicode codepoints, so this Pandas-UDF path is value-hash-checked
+    against DuckDB (the byte-payload twin, operators/multimodal.py
+    sample_frames, is unit-tested — DuckDB cannot slice BLOBs)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def fn(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for _id, text in zip(pdf["doc_id"], pdf["text"]):
+                for k in range(0, max(1, -(-len(text) // 64)) if text else 0):
+                    ids.append(_id)
+                    idxs.append(k)
+                    frames.append(text[k * 64 : k * 64 + 16])
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(fn, "doc_id long, frame_idx int, frame string")
+
+
+@register(
+    "distinct_users_twophase",
+    """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+""",
+)
+def q_distinct_users_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe exact distinct count: stage 1 dedups (event_type, user_id)
+    pairs — the shuffle key carries the high-cardinality user_id, so no
+    single reducer owns a hot event_type's whole distinct state; stage 2
+    counts the dedup'd rows per type. Same results as COUNT(DISTINCT), but
+    the plan survives a key whose distinct set doesn't fit one executor.
+    n_events rides stage 1 as a partial sum."""
+    ev = load(spark, sf_dir, "events")
+    stage1 = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("c"))
+    return stage1.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("c").alias("n_events"),
+    )
