@@ -126,11 +126,16 @@ def q_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory); exact percentile shuffles the group's values."""
     li = load(spark, sf_dir, "lineitem")
     ps = {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p99": 0.99}
-    return li.groupBy("l_returnflag").agg(
+    # One percentile aggregate over an array of fractions: a single pass
+    # over each group's values instead of four independent aggregates.
+    arr = F.percentile("l_extendedprice", F.array(*[F.lit(p) for p in ps.values()]))
+    agg = li.groupBy("l_returnflag").agg(arr.alias("_ps"))
+    return agg.select(
+        "l_returnflag",
         *[
-            F.round(F.percentile("l_extendedprice", F.lit(p)), 6).alias(a)
-            for a, p in ps.items()
-        ]
+            F.round(F.element_at("_ps", i + 1), 6).alias(a)
+            for i, a in enumerate(ps.keys())
+        ],
     )
 
 

@@ -1,0 +1,62 @@
+"""Physical-plan regression tests: the scale properties the engine
+promises (pushdown, pruning, broadcast, top-k) must be visible in
+`.explain` output — a correct-but-badly-planned operator fails here.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from taxi_data_datapipeline_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF)
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_scan_prunes_columns_and_pushes_nullfilter(spark):
+    plan = plan_of(spark, "hourly_pivot")
+    assert "PushedFilters: [IsNotNull(ts)]" in plan
+    # events has 6 columns; the scan must read only ts, user_id, event_type
+    assert "ReadSchema: struct<ts:bigint,user_id:bigint,event_type:string>" in plan
+    assert "props" not in plan
+
+
+def test_dim_join_broadcasts(spark):
+    plan = plan_of(spark, "join_broadcast_dim")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_plans_as_take_ordered(spark):
+    plan = plan_of(spark, "topk_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_and_anti_join_strategies(spark):
+    assert "LeftSemi" in plan_of(spark, "semi_join")
+    assert "LeftAnti" in plan_of(spark, "anti_join")
+
+
+def test_pivot_is_two_stage_hash_aggregate(spark):
+    import re
+
+    plan = plan_of(spark, "hourly_pivot")
+    # hour-level agg + pivot regroup, nothing more (operator headers only)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert "partial_count" in plan  # map-side combine before the first shuffle
+
+
+def test_filter_pushdown_on_projection_query(spark):
+    plan = plan_of(spark, "normalize_project")
+    assert "PushedFilters: [IsNotNull(ts)]" in plan
+
+
+@pytest.mark.parametrize("name", ["q1_pricing_summary", "distinct_users_twophase"])
+def test_aggregates_have_mapside_partials(spark, name):
+    plan = plan_of(spark, name)
+    assert "partial_" in plan
