@@ -55,24 +55,28 @@ def decode_image(payload: bytes) -> "object":
 
 def _fake_features(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic stand-in for an image/audio embedding: fixed-dim byte
-    histogram projection. Pure function of the payload bytes."""
-    acc = [0] * dim
-    for i, b in enumerate(payload):
-        acc[i % dim] += b
-    total = max(sum(acc), 1)
-    return [round(a / total, 6) for a in acc]
+    histogram projection. Pure function of the payload bytes (numpy —
+    per-byte Python loops are ~50x slower inside the Arrow batch)."""
+    import numpy as np
+
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if arr.size == 0:
+        return [0.0] * dim
+    pad = (-arr.size) % dim
+    acc = np.pad(arr, (0, pad)).reshape(-1, dim).sum(axis=0, dtype=np.int64)
+    total = max(int(acc.sum()), 1)
+    return [round(float(a) / total, 6) for a in acc]
 
 
 def _entropy(payload: bytes) -> float:
-    import math
+    import numpy as np
 
-    if not payload:
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if arr.size == 0:
         return 0.0
-    counts: dict[int, int] = {}
-    for b in payload:
-        counts[b] = counts.get(b, 0) + 1
-    n = len(payload)
-    return round(-sum((c / n) * math.log2(c / n) for c in counts.values()), 6)
+    counts = np.bincount(arr, minlength=256)
+    p = counts[counts > 0] / arr.size
+    return round(float(-(p * np.log2(p)).sum()), 6)
 
 
 def extract_features(

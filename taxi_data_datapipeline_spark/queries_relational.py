@@ -568,3 +568,117 @@ def q_case_when_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("decimal(18,2)")
         ).cast("double").alias("big_order_value"),
     )
+
+
+# --- TPC-H-style additions ----------------------------------------------------
+
+
+@register(
+    "q4_order_priority",
+    """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+""",
+)
+def q_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 analog: EXISTS decorrelates to a left-semi join — Catalyst
+    plans it shuffle-hash/broadcast on o_orderkey with the date filter
+    pushed into both scans."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    sem = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"]) & (li["l_shipdate"] > o["o_orderdate"]),
+        "left_semi",
+    )
+    return sem.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+""",
+)
+def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 analog: the pure scan-predicate query — every conjunct is
+    parquet-pushable, so row groups outside the ship-date year never load."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "q12_shipmode_priority",
+    """
+SELECT l_linestatus,
+       COUNT(*) FILTER (WHERE o_orderpriority IN ('1-URGENT','2-HIGH')) AS high_line_count,
+       COUNT(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT','2-HIGH')) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+GROUP BY l_linestatus
+""",
+)
+def q_q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 analog: fact-fact equi-join + conditional counts. Both
+    sides shuffle on orderkey once; the priority CASE runs post-join."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.count_if(hi).alias("high_line_count"),
+            F.count_if(~hi).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "array_agg_nations",
+    """
+SELECT r_name, list_sort(list(n_name)) AS nations, COUNT(*) AS n
+FROM region JOIN nation ON r_regionkey = n_regionkey
+GROUP BY r_name
+""",
+)
+def q_array_agg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation surface: collect_list is order-nondeterministic
+    under shuffle, so results are sort_array'd — the convention that makes
+    array aggs hashable across engines."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return (
+        r.join(n, F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.sort_array(F.collect_list("n_name")).alias("nations"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
