@@ -284,3 +284,79 @@ def q_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "range_window_revenue",
+    """
+SELECT o_custkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                  RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS revenue_90d
+FROM orders
+""",
+)
+def q_range_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per customer, the trailing-90-day order
+    total. The frame is value-based (all rows within 90 days), not
+    row-count-based — Spark's rangeBetween over a day-ordinal ordering
+    column. One shuffle on o_custkey; the frame scan is linear per
+    partition (two moving pointers)."""
+    o = load(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-90, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("revenue_90d"),
+    )
+
+
+@register(
+    "unpivot_roundtrip",
+    f"""
+WITH wide AS (
+  SELECT event_type AS taxi_type,
+         CAST(ts AS DATE) AS date,
+         CAST(user_id AS VARCHAR) AS pickup_place,
+         {", ".join(f"COUNT(*) FILTER (WHERE EXTRACT(hour FROM ts) = {h}) AS hour_{h}" for h in range(24))}
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1, 2, 3
+  HAVING COUNT(*) >= 2)
+SELECT taxi_type, date, pickup_place,
+       CAST(replace(hour_col, 'hour_', '') AS INT) AS hour,
+       cnt
+FROM wide
+UNPIVOT (cnt FOR hour_col IN ({", ".join(f"hour_{h}" for h in range(24))}))
+WHERE cnt > 0
+""",
+)
+def q_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) the flagship wide table back to long form — proves
+    the pivot is losslessly invertible. Spark's native unpivot emits the
+    24 hour columns as (hour_col, cnt) pairs map-side, no shuffle."""
+    from taxi_data_datapipeline_spark.operators.pivot import HOUR_COLUMNS
+    from taxi_data_datapipeline_spark.queries_reference import MIN_RIDES, q_hourly_pivot
+
+    wide = q_hourly_pivot(spark, sf_dir)
+    long = wide.unpivot(
+        ids=["taxi_type", "date", "pickup_place"],
+        values=HOUR_COLUMNS,
+        variableColumnName="hour_col",
+        valueColumnName="cnt",
+    )
+    return long.filter(F.col("cnt") > 0).select(
+        "taxi_type",
+        "date",
+        "pickup_place",
+        F.replace(F.col("hour_col"), F.lit("hour_"), F.lit("")).cast("int").alias("hour"),
+        "cnt",
+    )
