@@ -38,6 +38,7 @@ from taxi_data_datapipeline_spark.operators.similarity import (
     lsh_topk,
     norm,
     similarity_join,
+    similarity_join_blas,
 )
 from taxi_data_datapipeline_spark.queries import load, register
 
@@ -187,7 +188,7 @@ WHERE cosine_sim >= 0.3
 )
 def q_similarity_join_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked all-pairs cosine join (block = label), threshold 0.3."""
-    return similarity_join(
+    return similarity_join_blas(
         load(spark, sf_dir, "embeddings"), block_col="label", threshold=0.3
     )
 
