@@ -1,0 +1,69 @@
+"""Connected components over a pair list — turning near-dup PAIRS into
+dedup GROUPS (every doc in a component keeps one representative).
+
+Algorithm: iterative min-label propagation. Each node starts labeled with
+itself; every round, each node takes the min label among itself and its
+neighbors; stop when a round changes nothing. Rounds = graph diameter,
+which for dedup graphs (tight cliques + chains of a few hops) is small.
+
+Scale shape: each round is one join edges-to-labels + one min-aggregate —
+both shuffles on the node id. Label state is checkpoint-truncated
+(``localCheckpoint``) so the lineage doesn't grow with iterations — the
+classic Spark iterative-algorithm pattern. Convergence check is a cheap
+count of changed labels per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) for every node in the edge list; component =
+    min node id reachable. Undirected."""
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        # materialize once: every round joins against sym, and without this
+        # each round would recompute the (possibly expensive) upstream
+        # pair-generation plan from scratch
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+    )
+    for _ in range(max_iter):
+        # neighbor labels: for node u, the labels of every v it touches
+        nbr = (
+            sym.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("comp").alias("nbr_comp"))
+            .withColumnRenamed("u", "node")
+        )
+        new_labels = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
+                (F.col("comp") != F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                )).cast("long").alias("_changed"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.agg(F.sum("_changed")).collect()[0][0] or 0
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    return labels

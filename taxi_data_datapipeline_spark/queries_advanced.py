@@ -360,3 +360,142 @@ def q_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.replace(F.col("hour_col"), F.lit("hour_"), F.lit("")).cast("int").alias("hour"),
         "cnt",
     )
+
+
+@register(
+    "dedup_groups_cc",
+    None,  # oracle injected below (needs queries_data shingle SQL)
+)
+def q_dedup_groups_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> dedup groups via iterative connected components
+    (min-label propagation, operators/graphs.py). Edges are the verified
+    MinHash-LSH pairs (jaccard >= 0.5); the oracle walks the same graph
+    with a recursive CTE over the brute-force pair list. Non-SQL iterative
+    control flow on the Spark side, still hash-checked."""
+    from taxi_data_datapipeline_spark.operators.dedup import minhash_lsh_pairs
+    from taxi_data_datapipeline_spark.operators.graphs import connected_components
+
+    pairs = minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), num_perm=32, bands=8, jaccard_threshold=0.5
+    ).select("doc_a", "doc_b")
+    return connected_components(pairs)
+
+
+def _install_cc_oracle() -> None:
+    from taxi_data_datapipeline_spark.queries import ORACLES
+    from taxi_data_datapipeline_spark.queries_data import _SQL_GRAMS, _SQL_JACCARD
+
+    ORACLES["dedup_groups_cc"] = f"""
+WITH RECURSIVE g AS (SELECT doc_id, {_SQL_GRAMS} AS grams FROM documents),
+pairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {_SQL_JACCARD} AS jaccard
+    FROM g a JOIN g b ON a.doc_id < b.doc_id)
+  WHERE jaccard >= 0.5),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+walk AS (
+  SELECT u AS node, u AS comp FROM edges
+  UNION
+  SELECT e.u, w.comp FROM edges e JOIN walk w ON e.v = w.node
+  WHERE w.comp < e.u)
+SELECT node, MIN(comp) AS comp FROM walk GROUP BY node
+"""
+
+
+_install_cc_oracle()
+
+
+@register(
+    "q14_promo_revenue",
+    """
+SELECT CAST(ROUND(100.00 * SUM(CAST(CASE WHEN p_type LIKE 'PROMO%'
+                         THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+                    AS DECIMAL(18,4)))
+           / SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 6)
+       AS DOUBLE) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= DATE '1996-03-01' AND l_shipdate < DATE '1996-04-01'
+""",
+)
+def q_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 analog: broadcast dim join + conditional decimal ratio."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 6)
+            .cast("double")
+            .alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "q10_returned_revenue",
+    """
+SELECT c_custkey, c_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+         AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def q_q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 analog: 3-way join, revenue agg, deterministic top-20."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q17_small_quantity",
+    """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) / 7.0, 6) AS DOUBLE)
+         AS avg_yearly
+FROM lineitem l1
+JOIN (SELECT l_partkey AS pk, 0.2 * AVG(l_quantity) AS qty_limit
+      FROM lineitem GROUP BY l_partkey) t
+  ON l1.l_partkey = t.pk
+WHERE l1.l_quantity < t.qty_limit
+""",
+)
+def q_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 analog: correlated scalar subquery (per-part avg quantity)
+    decorrelated into an aggregate + self-join — the plan Catalyst builds
+    for the correlated SQL form."""
+    li = load(spark, sf_dir, "lineitem")
+    limits = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_limit")
+    )
+    return (
+        li.join(limits, F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) / 7.0, 6)
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
