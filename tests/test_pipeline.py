@@ -113,6 +113,28 @@ def test_run_pivot_pipeline(spark, taxi_dir, tmp_path):
     assert rep["output_rows"] == 2
 
 
+def test_partitioned_output_prunes(spark, taxi_dir, tmp_path):
+    """partitionBy output + a partition-key filter on read-back must prune
+    at the file-index level (PartitionFilters in the scan), not post-scan."""
+    out = str(tmp_path / "wide_part.parquet")
+    cfg = PipelineConfig(
+        input_path=taxi_dir,
+        output_path=out,
+        min_rides=1,
+        name_filter="tripdata",
+        partition_output_by=["taxi_type"],
+    )
+    run_pivot_pipeline(spark, cfg)
+    back = spark.read.parquet(out).filter("taxi_type = 'yellow'")
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        back._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    assert "isnotnull(taxi_type" in plan
+    assert back.count() > 0
+    assert {r.taxi_type for r in back.select("taxi_type").distinct().collect()} == {"yellow"}
+
+
 def test_report_tex_render():
     m = PipelineMetrics(input_rows=10, output_rows=2)
     tex = render_report_tex(m)
