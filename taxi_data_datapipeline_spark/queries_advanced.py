@@ -499,3 +499,24 @@ def q_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_yearly")
         )
     )
+
+
+@register(
+    "salted_event_totals",
+    """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM events
+GROUP BY event_type
+""",
+)
+def q_salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation over the (skew-prone) event_type key —
+    operators/skew.py. Bit-identical to the plain GROUP BY (the oracle);
+    the plan splits each key across 16 salt shards so no reducer ever owns
+    a hot key's full input."""
+    from taxi_data_datapipeline_spark.operators.skew import salted_count_sum
+
+    ev = load(spark, sf_dir, "events")
+    return salted_count_sum(ev, keys=["event_type"], sum_col="value", n_salts=16)
