@@ -520,3 +520,33 @@ def q_salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return salted_count_sum(ev, keys=["event_type"], sum_col="value", n_salts=16)
+
+
+@register(
+    "window_navigation",
+    """
+SELECT o_orderkey, o_custkey,
+       LAG(o_totalprice) OVER w AS prev_price,
+       LEAD(o_totalprice) OVER w AS next_price,
+       FIRST_VALUE(o_totalprice) OVER w AS first_price,
+       NTILE(4) OVER w AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def q_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation/distribution window surface in one pass: lag, lead,
+    first_value, ntile, percent_rank share ONE window spec -> one shuffle
+    on o_custkey, one sort per partition."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
