@@ -1,0 +1,97 @@
+"""Edge-case unit tests for text features and dedup operators — shapes the
+sf fixtures don't exercise (empty/short/whitespace-heavy docs, exact
+duplicates, near-identical pairs)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from taxi_data_datapipeline_spark.functions.text import (
+    fingerprint,
+    lang_id,
+    ngram_shingles,
+    token_count,
+)
+from taxi_data_datapipeline_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash_table,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far away home "
+        * 3
+    )
+    rows = [
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text=base),  # exact dup of 1
+        Row(doc_id=3, text=base + "with one extra tail phrase appended here"),
+        Row(doc_id=4, text="completely different words entirely unrelated content"),
+        Row(doc_id=5, text="short doc"),  # < n tokens -> whole-text shingle
+        Row(doc_id=6, text="  the   quick\tbrown   fox  "),  # whitespace soup
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_shingles_edge_cases(spark, docs):
+    out = {
+        r.doc_id: r.g
+        for r in docs.select("doc_id", ngram_shingles(F.col("text"), 3).alias("g")).collect()
+    }
+    assert out[5] == ["short doc"]  # sub-n doc -> single whole-text shingle
+    assert "the quick brown" in out[6]  # repeated whitespace collapses in split
+    assert len(out[1]) == len(set(out[1]))  # distinct
+    assert set(out[1]) == set(out[2])
+
+
+def test_token_count_and_lang(spark, docs):
+    rows = {
+        r.doc_id: (r.n, r.lang)
+        for r in docs.select(
+            "doc_id",
+            token_count(F.col("text")).alias("n"),
+            lang_id(F.col("text")).alias("lang"),
+        ).collect()
+    }
+    assert rows[5][0] == 2
+    assert rows[6][0] == 4
+    assert rows[1][1] == "en"
+    assert rows[4][1] == "en"  # no stopword hits -> default
+
+
+def test_exact_dedup_groups(spark, docs):
+    out = exact_dedup(docs).collect()
+    groups = {r.keep_id: r.n_copies for r in out}
+    assert groups[1] == 2  # docs 1 and 2 collapse, min id kept
+    assert sum(groups.values()) == 6
+
+
+def test_minhash_finds_near_dups(spark, docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # exact dup
+    assert (1, 3) in pairs and pairs[(1, 3)] >= 0.5  # near dup
+    assert all((4 not in p and 5 not in p) for p in pairs)
+
+
+def test_simhash_identical_docs_equal_fingerprints(spark, docs):
+    sh = {r._id: r.sh for r in simhash_table(docs).collect()}
+    assert sh[1] == sh[2]
+    ham_near = bin(sh[1] ^ sh[3]).count("1")
+    ham_far = bin(sh[1] ^ sh[4]).count("1")
+    assert ham_near < ham_far  # near dup closer than unrelated doc
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [Row(a="Hello   World"), Row(a="hello world"), Row(a=" HELLO\tWORLD ")]
+    )
+    fps = [r.fp for r in df.select(fingerprint(F.col("a")).alias("fp")).collect()]
+    assert len(set(fps)) == 1
