@@ -79,14 +79,22 @@ def minhash_lsh_pairs(
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
     """
     rows = num_perm // bands
-    # Explode-then-aggregate minhash: shingles are computed ONCE per doc and
-    # the num_perm seeded mins run as codegen'd hash-aggregate columns with
-    # map-side partial aggregation — vs. num_perm interpreted array
-    # traversals (each re-deriving the shingle array) in the naive
-    # array_min(transform(...)) formulation. Same values, ~100x less CPU.
-    exploded = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(ngram_shingles(F.col(text_col), ngram)).alias("gram"),
+    # The gram-set frame feeds three consumers (signature derivation and
+    # both sides of the verification join); persist it so shingle
+    # extraction — the dominant map-side cost — runs once per document,
+    # not once per consumer. At cluster scale this is the standard staged
+    # feature materialization; storage is MEMORY_AND_DISK so it degrades
+    # to spill, never OOM.
+    grams = df.select(
+        F.col(id_col).alias("_gid"),
+        ngram_shingles(F.col(text_col), ngram).alias("grams"),
+    ).persist()
+    # Explode-then-aggregate minhash: the num_perm seeded mins run as
+    # codegen'd hash-aggregate columns with map-side partial aggregation —
+    # vs. num_perm interpreted array traversals (each re-deriving the
+    # shingle array) in the naive array_min(transform(...)) formulation.
+    exploded = grams.select(
+        F.col("_gid").alias("_id"), F.explode("grams").alias("gram")
     )
     sig = exploded.groupBy("_id").agg(
         *[F.min(F.xxhash64("gram", F.lit(i))).alias(f"m{i}") for i in range(num_perm)]
@@ -106,10 +114,6 @@ def minhash_lsh_pairs(
         .select(F.explode(_pairs_expr(F.col("ids"))).alias("p"))
         .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .distinct()
-    )
-    grams = df.select(
-        F.col(id_col).alias("_gid"),
-        ngram_shingles(F.col(text_col), ngram).alias("grams"),
     )
     ga, gb = grams.alias("ga"), grams.alias("gb")
     verified = (
@@ -174,7 +178,7 @@ def blocked_jaccard_pairs(
         *[F.col(c) for c in block_cols],
         F.col(id_col).alias("_id"),
         ngram_shingles(F.col(text_col), ngram).alias("grams"),
-    )
+    ).persist()  # 3 consumers (sizes + both join sides): shingle once
     sizes = g.select("_id", F.size("grams").alias("sz"))
     ex = g.select(*block_cols, "_id", F.explode("grams").alias("gram"))
     a, b = ex.alias("a"), ex.alias("b")
