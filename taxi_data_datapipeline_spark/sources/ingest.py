@@ -20,6 +20,7 @@ executors.
 from __future__ import annotations
 
 from collections import defaultdict
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -64,8 +65,14 @@ def normalize_trips(
     skipped: list[str] = []
     groups: dict[tuple, list[str]] = defaultdict(list)
 
-    for f in files:
-        schema = _footer_schema(spark, f)
+    # Footer reads are metadata-only but latency-bound (one round-trip per
+    # file — significant against S3 with 10^4-10^5 files). They are
+    # independent, so fetch them on a driver-side thread pool; order is
+    # restored by zipping back to `files`.
+    with ThreadPoolExecutor(max_workers=min(16, max(1, len(files)))) as pool:
+        schemas = list(pool.map(lambda f: _footer_schema(spark, f), files))
+
+    for f, schema in zip(files, schemas):
         ts = resolve_trip_schema(schema)
         if ts is None:
             skipped.append(f)
