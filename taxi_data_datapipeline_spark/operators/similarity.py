@@ -121,6 +121,59 @@ def lsh_topk(
     )
 
 
+def ivf_bucket(vec_col: Column, n_dims: int, n_lists: int = 16) -> Column:
+    """IVF-style coarse quantizer without a trained codebook: the inverted
+    list is the index of the vector's maximum projection onto ``n_lists``
+    deterministic seeded hyperplanes (same construction as SRP, argmax
+    instead of sign bits). Every vector lands in exactly one list; a query
+    probes its own list (optionally top-P lists for recall)."""
+    projs = [
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_dims - 1)),
+                lambda i, p=p: F.element_at(vec_col, (i + 1).cast("int")).cast("double")
+                * _srp_component(p, i),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for p in range(n_lists)
+    ]
+    entries = [
+        F.struct(pr.alias("proj"), F.lit(-i).alias("ni"), F.lit(i).alias("idx"))
+        for i, pr in enumerate(projs)
+    ]
+    return F.array_max(F.array(*entries))["idx"]
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_lists: int = 16,
+) -> DataFrame:
+    """ANN top-k via IVF coarse quantization: exact cosine scan restricted
+    to the query's inverted list (~n/n_lists candidates). Recall < 1 by
+    construction; probe more lists or raise n_lists' granularity to tune."""
+    n_dims = len(query_vec)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    bucketed = df.withColumn("_list", ivf_bucket(F.col(vec_col), n_dims, n_lists))
+    qlist = (
+        df.sparkSession.range(1)
+        .select(ivf_bucket(q, n_dims, n_lists).alias("b"))
+        .collect()[0]["b"]
+    )
+    sim = F.round(cosine(F.col(vec_col), q), 6)
+    return (
+        bucketed.filter(F.col("_list") == qlist)
+        .select(F.col(id_col), sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def similarity_join(
     df: DataFrame,
     block_col: str,

@@ -418,3 +418,17 @@ def q_distinct_users_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_users"),
         F.sum("c").alias("n_events"),
     )
+
+
+@register("embedding_ivf_topk")  # ANN recall < 1 by construction -> rows-only
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via IVF coarse quantization (16 inverted lists from
+    seeded-hyperplane argmax): scan only the query's list. The scale
+    counterpart of the SRP-LSH variant — both exist because IVF probes
+    degrade gracefully (top-P lists) while LSH bits compose into band
+    keys for pair generation."""
+    from taxi_data_datapipeline_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(
+        load(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10, n_lists=16
+    )
