@@ -14,6 +14,13 @@ Four tiers, each a pure DataFrame plan:
 Everything is built from Spark array/hash expressions (xxhash64, transform,
 aggregate) — no Python UDFs anywhere, so the whole feature extraction stays
 in whole-stage codegen.
+
+Algorithms are the standard public constructions: MinHash resemblance
+sketches (Broder, "On the resemblance and containment of documents",
+SEQUENCES 1997), banding-based LSH candidate generation (Leskovec/
+Rajaraman/Ullman, Mining of Massive Datasets ch. 3), and SimHash rounding
+(Charikar, "Similarity estimation techniques from rounding algorithms",
+STOC 2002).
 """
 
 from __future__ import annotations

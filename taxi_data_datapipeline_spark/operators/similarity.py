@@ -15,6 +15,11 @@ Two tiers:
 
 Cosine arithmetic is done in double with an in-order fold so results are
 deterministic and oracle-matchable after round(.,6).
+
+Sign-random-projection LSH follows Charikar (STOC 2002); the inverted-
+list structure mirrors IVF coarse quantization (Jegou/Douze/Schmid,
+"Product quantization for nearest neighbor search", TPAMI 2011) with a
+deterministic seeded quantizer instead of trained centroids.
 """
 
 from __future__ import annotations
