@@ -135,6 +135,30 @@ def test_partitioned_output_prunes(spark, taxi_dir, tmp_path):
     assert {r.taxi_type for r in back.select("taxi_type").distinct().collect()} == {"yellow"}
 
 
+def test_cli_main(spark, taxi_dir, tmp_path, capsys):
+    """CLI parity with the reference's module invocation (README.md:20-46)."""
+    from taxi_data_datapipeline_spark.__main__ import main
+
+    out_dir = str(tmp_path / "cli_out")
+    report = str(tmp_path / "cli_report.tex")
+    rc = main(
+        [
+            "--input-dir", taxi_dir,
+            "--output-dir", out_dir,
+            "--min-rides", "50",
+            "--report", report,
+            "--max-files", "2",
+            "--partition-size", "64MB",
+        ]
+    )
+    assert rc == 0
+    printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert printed["output_rows"] == 2
+    with open(report) as fh:
+        assert fh.read().startswith("\\begin{itemize}")
+    assert spark.read.parquet(f"{out_dir}/wide_table.parquet").count() == 2
+
+
 def test_report_tex_render():
     m = PipelineMetrics(input_rows=10, output_rows=2)
     tex = render_report_tex(m)
