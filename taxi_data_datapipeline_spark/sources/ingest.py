@@ -68,12 +68,20 @@ def normalize_trips(
     # Footer reads are metadata-only but latency-bound (one round-trip per
     # file — significant against S3 with 10^4-10^5 files). They are
     # independent, so fetch them on a driver-side thread pool; order is
-    # restored by zipping back to `files`.
+    # restored by zipping back to `files`. A file whose footer cannot be
+    # read (corrupt, truncated, not parquet) is skipped with an error
+    # record, not a crash — reference behavior ``pivot_all_files.py:204-216``.
+    def safe_footer(f: str):
+        try:
+            return _footer_schema(spark, f)
+        except Exception:
+            return None
+
     with ThreadPoolExecutor(max_workers=min(16, max(1, len(files)))) as pool:
-        schemas = list(pool.map(lambda f: _footer_schema(spark, f), files))
+        schemas = list(pool.map(safe_footer, files))
 
     for f, schema in zip(files, schemas):
-        ts = resolve_trip_schema(schema)
+        ts = resolve_trip_schema(schema) if schema is not None else None
         if ts is None:
             skipped.append(f)
             continue

@@ -135,6 +135,34 @@ def test_partitioned_output_prunes(spark, taxi_dir, tmp_path):
     assert {r.taxi_type for r in back.select("taxi_type").distinct().collect()} == {"yellow"}
 
 
+def test_corrupt_file_skipped_not_fatal(spark, tmp_path):
+    """An unreadable *.parquet is skipped with an error record (reference
+    pivot_all_files.py:204-216), never a crash."""
+    base = tmp_path / "mixed"
+    base.mkdir()
+    ypdf = pd.DataFrame(
+        {
+            "tpep_pickup_datetime": [pd.Timestamp("2024-01-05 08:00:00")] * 3,
+            "PULocationID": [1, 1, 1],
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(ypdf),
+        str(base / "yellow_tripdata_2024-01.parquet"),
+        coerce_timestamps="us",
+    )
+    (base / "green_tripdata_2024-02.parquet").write_bytes(b"this is not parquet")
+
+    cfg = PipelineConfig(
+        input_path=str(base), output_path=str(tmp_path / "w.parquet"), min_rides=1
+    )
+    metrics = run_pivot_pipeline(spark, cfg)
+    assert metrics.files_discovered == 2
+    assert metrics.files_processed == 1
+    assert metrics.files_skipped == 1
+    assert metrics.output_rows == 1
+
+
 def test_cli_main(spark, taxi_dir, tmp_path, capsys):
     """CLI parity with the reference's module invocation (README.md:20-46)."""
     from taxi_data_datapipeline_spark.__main__ import main
