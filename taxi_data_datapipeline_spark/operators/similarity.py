@@ -103,12 +103,16 @@ def lsh_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_planes: int = 4,
+    multi_probe: int = 0,
 ) -> DataFrame:
     """ANN top-k: restrict the exact cosine scan to the query's SRP bucket.
 
-    With H planes the candidate set is ~n/2^H; recall<1 by construction
-    (tune H down / multi-probe up for recall). Deterministic given the
-    seeded hyperplanes.
+    With H planes the candidate set is ~n/2^H; recall<1 by construction.
+    ``multi_probe=r`` additionally probes every bucket within Hamming
+    distance r of the query's bucket (the standard multi-probe recall
+    dial: a near neighbor that disagrees on one marginal hyperplane sign
+    lands one bit away). Candidates grow by ~sum(C(H,i), i<=r).
+    Deterministic given the seeded hyperplanes.
     """
     n_dims = len(query_vec)
     # driver-side bucket of the constant query vector (same formula)
@@ -117,9 +121,14 @@ def lsh_topk(
     # compute the query's bucket with a 1-row plan to keep one code path
     qrow = df.sparkSession.range(1).select(srp_bucket(q, n_planes, n_dims).alias("b"))
     qbucket = qrow.collect()[0]["b"]
+    probes = [
+        b
+        for b in range(2**n_planes)
+        if bin(b ^ qbucket).count("1") <= multi_probe
+    ]
     sim = F.round(cosine(F.col(vec_col), q), 6)
     return (
-        bucketed.filter(F.col("_bucket") == qbucket)
+        bucketed.filter(F.col("_bucket").isin(probes))
         .select(F.col(id_col), sim.alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)

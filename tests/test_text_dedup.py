@@ -95,3 +95,39 @@ def test_fingerprint_normalizes_whitespace_and_case(spark):
     )
     fps = [r.fp for r in df.select(fingerprint(F.col("a")).alias("fp")).collect()]
     assert len(set(fps)) == 1
+
+
+def test_minhash_explode_equals_naive_signature(spark, docs):
+    """The codegen explode+aggregate minhash must equal the definitional
+    array_min(transform(...)) signature, per permutation."""
+    from taxi_data_datapipeline_spark.operators.dedup import minhash_signature
+
+    naive = {
+        r.doc_id: r.sig
+        for r in docs.select(
+            "doc_id", minhash_signature(F.col("text"), num_perm=8).alias("sig")
+        ).collect()
+    }
+    exploded = (
+        docs.select(
+            "doc_id",
+            F.explode(ngram_shingles(F.col("text"), 3)).alias("gram"),
+        )
+        .groupBy("doc_id")
+        .agg(*[F.min(F.xxhash64("gram", F.lit(i))).alias(f"m{i}") for i in range(8)])
+    )
+    fast = {r.doc_id: [r[f"m{i}"] for i in range(8)] for r in exploded.collect()}
+    assert naive == fast
+
+
+def test_simhash_fold_equals_table(spark, docs):
+    """The interpreted aggregate-fold simhash and the explode+hash-agg
+    table formulation are the same function."""
+    from taxi_data_datapipeline_spark.operators.dedup import simhash, simhash_table
+
+    fold = {
+        r.doc_id: r.sh
+        for r in docs.select("doc_id", simhash(F.col("text"), ngram=3).alias("sh")).collect()
+    }
+    table = {r._id: r.sh for r in simhash_table(docs, ngram=3).collect()}
+    assert fold == table
