@@ -432,3 +432,63 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         load(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10, n_lists=16
     )
+
+
+_SQL_QUALITY = rf"""
+SELECT doc_id, text,
+       ROUND(
+         (CASE WHEN len({_SQL_TOKS}) BETWEEN 10 AND 100000 THEN 0.25 ELSE 0.0 END) +
+         (CASE WHEN ROUND(CAST(length(text) - len({_SQL_TOKS}) + 1 AS DOUBLE)
+                          / len({_SQL_TOKS}), 6) BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END) +
+         (CASE WHEN ROUND(CAST(len(list_filter({_SQL_TOKS},
+                    t -> lower(t) IN ('the','and','of','to','a','in','is','it'))) AS DOUBLE)
+               / len({_SQL_TOKS}), 6) >= 0.01 THEN 0.25 ELSE 0.0 END) +
+         (CASE WHEN ROUND(CAST(length(regexp_replace(text, '[^\.,;:!\?]', '', 'g')) AS DOUBLE)
+               / length(text), 6) <= 0.2 THEN 0.25 ELSE 0.0 END), 2) AS quality
+FROM documents
+"""
+
+
+@register(
+    "curation_pipeline",
+    rf"""
+WITH q AS ({_SQL_QUALITY}),
+kept AS (
+  SELECT doc_id, text, quality FROM q WHERE quality >= 0.75),
+dedup AS (
+  SELECT MIN(doc_id) AS doc_id,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+         COUNT(*) AS n_copies,
+         MAX(quality) AS quality
+  FROM kept
+  GROUP BY 2)
+SELECT d.doc_id, d.fingerprint, d.n_copies, d.quality,
+       len({_SQL_TOKS}) AS n_tokens
+FROM dedup d JOIN documents ON d.doc_id = documents.doc_id
+""",
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation in ONE plan: quality-score filter
+    (keep >= 0.75) -> exact dedup on normalized fingerprint (keep min id)
+    -> re-attach token counts for the kept representatives. The operators
+    compose as plain DataFrames — Catalyst pipelines the filter into the
+    scan and shares the shuffle between dedup groupBy and the final join."""
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "text", quality_score(F.col("text")).alias("quality")
+    ).filter(F.col("quality") >= 0.75)
+    dedup = (
+        scored.select(
+            "doc_id", "quality", fingerprint(F.col("text")).alias("fingerprint")
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.max("quality").alias("quality"),
+        )
+    )
+    return dedup.join(
+        docs.select("doc_id", token_count(F.col("text")).alias("n_tokens")),
+        "doc_id",
+    ).select("doc_id", "fingerprint", "n_copies", "quality", "n_tokens")
