@@ -60,3 +60,14 @@ def test_filter_pushdown_on_projection_query(spark):
 def test_aggregates_have_mapside_partials(spark, name):
     plan = plan_of(spark, name)
     assert "partial_" in plan
+
+
+@pytest.mark.parametrize("name", ["asof_purchase_view", "sessionize_events"])
+def test_single_shuffle_operators(spark, name):
+    """The as-of join (union-marker) and sessionization (shared window +
+    groupBy key) each promise exactly ONE shuffle — their whole point
+    versus range-join / multi-stage formulations."""
+    import re
+
+    plan = plan_of(spark, name)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
