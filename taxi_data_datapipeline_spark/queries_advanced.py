@@ -550,3 +550,107 @@ def q_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("quartile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
     )
+
+
+@register(
+    "funnel_conversion",
+    """
+WITH stages AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id)
+SELECT COUNT(*) AS n_users,
+       COUNT(t_view) AS viewed,
+       COUNT(CASE WHEN t_click > t_view THEN 1 END) AS clicked_after_view,
+       COUNT(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 END)
+         AS purchased_in_order
+FROM stages
+""",
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase): per-user
+    first-touch per stage via conditional MIN, then ordering predicates.
+    One shuffle on user_id; the funnel counts are a map-side fold over the
+    tiny per-user stage table."""
+    ev = load(spark, sf_dir, "events")
+    stages = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("viewed"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias("clicked_after_view"),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            )
+        ).alias("purchased_in_order"),
+    )
+
+
+@register(
+    "bigram_surprisal",
+    r"""
+WITH toks AS (
+  SELECT doc_id, t.i AS pos, lower(tok[t.i]) AS w
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x != '') AS tok
+        FROM documents) d,
+       UNNEST(range(1, len(tok) + 1)) AS t(i)),
+bigrams AS (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+uni AS (SELECT w1 AS w, COUNT(*) AS c FROM bigrams GROUP BY 1),
+bi AS (SELECT w1, w2, COUNT(*) AS c FROM bigrams GROUP BY 1, 2),
+scored AS (
+  SELECT g.doc_id,
+         CAST(ROUND(-ln(CAST(bi.c AS DOUBLE) / uni.c), 9) AS DECIMAL(28,12)) AS s
+  FROM bigrams g JOIN bi ON g.w1 = bi.w1 AND g.w2 = bi.w2
+                 JOIN uni ON g.w1 = uni.w)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6) AS avg_surprisal
+FROM scored GROUP BY doc_id
+""",
+)
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistical quality metric: average bigram surprisal
+    -ln P(w2|w1) per document (high = unusual word transitions = noisy or
+    non-prose text). Per-term surprisals round to 9 decimals and sum as
+    DECIMAL so shuffle order cannot change the hash. Counts tables are
+    vocabulary-sized -> Catalyst broadcasts them against the bigram
+    stream."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+        ).alias("pos", "w"),
+    ).select("doc_id", "pos", F.lower("w").alias("w"))
+    a, b = toks.alias("a"), toks.alias("b")
+    bigrams = a.join(
+        b,
+        (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("b.pos") == F.col("a.pos") + 1),
+    ).select(F.col("a.doc_id").alias("doc_id"), F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+    uni = bigrams.groupBy(F.col("w1").alias("w")).agg(F.count(F.lit(1)).alias("uc"))
+    bi = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bc"))
+    scored = (
+        bigrams.join(bi, ["w1", "w2"])
+        .join(uni, F.col("w1") == F.col("w"))
+        .select(
+            "doc_id",
+            F.round(-F.log(F.col("bc").cast("double") / F.col("uc")), 9)
+            .cast("decimal(28,12)")
+            .alias("s"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.sum("s").cast("double") / F.count(F.lit(1)), 6).alias("avg_surprisal"),
+    )
