@@ -627,17 +627,22 @@ def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-sized -> Catalyst broadcasts them against the bigram
     stream."""
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.posexplode(
-            F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
-        ).alias("pos", "w"),
-    ).select("doc_id", "pos", F.lower("w").alias("w"))
-    a, b = toks.alias("a"), toks.alias("b")
-    bigrams = a.join(
-        b,
-        (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("b.pos") == F.col("a.pos") + 1),
-    ).select(F.col("a.doc_id").alias("doc_id"), F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+    # Adjacent-pair construction via zip_with over shifted slices — no
+    # positional self-join (which would shuffle the exploded tokens twice).
+    toks = F.transform(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != ""),
+        lambda t: F.lower(t),
+    )
+    m = F.greatest(F.lit(0), F.size(toks) - 1)
+    pairs = F.zip_with(
+        F.slice(toks, 1, m),
+        F.slice(toks, 2, m),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    bigrams = (
+        docs.select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
     uni = bigrams.groupBy(F.col("w1").alias("w")).agg(F.count(F.lit(1)).alias("uc"))
     bi = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bc"))
     scored = (
