@@ -492,3 +492,35 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", token_count(F.col("text")).alias("n_tokens")),
         "doc_id",
     ).select("doc_id", "fingerprint", "n_copies", "quality", "n_tokens")
+
+
+@register(
+    "train_val_split",
+    """
+WITH assigned AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+           AS bucket
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM assigned
+""",
+)
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by hashing the
+    stable document id (md5 prefix mod 100) — the reproducible,
+    engine-independent way to split a training corpus: no RNG state, no
+    reshuffling when the corpus grows, any engine recomputes the same
+    split. (Spark's sample()/sampleBy() are seeded per-partition and NOT
+    stable across engines or repartitioning.)"""
+    d = load(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % 100
+    return d.select(
+        "doc_id",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+    )
