@@ -524,3 +524,40 @@ def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
     )
+
+
+@register(
+    "embedding_near_dup",
+    """
+WITH RECURSIVE v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings),
+pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.ev, b.ev) /
+                 (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev))), 6)
+               AS cosine_sim
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+  WHERE cosine_sim >= 0.45),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+walk AS (
+  SELECT u AS node, u AS comp FROM edges
+  UNION
+  SELECT e.u, w.comp FROM edges e JOIN walk w ON e.v = w.node
+  WHERE w.comp < e.u)
+SELECT node, MIN(comp) AS comp FROM walk GROUP BY node
+""",
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate GROUPS: blocked BLAS cosine pairs at
+    >= 0.92 -> connected components -> (vector, component-representative).
+    The embedding-space final tier of the dedup ladder (exact -> MinHash
+    -> SimHash -> semantic)."""
+    from taxi_data_datapipeline_spark.operators.graphs import connected_components
+
+    pairs = similarity_join_blas(
+        load(spark, sf_dir, "embeddings"), block_col="label", threshold=0.45
+    ).select("id_a", "id_b")
+    return connected_components(pairs, src="id_a", dst="id_b")
