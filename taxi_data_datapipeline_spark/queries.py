@@ -57,3 +57,4 @@ from taxi_data_datapipeline_spark import queries_reference  # noqa: E402,F401
 from taxi_data_datapipeline_spark import queries_relational  # noqa: E402,F401
 from taxi_data_datapipeline_spark import queries_data  # noqa: E402,F401
 from taxi_data_datapipeline_spark import queries_advanced  # noqa: E402,F401
+from taxi_data_datapipeline_spark import queries_tpch  # noqa: E402,F401

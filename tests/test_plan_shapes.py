@@ -71,3 +71,29 @@ def test_single_shuffle_operators(spark, name):
 
     plan = plan_of(spark, name)
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_q19_disjunction_keeps_broadcast_join(spark):
+    """The OR-of-ANDs predicate must not force a cartesian/BNL plan — part
+    is hint-broadcast and the disjunction evaluates as a post-join filter."""
+    plan = plan_of(spark, "q19_disjunctive_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scalar_threshold_stays_cluster_side(spark):
+    """q11's global-total threshold is a broadcast 1-row join, not a
+    driver-side collect baked into the plan as a literal."""
+    plan = plan_of(spark, "q11_important_value")
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_q21_is_single_grouped_pass(spark):
+    """The EXISTS/NOT-EXISTS pair collapses to one groupBy(l_orderkey):
+    exactly one exchange keyed on l_orderkey before the tiny s_name agg."""
+    import re
+
+    plan = plan_of(spark, "q21_waiting_supplier")
+    exchanges = re.findall(r"hashpartitioning\((\w+)", plan)
+    assert exchanges.count("l_orderkey") <= 2  # join + agg reuse, no extra passes
