@@ -13,7 +13,7 @@ probability ~1-1e-6 given 8 bands x 4 rows).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from taxi_data_datapipeline_spark.functions.text import (
@@ -22,9 +22,11 @@ from taxi_data_datapipeline_spark.functions.text import (
     fingerprint,
     lang_id,
     lang_votes,
+    ngram_shingles,
     quality_features,
     quality_score,
     token_count,
+    tokens,
 )
 from taxi_data_datapipeline_spark.operators.dedup import (
     blocked_jaccard_pairs,
@@ -561,3 +563,155 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "embeddings"), block_col="label", threshold=0.45
     ).select("id_a", "id_b")
     return connected_components(pairs, src="id_a", dst="id_b")
+
+
+# --- corpus assembly (packing / mixing / sampling) ---------------------------
+
+
+@register(
+    "sequence_packing",
+    rf"""
+WITH t AS (
+  SELECT doc_id, lang, len({_SQL_TOKS}) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS cum_before
+  FROM t)
+SELECT lang, CAST(cum_before // 512 AS BIGINT) AS pack_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+FROM c GROUP BY lang, pack_id
+""",
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training: concatenate documents per language
+    stream in stable doc_id order and chunk the token stream into 512-token
+    packs; each doc is assigned the pack where it starts (exclusive running
+    token count // budget). This is the streaming-concat packing used in
+    practice — expressible as one window cumsum + groupBy, so it scales as
+    a single sort-shuffle per stream instead of a stateful scan. Returns
+    per-pack occupancy stats (docs, tokens).
+    """
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    n_tok = token_count(F.col("text"))
+    return (
+        d.select("doc_id", "lang", n_tok.alias("n_tokens"))
+        .withColumn("cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .groupBy("lang", F.floor(F.col("cum_before") / 512).alias("pack_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+        )
+    )
+
+
+@register(
+    "repetition_ratio",
+    rf"""
+WITH g AS (
+  SELECT doc_id,
+         len({_SQL_TOKS}) AS n_toks,
+         len(list_distinct({_SQL_TOKS})) AS n_distinct_toks,
+         CASE WHEN len({_SQL_TOKS}) >= 3 THEN len({_SQL_TOKS}) - 2 ELSE 1 END
+             AS n_grams,
+         len({_SQL_GRAMS}) AS n_distinct_grams
+  FROM documents)
+SELECT doc_id,
+       ROUND(1 - CAST(n_distinct_toks AS DOUBLE) / n_toks, 6) AS dup_token_ratio,
+       ROUND(1 - CAST(n_distinct_grams AS DOUBLE) / n_grams, 6) AS dup_trigram_ratio
+FROM g
+""",
+)
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (Gopher-style quality signal): fraction of
+    duplicated tokens and duplicated word trigrams. High values flag
+    boilerplate / spam for the curation gate. Pure array expressions inside
+    the scan projection — no shuffle at all (and no per-position re-
+    tokenization: shingles come from the linear zip_with builder)."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_toks = F.size(toks)
+    n_grams = F.when(n_toks >= 3, n_toks - 2).otherwise(1)
+    n_distinct_grams = F.size(ngram_shingles(F.col("text"), 3))
+    return d.select(
+        "doc_id",
+        F.round(
+            1 - F.size(F.array_distinct(toks)).cast("double") / n_toks, 6
+        ).alias("dup_token_ratio"),
+        F.round(1 - n_distinct_grams.cast("double") / n_grams, 6).alias(
+            "dup_trigram_ratio"
+        ),
+    )
+
+
+@register(
+    "stratified_sample",
+    """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents)
+SELECT doc_id, lang FROM ranked WHERE rn <= 50
+""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: a fixed per-language quota (50
+    docs) drawn in md5(doc_id) order — uniform-ish, RNG-free, reproducible
+    on any engine and stable under corpus growth/repartitioning (unlike
+    sample()/sampleBy(), which are seeded per-partition). One window
+    shuffle on the stratum key; rank short-circuits per partition."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 50)
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "source_mix",
+    """
+SELECT d.source, d.lang, COUNT(*) AS n_docs,
+       CAST(SUM(CAST(d.n_chars AS DECIMAL(18,0))) AS BIGINT) AS total_chars,
+       ROUND(CAST(COUNT(*) AS DOUBLE)
+             / (SELECT COUNT(*) FROM documents), 6) AS doc_frac
+FROM documents d
+GROUP BY d.source, d.lang
+""",
+)
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture report: per (source, language) document counts, total
+    characters, and fraction of the corpus — the balancing input for
+    data-mixture tuning. The global total is a broadcast 1-row join (no
+    driver collect), same pattern as q11's scalar threshold."""
+    d = load(spark, sf_dir, "documents")
+    total = d.agg(F.count("*").alias("total_docs"))
+    return (
+        d.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("decimal(18,0)")).cast("bigint").alias(
+                "total_chars"
+            ),
+        )
+        .join(F.broadcast(total))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "total_chars",
+            F.round(F.col("n_docs").cast("double") / F.col("total_docs"), 6).alias(
+                "doc_frac"
+            ),
+        )
+    )
