@@ -41,7 +41,19 @@ def register(name: str, oracle: str | None = None):
 _NANOS_TS_COLS = {"events": ["ts"]}
 
 
+# Memoized source DataFrames: a DataFrame is an immutable logical plan, so
+# reusing one per (app, sf_dir, table) is safe and skips the parquet footer
+# listing + schema read that spark.read.parquet pays on every call — across
+# an 85-query suite that's hundreds of redundant footer reads. This is the
+# engine's (tiny) catalog layer.
+_LOAD_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, table)
+    cached = _LOAD_CACHE.get(key)
+    if cached is not None:
+        return cached
     nanos_cols = _NANOS_TS_COLS.get(table, [])
     if nanos_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -49,6 +61,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     for c in nanos_cols:
         if dict(df.dtypes).get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} DIV 1000")))
+    _LOAD_CACHE[key] = df
     return df
 
 

@@ -92,11 +92,13 @@ def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the 100 TB way to count
     distincts without a giant exact-distinct shuffle. No oracle: sketch
-    estimates are engine-specific by construction."""
+    estimates are engine-specific by construction. rsd=2% quarters the
+    HLL register arrays vs 1% (register count scales 1/rsd^2) at ample
+    accuracy for routing/planning use."""
     li = load(spark, sf_dir, "lineitem")
     return li.agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
     )
 
 

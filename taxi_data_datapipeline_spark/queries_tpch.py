@@ -516,11 +516,11 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH s AS (
   SELECT l_returnflag,
          COUNT(*) AS n,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sx,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sy,
-         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
-         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
-         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS syy
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS syy
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l_returnflag, n,
@@ -543,7 +543,7 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     qty, price = F.col("l_quantity"), F.col("l_extendedprice")
 
     def dsum(col, alias):
-        return F.sum(col.cast("decimal(28,6)")).cast("double").alias(alias)
+        return F.sum(col.cast("decimal(18,6)")).cast("double").alias(alias)
 
     s = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
