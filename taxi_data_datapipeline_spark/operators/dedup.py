@@ -71,6 +71,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     ngram: int = 3,
     jaccard_threshold: float = 0.5,
+    max_bucket_fanout: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH banding + exact verification.
 
@@ -84,6 +85,17 @@ def minhash_lsh_pairs(
       4. exact Jaccard on candidates only, via a join back to shingle sets.
 
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
+
+    ``max_bucket_fanout`` is the hot-bucket (skew) guard for corpus scale:
+    a bucket of k near-identical documents (boilerplate pages, license
+    headers) otherwise emits k(k-1)/2 pairs — one 10M-doc template cluster
+    would emit 5*10^13 pairs from a single reduce task. With a fanout cap
+    F, each member pairs only with the F lowest-id members, bounding the
+    bucket to O(k*F) edges. Buckets with k <= F are untouched (the cap
+    degenerates to the full pair set), so small-bucket semantics — the
+    design point of LSH banding — are exact; mega-clusters stay connected
+    through their low-id representatives, which is what downstream
+    connected-components grouping needs. None = no cap (exact everywhere).
     """
     rows = num_perm // bands
     # The gram-set frame feeds three consumers (signature derivation and
@@ -114,11 +126,16 @@ def minhash_lsh_pairs(
         for b in range(bands)
     ]
     buckets = sig.select("_id", F.explode(F.array(*band_cols)).alias("bk"))
+    pairs = (
+        _pairs_expr(F.col("ids"))
+        if max_bucket_fanout is None
+        else _capped_pairs_expr(F.col("ids"), max_bucket_fanout)
+    )
     cands = (
         buckets.groupBy("bk")
         .agg(F.collect_set("_id").alias("ids"))
         .filter(F.size("ids") > 1)
-        .select(F.explode(_pairs_expr(F.col("ids"))).alias("p"))
+        .select(F.explode(pairs).alias("p"))
         .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .distinct()
     )
@@ -137,6 +154,28 @@ def minhash_lsh_pairs(
         )
     )
     return verified.filter(F.col("jaccard") >= jaccard_threshold)
+
+
+def _capped_pairs_expr(ids: Column, fanout: int) -> Column:
+    """(a,b) pairs with a<b where a is one of the ``fanout`` smallest ids.
+
+    Equal to the full pair set when the bucket has <= fanout+1 members;
+    otherwise each member connects to the low-id representatives only —
+    O(k*fanout) edges instead of O(k^2).
+    """
+    sorted_ids = F.array_sort(ids)
+    reps = F.slice(sorted_ids, 1, fanout)
+    return F.filter(
+        F.flatten(
+            F.transform(
+                sorted_ids,
+                lambda m: F.transform(
+                    reps, lambda r: F.struct(r.alias("a"), m.alias("b"))
+                ),
+            )
+        ),
+        lambda p: p["a"] < p["b"],
+    )
 
 
 def _pairs_expr(ids: Column) -> Column:

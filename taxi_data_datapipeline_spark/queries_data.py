@@ -715,3 +715,65 @@ def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "vocab_topk",
+    rf"""
+WITH words AS (
+  SELECT lower(unnest({_SQL_TOKS})) AS word FROM documents)
+SELECT word, COUNT(*) AS freq
+FROM words
+GROUP BY word
+ORDER BY freq DESC, word
+LIMIT 200
+""",
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: explode (lateral view) of the token array ->
+    frequency count -> deterministic top-200. The tokenizer-vocab builder
+    for BPE training. explode is generated per scan partition (no shuffle);
+    the word groupBy is the single exchange, and the top-k plans as
+    TakeOrderedAndProject — no global sort of the vocabulary at 100 TB."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .select(F.lower(F.col("w")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("word"))
+        .limit(200)
+    )
+
+
+@register(
+    "map_funcs",
+    """
+SELECT user_id,
+       COUNT(DISTINCT event_type) AS n_types,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase_cnt
+FROM events
+GROUP BY user_id
+""",
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed columns: per-user event profile built as a real
+    map<string,bigint> via map_from_entries(collect_list(struct)), then
+    consumed with size() / element_at(). The oracle states the same
+    semantics relationally — proving the map construction round-trips.
+    (Map columns themselves are kept out of the output: map key order is
+    engine-specific, scalars extracted from them are not.)"""
+    e = load(spark, sf_dir, "events")
+    per_type = e.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    profile = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "cnt"))
+        ).alias("profile")
+    )
+    return profile.select(
+        "user_id",
+        F.size("profile").cast("bigint").alias("n_types"),
+        F.coalesce(F.element_at("profile", "purchase"), F.lit(0)).alias(
+            "purchase_cnt"
+        ),
+    )

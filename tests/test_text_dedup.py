@@ -131,3 +131,39 @@ def test_simhash_fold_equals_table(spark, docs):
     }
     table = {r._id: r.sh for r in simhash_table(docs, ngram=3).collect()}
     assert fold == table
+
+
+def test_capped_fanout_exact_when_buckets_small(spark, docs):
+    """With fanout >= bucket sizes the capped pair generator degenerates to
+    the full pair set — identical output on the standard corpus."""
+    base = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_lsh_pairs(
+            docs, jaccard_threshold=0.5, max_bucket_fanout=64
+        ).collect()
+    }
+    assert capped == base and base  # non-empty and equal
+
+
+def test_capped_fanout_bounds_hot_bucket_but_keeps_connectivity(spark):
+    """A template cluster (one mega-bucket) emits O(k*fanout) edges instead
+    of O(k^2), and every member still connects to a low-id representative."""
+    k = 30
+    tmpl = "all work and no play makes jack a dull boy " * 3
+    rows = [(i, tmpl + f"suffix {i % 2}") for i in range(k)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = minhash_lsh_pairs(
+        docs, jaccard_threshold=0.2, max_bucket_fanout=2
+    ).collect()
+    full = minhash_lsh_pairs(docs, jaccard_threshold=0.2).collect()
+    assert len(full) >= k * (k - 1) / 4  # the quadratic blowup is real
+    # bound is per-band-bucket: <= fanout edges per member per band
+    assert len(capped) <= k * 2 * 8
+    assert len(capped) < len(full) / 3  # and it actually bites
+    # connectivity: every doc appears in some capped edge
+    touched = {r.doc_a for r in capped} | {r.doc_b for r in capped}
+    assert touched == set(range(k))
