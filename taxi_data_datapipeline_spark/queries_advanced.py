@@ -104,6 +104,50 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "session_window_native",
+    """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM sess
+GROUP BY user_id, session_id
+""",
+)
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in session_window (batch mode): dynamic-gap windows
+    merged inside one aggregation — no lag/running-sum plumbing. The
+    oracle is the manual gaps-and-islands formulation with the SAME
+    boundary rule (an event exactly gap after its predecessor starts a new
+    session: session ranges are [start, last+gap) half-open), proving the
+    built-in and the manual tier agree row-for-row. Same single shuffle on
+    the user key; in streaming this operator works unchanged with a
+    watermark bounding session state."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 # --- percentiles --------------------------------------------------------------
 
 

@@ -1,0 +1,92 @@
+"""Dedup-ladder scale probe: synthesize a corpus Spark-side (no I/O bias),
+inject exact duplicates and one hot template cluster, and time the MinHash
+LSH near-dup pipeline with the hot-bucket fanout cap.
+
+The probe answers the 100 TB design questions directly:
+* does candidate generation stay O(corpus + candidates) as docs grow?
+* does the fanout cap keep a boilerplate mega-cluster from emitting a
+  quadratic pair set out of a single reduce task?
+
+Usage: python tools/scale_probe.py [--docs 200000] [--hot 2000] [--fanout 8]
+Prints one JSON line with wall times and docs/s.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from taxi_data_datapipeline_spark.session import get_spark
+from taxi_data_datapipeline_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+
+
+def synth_corpus(spark, n_docs: int, hot: int, dup_frac: float = 0.2):
+    """n_docs synthetic docs: 40-token texts drawn from a 5000-word vocab by
+    seeded hash (deterministic, no RNG state); the last dup_frac of ids
+    repeat earlier texts (exact dups); the first ``hot`` ids share one
+    template (the LSH hot bucket)."""
+    eff = (F.col("id") % int(n_docs * (1 - dup_frac))).alias("eff")
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(39)),
+        lambda j: F.concat(F.lit("w"), F.pmod(F.xxhash64(F.col("eff"), j), F.lit(5000))),
+    )
+    text = F.when(
+        F.col("doc_id") < hot,
+        F.concat(
+            F.lit("template header all pages share this exact boilerplate text body "),
+            F.concat_ws(" ", F.lit("page"), F.pmod(F.col("doc_id"), F.lit(2)).cast("string")),
+        ),
+    ).otherwise(F.concat_ws(" ", words))
+    return (
+        spark.range(n_docs)
+        .select(F.col("id").alias("doc_id"), eff)
+        .withColumn("text", text)
+        .drop("eff")
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=200_000)
+    ap.add_argument("--hot", type=int, default=2_000)
+    ap.add_argument("--fanout", type=int, default=8)
+    args = ap.parse_args()
+
+    spark = get_spark("scale_probe")
+    docs = synth_corpus(spark, args.docs, args.hot)
+    docs.persist().count()  # materialize corpus outside the timed region
+
+    t0 = time.time()
+    n_groups = exact_dedup(docs).filter(F.col("n_copies") > 1).count()
+    t_exact = time.time() - t0
+
+    t0 = time.time()
+    n_pairs = minhash_lsh_pairs(
+        docs, jaccard_threshold=0.5, max_bucket_fanout=args.fanout
+    ).count()
+    t_minhash = time.time() - t0
+
+    out = {
+        "metric": "dedup_scale_probe",
+        "docs": args.docs,
+        "hot_cluster": args.hot,
+        "fanout": args.fanout,
+        "exact_dup_groups": n_groups,
+        "exact_sec": round(t_exact, 2),
+        "exact_docs_per_sec": round(args.docs / t_exact),
+        "minhash_pairs": n_pairs,
+        "minhash_sec": round(t_minhash, 2),
+        "minhash_docs_per_sec": round(args.docs / t_minhash),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
