@@ -2,7 +2,11 @@
 
 ``asof_join(left, right, ...)`` attaches, to every left row, the most
 recent right row with the same key whose timestamp is <= the left row's
-timestamp (backward direction; ties at equal timestamps DO match).
+timestamp (``direction="backward"``, the default; ties at equal
+timestamps DO match), or the earliest right row with timestamp >= the
+left row's (``direction="forward"``). An optional ``tolerance`` interval
+nulls out matches farther than the tolerance from the left timestamp —
+pandas ``merge_asof`` semantics.
 
 Implementation is the scalable union-marker pattern, not a range join:
 
@@ -38,14 +42,22 @@ def asof_join(
     right_ts: str,
     right_cols: Sequence[str] | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
-    """Backward as-of left join.
+    """As-of left join (backward or forward).
 
     Output: every ``left`` column, plus ``{right_ts}{suffix}`` (the matched
     right row's timestamp, NULL when no match) and ``{c}{suffix}`` for each
     of ``right_cols`` (default: all non-key, non-ts right columns). Among
-    right rows tied on (key, ts) the struct-wise max wins — deterministic.
+    right rows tied on (key, ts) the struct-wise max wins backward, the
+    struct-wise min forward — deterministic either way. ``tolerance`` is a
+    SQL interval string (e.g. ``"2 hours"``): a match farther than that
+    from the left timestamp comes back as all-NULL, exactly like pandas
+    ``merge_asof(tolerance=...)``.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     on = list(on)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in on and c != right_ts]
@@ -75,19 +87,36 @@ def asof_join(
     )
 
     unioned = l_tag.unionByName(r_tag, allowMissingColumns=False)
+    if direction == "backward":
+        order = [F.col("_t").asc(), F.col("_side").asc(), F.col("_r").asc()]
+    else:
+        # descending time: the frame above a left row holds all right rows
+        # with ts >= it; last non-null = the nearest (smallest such ts).
+        order = [F.col("_t").desc(), F.col("_side").asc(), F.col("_r").desc()]
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("_t").asc(), F.col("_side").asc(), F.col("_r").asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = F.last("_r", ignorenulls=True).over(w)
+
+    if tolerance is None:
+        valid = F.lit(True)
+    elif direction == "backward":
+        valid = F.col(f"_m.{right_ts}") >= F.col("_t") - F.expr(f"INTERVAL {tolerance}")
+    else:
+        valid = F.col(f"_m.{right_ts}") <= F.col("_t") + F.expr(f"INTERVAL {tolerance}")
+
+    def _gated(col):
+        return F.when(valid, col)
+
     return (
         unioned.withColumn("_m", matched)
         .filter(F.col("_side") == 1)
         .select(
             *on,
             *[F.col(c) for c in left_payload],
-            F.col(f"_m.{right_ts}").alias(f"{right_ts}{suffix}"),
-            *[F.col(f"_m.{c}").alias(f"{c}{suffix}") for c in right_cols],
+            _gated(F.col(f"_m.{right_ts}")).alias(f"{right_ts}{suffix}"),
+            *[_gated(F.col(f"_m.{c}")).alias(f"{c}{suffix}") for c in right_cols],
         )
     )

@@ -51,6 +51,51 @@ def q_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "asof_next_purchase",
+    """
+WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+     p AS (SELECT user_id, ts, MIN(value) AS pval
+           FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+SELECT v.event_id, v.user_id, v.ts AS view_ts,
+       CASE WHEN p.ts <= v.ts + INTERVAL 2 HOUR THEN p.ts END AS next_purchase_ts,
+       CASE WHEN p.ts <= v.ts + INTERVAL 2 HOUR THEN p.pval END AS next_purchase_value
+FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND p.ts >= v.ts
+""",
+)
+def q_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with tolerance: each view gets the NEXT purchase
+    by the same user within 2 hours (conversion attribution). Same
+    single-shuffle union-marker plan run time-reversed; the oracle is
+    DuckDB's native ASOF JOIN with a tolerance post-filter — an
+    independent formulation of the same semantics. Right side is
+    pre-aggregated per (user, ts) so tie-breaking never enters."""
+    ev = load(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "event_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.min("value").alias("pval"))
+    )
+    out = asof_join(
+        views,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["pval"],
+        direction="forward",
+        tolerance="2 hours",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("ts_asof").alias("next_purchase_ts"),
+        F.col("pval_asof").alias("next_purchase_value"),
+    )
+
+
 # --- sessionization -----------------------------------------------------------
 
 
