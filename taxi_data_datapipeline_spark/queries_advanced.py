@@ -748,3 +748,83 @@ def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.sum("s").cast("double") / F.count(F.lit(1)), 6).alias("avg_surprisal"),
     )
+
+
+# --- resampling (the "bootstrap" of pivot_and_boostrap) -----------------------
+
+
+@register(
+    "jackknife_event_counts",
+    """
+WITH pb AS (
+  SELECT event_type,
+         CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 20 AS b,
+         COUNT(*) AS c
+  FROM events GROUP BY event_type, b
+), m AS (
+  SELECT event_type, CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(c * c) AS BIGINT) AS sum_c2
+  FROM pb GROUP BY event_type
+), s AS (
+  SELECT event_type, n,
+         SQRT(CAST(0.95 AS DOUBLE) *
+              (CAST(sum_c2 AS DOUBLE) - CAST(n AS DOUBLE) * n / 20.0)) AS se_raw
+  FROM m
+)
+SELECT event_type, n,
+       se_raw AS se,
+       n - 1.959964 * se_raw AS ci_lo,
+       n + 1.959964 * se_raw AS ci_hi
+FROM s
+""",
+)
+def q_jackknife_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type count with a delete-one-bucket jackknife 95% CI —
+    the resampling step the reference's package name promises
+    (operators/resample.py module doc). One pass, two shuffles, exact
+    integer moments -> bit-identical CIs on any engine."""
+    from taxi_data_datapipeline_spark.operators.resample import jackknife_count_ci
+
+    ev = load(spark, sf_dir, "events")
+    return jackknife_count_ci(ev, ["event_type"], id_col="event_id", n_buckets=20)
+
+
+@register(
+    "jackknife_revenue_ci",
+    """
+WITH pb AS (
+  SELECT o_orderstatus,
+         CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 20 AS b,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sc
+  FROM orders GROUP BY o_orderstatus, b
+), d AS (
+  SELECT o_orderstatus,
+         20 * sc - SUM(sc) OVER (PARTITION BY o_orderstatus) AS dev,
+         SUM(sc) OVER (PARTITION BY o_orderstatus) AS total_cents
+  FROM pb
+), m AS (
+  SELECT o_orderstatus, MAX(total_cents) AS total_cents,
+         SUM(CAST(dev AS DECIMAL(15,0)) * CAST(dev AS DECIMAL(19,0))) AS e2
+  FROM d GROUP BY o_orderstatus
+), st AS (
+  SELECT o_orderstatus,
+         CAST(total_cents AS DOUBLE) / 100.0 AS total,
+         SQRT(CAST(0.002375 AS DOUBLE) * CAST(e2 AS DOUBLE) / 10000.0) AS se_raw
+  FROM m
+)
+SELECT o_orderstatus, total, se_raw AS se,
+       total - 1.959964 * se_raw AS ci_lo,
+       total + 1.959964 * se_raw AS ci_hi
+FROM st
+""",
+)
+def q_jackknife_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue totals per order status with jackknife SE/CI: decimal
+    partial sums (and decimal squared partials) keep every moment exact,
+    so the assembled double CIs hash-match across engines."""
+    from taxi_data_datapipeline_spark.operators.resample import jackknife_sum_ci
+
+    o = load(spark, sf_dir, "orders")
+    return jackknife_sum_ci(
+        o, ["o_orderstatus"], id_col="o_orderkey", value=F.col("o_totalprice")
+    )
