@@ -244,21 +244,25 @@ WITH pv AS (
 SELECT l_partkey, part_value
 FROM pv
 WHERE part_value > (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-                           * CAST(0.0006 AS DOUBLE)
+                           / COUNT(DISTINCT l_partkey) * CAST(1.2 AS DOUBLE)
                     FROM lineitem)
 """,
 )
 def q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: per-key value filtered by a *global* scalar
-    threshold (0.06% of total). The scalar aggregate is a 1-row DataFrame
+    threshold (1.2x the average per-part value — scale-invariant
+    selectivity at any SF, unlike a fixed fraction of the total, which
+    empties as the part domain grows). The scalar aggregate is a 1-row DataFrame
     cross-joined (broadcast) under the filter — no driver-side collect, so
     the plan stays lazy and cluster-side at any scale."""
     li = load(spark, sf_dir, "lineitem")
     pv = li.groupBy("l_partkey").agg(_dec_sum(F.col("l_extendedprice"), 2, "part_value"))
     total = li.agg(
-        (_dec_sum(F.col("l_extendedprice"), 2) * F.lit(0.0006).cast("double")).alias(
-            "threshold"
-        )
+        (
+            _dec_sum(F.col("l_extendedprice"), 2)
+            / F.countDistinct("l_partkey")
+            * F.lit(1.2).cast("double")
+        ).alias("threshold")
     )
     return (
         pv.join(F.broadcast(total))

@@ -102,3 +102,67 @@ def test_asof_join_backward_tolerance(spark):
                       tolerance="1 hour").collect()[0]
     assert (loose.rt_asof, loose.rv_asof) == (_ts("2024-01-01 09:00:00"), "x")
     assert (tight.rt_asof, tight.rv_asof) == (None, None)
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Differential test: random frames, all four (direction, tolerance)
+    combinations, compared row-for-row against pandas.merge_asof."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    n_l, n_r = 300, 200
+    lpdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 8, n_l).astype("int64"),
+            "lt": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10_000, n_l), unit="min"),
+            "lid": np.arange(n_l, dtype="int64"),
+        }
+    )
+    rpdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 8, n_r).astype("int64"),
+            "rt": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10_000, n_r), unit="min"),
+            "rv": rng.integers(0, 1_000_000, n_r).astype("int64"),
+        }
+    )
+    # merge_asof demands unique, sorted keys on the right per ts; drop ties
+    rpdf = rpdf.drop_duplicates(subset=["k", "rt"], keep="first")
+
+    ldf = spark.createDataFrame(lpdf)
+    rdf = spark.createDataFrame(rpdf)
+
+    for direction, tolerance in [
+        ("backward", None),
+        ("forward", None),
+        ("backward", "90 minutes"),
+        ("forward", "90 minutes"),
+    ]:
+        got = (
+            asof_join(
+                ldf, rdf, on=["k"], left_ts="lt", right_ts="rt",
+                direction=direction, tolerance=tolerance,
+            )
+            .toPandas()
+            .sort_values("lid")
+            .reset_index(drop=True)
+        )
+        exp = pd.merge_asof(
+            lpdf.sort_values("lt"),
+            rpdf.sort_values("rt"),
+            left_on="lt",
+            right_on="rt",
+            by="k",
+            direction=direction,
+            tolerance=pd.Timedelta(tolerance) if tolerance else None,
+        ).sort_values("lid").reset_index(drop=True)
+        pd.testing.assert_series_equal(
+            got["rt_asof"], exp["rt"], check_names=False
+        )
+        pd.testing.assert_series_equal(
+            got["rv_asof"].astype("float64"),
+            exp["rv"].astype("float64"),
+            check_names=False,
+        )
