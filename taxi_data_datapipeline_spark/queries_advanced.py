@@ -828,3 +828,98 @@ def q_jackknife_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jackknife_sum_ci(
         o, ["o_orderstatus"], id_col="o_orderkey", value=F.col("o_totalprice")
     )
+
+
+@register(
+    "hopping_window_counts",
+    """
+WITH offs AS (SELECT UNNEST([0, 1, 2, 3]) AS k),
+b AS (
+  SELECT date_trunc('hour', ts)
+           + (CAST(FLOOR(EXTRACT(minute FROM ts) / 15) AS INT) * INTERVAL 15 MINUTE)
+           AS b15,
+         event_type, value
+  FROM events
+)
+SELECT b.b15 - offs.k * INTERVAL 15 MINUTE AS window_start,
+       b.event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(b.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM b, offs
+GROUP BY 1, 2
+""",
+)
+def q_hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) window aggregation: 1-hour windows every 15
+    minutes — the overlap-window shape the reference's tumbling hour
+    bucket (pivot_all_files.py:154) cannot express. Spark's `window(ts,
+    '1 hour', '15 minutes')` expands each row into its 4 covering
+    windows before the hash aggregate (an Expand of factor
+    length/slide); the oracle mirrors that expansion with an explicit
+    0..3 offset cross join on the 15-minute floor bucket.
+
+    Scale note: output cardinality is 4x the tumbling equivalent but the
+    Expand is map-side — still ONE shuffle on (window, event_type). For
+    long windows over fine slides (e.g. 24h/5m = 288x) prefer
+    aggregate-per-slice then reaggregate; at 4x the direct form wins.
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "cdc_log_compaction",
+    """
+WITH ranked AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, ts AS last_ts, event_type AS last_op, value AS last_value
+FROM ranked
+WHERE rn = 1 AND event_type <> 'error'
+""",
+)
+def q_cdc_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog compaction (MERGE-as-upsert): collapse an event log
+    to the latest state per key, dropping keys whose final op is a
+    tombstone ('error' stands in for DELETE). This is the batch kernel of
+    a Delta/Hudi-style upsert: latest-wins by (ts, event_id).
+
+    Implemented as max_by via a struct-ordered MAX — a single
+    partial-aggregatable shuffle on user_id. The window-rank formulation
+    the oracle uses would SORT every partition by (user_id, ts); the
+    struct-MAX needs no sort and combines map-side, which at 100 TB is
+    the difference between a running job and a spilling one. (ts,
+    event_id) is unique, so comparison never falls through to the
+    payload fields and both forms pick the same row."""
+    ev = load(spark, sf_dir, "events")
+    latest = ev.groupBy("user_id").agg(
+        F.max(F.struct("ts", "event_id", "event_type", "value")).alias("s")
+    )
+    return (
+        latest.filter(F.col("s.event_type") != "error")
+        .select(
+            "user_id",
+            F.col("s.ts").alias("last_ts"),
+            F.col("s.event_type").alias("last_op"),
+            F.col("s.value").alias("last_value"),
+        )
+    )

@@ -604,3 +604,105 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cd"),
         F.nth_value("o_orderkey", 2).over(w_full).alias("second_order"),
     )
+
+
+@register(
+    "q16_supplier_cnt",
+    """
+SELECT p.p_brand, p.p_size % 5 AS size_grp,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, size_grp
+""",
+)
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): how many distinct
+    suppliers serve each part-attribute group, excluding a blacklist
+    (negative-balance suppliers stand in for the original's
+    complaint-comment NOT IN subquery).
+
+    Plan: the blacklist is a tiny broadcast anti-join BEFORE the fact-dim
+    join, so excluded rows never reach the shuffle; part broadcasts; the
+    single COUNT(DISTINCT) becomes Catalyst's two-phase
+    partial-distinct aggregate — no Expand, one shuffle on the group keys.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_brand") != "Brand#1")
+        .select("p_partkey", "p_brand", (F.col("p_size") % 5).alias("size_grp"))
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "size_grp")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_excess_suppliers",
+    """
+WITH sq AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  GROUP BY l_partkey, l_suppkey
+), tot AS (
+  SELECT l_partkey, CAST(SUM(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+  FROM sq GROUP BY l_partkey
+)
+SELECT DISTINCT s.s_suppkey, s.s_name, s.s_nationkey
+FROM supplier s
+JOIN sq ON sq.l_suppkey = s.s_suppkey
+JOIN tot ON tot.l_partkey = sq.l_partkey
+JOIN part p ON p.p_partkey = sq.l_partkey
+WHERE p.p_name LIKE 's%' AND sq.qty > 0.5 * tot.total_qty
+""",
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers who shipped
+    more than half of a forecast part's 1996 volume — the original's
+    `ps_availqty > 0.5 * sum(l_quantity)` nested-aggregate semi-join,
+    re-expressed without partsupp as share-of-part dominance.
+
+    Plan: one filtered scan aggregates to (part, supplier); the per-part
+    total is a window SUM over that small aggregate (no second scan, no
+    self-join shuffle — the window runs on the same l_partkey
+    partitioning the groupBy just produced). Quantities sum as
+    DECIMAL(18,2) so the 0.5 * total comparison is bit-identical in both
+    engines; supplier + part dims broadcast; final DISTINCT dedups
+    suppliers dominating several parts."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    sq = li.groupBy("l_partkey", "l_suppkey").agg(
+        _dec_sum(F.col("l_quantity"), 2, "qty")
+    )
+    w = Window.partitionBy("l_partkey")
+    sq = sq.withColumn(
+        "total_qty",
+        F.sum(F.col("qty").cast("decimal(18,2)")).over(w).cast("double"),
+    )
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("s"))
+        .select("p_partkey")
+    )
+    s = load(spark, sf_dir, "supplier")
+    return (
+        sq.filter(F.col("qty") > 0.5 * F.col("total_qty"))
+        .join(F.broadcast(p), sq.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), sq.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "s_nationkey")
+        .distinct()
+    )
