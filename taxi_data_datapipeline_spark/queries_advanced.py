@@ -923,3 +923,115 @@ def q_cdc_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.value").alias("last_value"),
         )
     )
+
+
+@register(
+    "gapfill_locf",
+    """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS day_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+), bounds AS (
+  SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily
+), cal AS (
+  SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM bounds
+), grid AS (
+  SELECT u.user_id, c.d
+  FROM (SELECT DISTINCT user_id FROM daily) u CROSS JOIN cal c
+)
+SELECT g.user_id, g.d, daily.day_value,
+       last_value(daily.day_value IGNORE NULLS)
+         OVER (PARTITION BY g.user_id ORDER BY g.d) AS locf_value
+FROM grid g
+LEFT JOIN daily ON daily.user_id = g.user_id AND daily.d = g.d
+""",
+)
+def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill with last-observation-carried-forward — the
+    hypertable/timeseries resample shape (TimescaleDB time_bucket_gapfill
+    + locf). Sparse per-user daily revenue becomes a dense user x day
+    grid; missing days inherit the previous observed value.
+
+    The calendar is `sequence(min_d, max_d)` exploded from a 1-row
+    aggregate broadcast against the distinct-user dim — no driver-side
+    collect, no literal dates baked into the plan, so the same query runs
+    on any time range. LOCF is `last(value, ignoreNulls)` over an
+    unbounded-preceding row frame: one shuffle on user_id, linear scan
+    per partition. At 100 TB the grid explode multiplies rows by
+    days/user, so the fill runs AFTER aggregation to daily grain —
+    cardinality is bounded by users x days, not raw events."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("day_value")
+        )
+    )
+    cal = (
+        daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    )
+    users = daily.select("user_id").distinct()
+    grid = users.crossJoin(F.broadcast(cal))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(daily, ["user_id", "d"], "left")
+        .select(
+            "user_id",
+            "d",
+            "day_value",
+            F.last("day_value", ignorenulls=True).over(w).alias("locf_value"),
+        )
+    )
+
+
+@register(
+    "skew_join_salted",
+    """
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY c.c_mktsegment
+""",
+)
+def q_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicitly salted fact-dim join: the hot-key defense when the big
+    side's join key is skewed (a handful of power users own most events)
+    and the dim is too large to broadcast outright. The fact side gets a
+    uniform salt from hash(event_id) mod 8; the dim side is replicated
+    once per salt value via explode(sequence) — the join key becomes
+    (key, salt), splitting each hot key across 8 reducers.
+
+    Here customer WOULD broadcast (AQE's answer to this dim size), so
+    the salt path is forced with a broadcast-threshold hint-free shuffle
+    join via `hint("shuffle_hash")` — the point is the technique's
+    correctness, proven by the plain-join oracle: salting is invisible
+    in the result. At real scale the 8x dim replication trades shuffle
+    volume for even reducer occupancy; AQE skew-join split is the
+    built-in alternative when the dim must sort-merge."""
+    ev = load(spark, sf_dir, "events")
+    c = load(spark, sf_dir, "customer")
+    n_salt = 8
+    ev_s = ev.withColumn("salt", F.pmod(F.hash("event_id"), F.lit(n_salt)))
+    c_s = c.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    joined = ev_s.join(
+        c_s.hint("shuffle_hash"),
+        (ev_s.user_id == c_s.c_custkey) & (ev_s.salt == c_s.salt),
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+    )

@@ -777,3 +777,36 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_cnt"
         ),
     )
+
+
+@register(
+    "text_scrub",
+    r"""
+SELECT doc_id,
+       LENGTH(text) - LENGTH(regexp_replace(text, '\b(spark|hash|merge)\b', '', 'g'))
+         AS scrubbed_chars,
+       LENGTH(regexp_extract_all(text, '\b(spark|hash|merge)\b')) AS n_hits,
+       regexp_replace(text, '\b(spark|hash|merge)\b', '[REDACTED]', 'g') AS scrubbed
+FROM documents
+""",
+)
+def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern-based redaction pass — the PII-scrub stage of a training
+    pipeline (emails / phone numbers / IDs become [REDACTED]). The
+    synthetic corpus contains no digits or @-tokens, so a deny-list of
+    terms stands in for the PII patterns; the machinery (global regex
+    replace + hit counting, all JVM-side codegen, zero UDFs) is
+    identical. Word-boundary `\b` and alternation parse the same in
+    Java regex (Spark) and RE2 (DuckDB); counting is done by length
+    delta + match-list length so both engines agree without a
+    regexp_count builtin."""
+    pat = r"\b(spark|hash|merge)\b"
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        (
+            F.length("text") - F.length(F.regexp_replace("text", pat, ""))
+        ).alias("scrubbed_chars"),
+        F.size(F.regexp_extract_all("text", F.lit(pat), 0)).cast("long").alias("n_hits"),
+        F.regexp_replace("text", pat, "[REDACTED]").alias("scrubbed"),
+    )

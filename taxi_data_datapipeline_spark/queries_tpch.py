@@ -676,9 +676,12 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-expressed without partsupp as share-of-part dominance.
 
     Plan: one filtered scan aggregates to (part, supplier); the per-part
-    total is a window SUM over that small aggregate (no second scan, no
-    self-join shuffle — the window runs on the same l_partkey
-    partitioning the groupBy just produced). Quantities sum as
+    total is a window SUM over that small aggregate — no second scan, no
+    self-join. The window does re-exchange on l_partkey, but that shuffle
+    carries only aggregate-sized rows; the raw-row shuffle before it is
+    map-side-combined to (part, supplier) partials. (Forcing a single
+    shuffle by pre-repartitioning on l_partkey would ship RAW rows and
+    lose the partial aggregate — strictly worse at scale.) Quantities sum as
     DECIMAL(18,2) so the 0.5 * total comparison is bit-identical in both
     engines; supplier + part dims broadcast; final DISTINCT dedups
     suppliers dominating several parts."""

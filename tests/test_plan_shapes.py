@@ -97,3 +97,20 @@ def test_q21_is_single_grouped_pass(spark):
     plan = plan_of(spark, "q21_waiting_supplier")
     exchanges = re.findall(r"hashpartitioning\((\w+)", plan)
     assert exchanges.count("l_orderkey") <= 2  # join + agg reuse, no extra passes
+
+
+def test_salted_join_shuffles_on_composite_key(spark):
+    plan = plan_of(spark, "skew_join_salted")
+    # The salt must defeat the broadcast path: a shuffled hash join whose
+    # key includes the salt column, splitting hot keys across reducers.
+    assert "ShuffledHashJoin" in plan
+    assert "salt" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_gapfill_has_no_driver_collect_and_broadcasts_calendar(spark):
+    plan = plan_of(spark, "gapfill_locf")
+    # Calendar explode comes from a 1-row aggregate broadcast against the
+    # user dim — a nested-loop (cross) broadcast join, never a collect.
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Window" in plan
