@@ -1035,3 +1035,112 @@ def q_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
     )
+
+
+@register(
+    "ohlc_bars",
+    """
+WITH t AS (
+  SELECT date_trunc('day', ts)
+           + (CAST(FLOOR(EXTRACT(hour FROM ts) / 6) AS INT) * INTERVAL 6 HOUR)
+           AS bucket,
+         event_type, ts, event_id, value
+  FROM events
+), w AS (
+  SELECT bucket, event_type, value,
+         first_value(value) OVER (PARTITION BY bucket, event_type
+                                  ORDER BY ts, event_id) AS open_v,
+         first_value(value) OVER (PARTITION BY bucket, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS close_v
+  FROM t
+)
+SELECT bucket, event_type,
+       MAX(open_v) AS open, MAX(value) AS high,
+       MIN(value) AS low, MAX(close_v) AS close,
+       COUNT(*) AS n_ticks
+FROM w GROUP BY 1, 2
+""",
+)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style OHLC downsample: open/high/low/close per 6-hour
+    bucket per series — the continuous-aggregate rollup every
+    time-series store ships (TimescaleDB candlestick, kdb xbar).
+
+    open/close are min_by/max_by over the UNIQUE composite order (ts,
+    event_id) — a single partial-aggregatable shuffle, no sort, no
+    window. The oracle can't express composite arg_min, so it uses
+    first_value windows; same tie-break, hash-identical result. At 100 TB
+    the min_by form matters: windows sort every partition, min_by folds
+    map-side."""
+    ev = load(spark, sf_dir, "events")
+    ord_key = F.struct("ts", "event_id")
+    bucket = F.timestamp_seconds(
+        (F.unix_timestamp("ts") / F.lit(21600)).cast("long") * F.lit(21600)
+    )
+    return (
+        ev.groupBy(bucket.alias("bucket"), "event_type")
+        .agg(
+            F.min_by("value", ord_key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ord_key).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+    )
+
+
+@register(
+    "token_entropy",
+    r"""
+WITH toks AS (
+  SELECT doc_id, lower(x) AS w
+  FROM (SELECT doc_id,
+               UNNEST(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS x
+        FROM documents)
+), cnt AS (
+  SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY 1, 2
+), tot AS (
+  SELECT doc_id, SUM(c) AS n, COUNT(*) AS n_types FROM cnt GROUP BY 1
+)
+SELECT c.doc_id,
+       CAST(MAX(t.n) AS BIGINT) AS n_tokens,
+       MAX(t.n_types) AS n_types,
+       ROUND(CAST(SUM(CAST(ROUND(-(CAST(c.c AS DOUBLE) / t.n)
+                                   * ln(CAST(c.c AS DOUBLE) / t.n), 9)
+                           AS DECIMAL(28,12))) AS DOUBLE), 6) AS token_entropy
+FROM cnt c JOIN tot t ON c.doc_id = t.doc_id
+GROUP BY c.doc_id
+""",
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's token distribution — the
+    information-theoretic gibberish/boilerplate detector of a curation
+    pipeline (low entropy = repetitive template text, high = diverse
+    prose). Per-token terms -(p ln p) round to 9 decimals and sum as
+    DECIMAL so shuffle order cannot move the hash (the bigram_surprisal
+    convention).
+
+    Token counts aggregate once on (doc_id, token); the per-doc total is
+    a window SUM over that compact aggregate (integer sum — exact), so
+    raw tokens shuffle exactly once."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.transform(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != ""),
+        lambda t: F.lower(t),
+    )
+    cnt = (
+        docs.select("doc_id", F.explode(toks).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wd = Window.partitionBy("doc_id")
+    cnt = cnt.withColumn("n", F.sum("c").over(wd)).withColumn(
+        "n_types", F.count(F.lit(1)).over(wd)
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    term = F.round(-p * F.log(p), 9).cast("decimal(28,12)")
+    return cnt.groupBy("doc_id").agg(
+        F.max("n").alias("n_tokens"),
+        F.max("n_types").alias("n_types"),
+        F.round(F.sum(term).cast("double"), 6).alias("token_entropy"),
+    )

@@ -810,3 +810,57 @@ def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("text", F.lit(pat), 0)).cast("long").alias("n_hits"),
         F.regexp_replace("text", pat, "[REDACTED]").alias("scrubbed"),
     )
+
+
+@register(
+    "chunk_split",
+    r"""
+WITH d AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(text, '\s+'), x -> x != '') AS tok
+  FROM documents
+)
+SELECT doc_id, source,
+       t.k AS chunk_idx,
+       array_to_string(tok[t.k * 64 + 1 : t.k * 64 + 64], ' ') AS chunk_text,
+       len(tok[t.k * 64 + 1 : t.k * 64 + 64]) AS n_tokens
+FROM d, UNNEST(range(0, CAST(ceil(len(tok) / 64.0) AS INT))) AS t(k)
+""",
+)
+def q_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking: split every document into 64-token
+    pieces — the context-window preparation step that feeds sequence
+    packing (its dual: chunking splits long docs, packing concatenates
+    short ones).
+
+    Pure built-ins: sequence -> transform -> slice -> explode, all
+    whole-stage-codegen, no shuffle at all (narrow op — chunks stay on
+    the producer partition). tests/test_udtf.py proves a Python UDTF
+    produces the identical relation — the escape hatch for chunkers
+    that need a real tokenizer — but the built-in form IS the engine
+    path: no Python round-trip at 100 TB."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    n_chunks = F.ceil(F.size(F.col("tok")) / F.lit(64.0)).cast("int")
+    chunk = lambda k: F.slice(F.col("tok"), k * 64 + 1, 64)  # noqa: E731
+    return (
+        docs.select("doc_id", "source", toks.alias("tok"))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.when(
+                    F.size("tok") > 0,
+                    F.transform(
+                        F.sequence(F.lit(0), n_chunks - 1),
+                        lambda k: F.struct(
+                            k.alias("chunk_idx"),
+                            F.concat_ws(" ", chunk(k)).alias("chunk_text"),
+                            F.size(chunk(k)).cast("long").alias("n_tokens"),
+                        ),
+                    ),
+                ).otherwise(F.array())
+            ).alias("c"),
+        )
+        .select("doc_id", "source", "c.chunk_idx", "c.chunk_text", "c.n_tokens")
+    )

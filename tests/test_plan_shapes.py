@@ -114,3 +114,29 @@ def test_gapfill_has_no_driver_collect_and_broadcasts_calendar(spark):
     # user dim — a nested-loop (cross) broadcast join, never a collect.
     assert "BroadcastNestedLoopJoin" in plan
     assert "Window" in plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """A date-partitioned fact joined to a filtered dim must prune fact
+    partitions at RUNTIME from the dim's build side (DPP) — at 100 TB
+    this is the difference between scanning 3 days and 3 years."""
+    from pyspark.sql import functions as F
+
+    from taxi_data_datapipeline_spark.queries import load
+
+    fact_dir = str(tmp_path / "events_by_day")
+    ev = load(spark, SF, "events").withColumn("d", F.to_date("ts"))
+    ev.write.partitionBy("d").mode("overwrite").parquet(fact_dir)
+
+    fact = spark.read.parquet(fact_dir)
+    dim = (
+        fact.select("d").distinct()
+        .withColumn("is_hot", F.dayofmonth("d") <= 3)
+        .filter("is_hot")
+    )
+    joined = fact.join(dim, "d").groupBy("event_type").count()
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        joined._jdf.queryExecution(), "formatted"
+    )
+    assert "dynamicpruning" in plan.lower()
+    joined.write.format("noop").mode("overwrite").save()
