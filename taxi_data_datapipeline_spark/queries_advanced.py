@@ -1144,3 +1144,82 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_types").alias("n_types"),
         F.round(F.sum(term).cast("double"), 6).alias("token_entropy"),
     )
+
+
+@register(
+    "anomaly_mad",
+    """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY 1
+), dev AS (
+  SELECT e.event_type, e.value, ABS(e.value - m.med) AS adev, m.med
+  FROM events e JOIN med m ON e.event_type = m.event_type
+), mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1
+)
+SELECT d.event_type,
+       COUNT(*) AS n_outliers,
+       ROUND(MIN(d.value), 6) AS min_outlier,
+       ROUND(MAX(d.value), 6) AS max_outlier
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+WHERE d.adev > 3 * 1.4826 * m.mad
+GROUP BY d.event_type
+""",
+)
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation — the
+    data-quality gate that survives the very outliers it hunts (stddev
+    z-scores get dragged by the tail; MAD doesn't). Flags values beyond
+    3 robust sigmas (1.4826 * MAD).
+
+    Two exact-percentile passes (median, then median-of-deviations),
+    each a tiny per-group aggregate broadcast back against the stream —
+    no sort of the fact table, no driver collect. Spark `percentile` and
+    DuckDB `quantile_cont` share the (n-1)p interpolation, so the
+    thresholds are bit-comparable; value distributions are continuous,
+    keeping the > comparison off the knife edge."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("adev") > 3 * 1.4826 * F.col("mad"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_outliers"),
+            F.round(F.min("value"), 6).alias("min_outlier"),
+            F.round(F.max("value"), 6).alias("max_outlier"),
+        )
+    )
+
+
+@register("approx_percentile_prices")  # sketch output is engine-specific -> rows-only
+def q_approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounded-memory percentile path for 100 TB: Greenwald-Khanna
+    style approximate quantiles (`approx_percentile`, accuracy 10000 ->
+    error <= 1/10000 of rank). Exact `percentile` materializes every
+    group's values; the sketch is fixed-size per group and merges
+    map-side. Sketch internals differ per engine, so the gate is
+    rows-only; `tests/test_sketches.py` bounds the rank error against
+    the exact result."""
+    li = load(spark, sf_dir, "lineitem")
+    ps = [0.25, 0.5, 0.75, 0.99]
+    arr = F.approx_percentile(
+        "l_extendedprice", F.array(*[F.lit(p) for p in ps]), F.lit(10000)
+    )
+    agg = li.groupBy("l_returnflag").agg(arr.alias("_ps"))
+    return agg.select(
+        "l_returnflag",
+        *[
+            F.element_at("_ps", i + 1).alias(f"ap{int(p*100)}")
+            for i, p in enumerate(ps)
+        ],
+    )

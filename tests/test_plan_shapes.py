@@ -140,3 +140,42 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     )
     assert "dynamicpruning" in plan.lower()
     joined.write.format("noop").mode("overwrite").save()
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Runtime row-level filtering: a selective dim predicate must inject
+    a bloom filter (built from the dim's join keys) into the fact scan's
+    filter — the shuffle-join analog of DPP, cutting shuffle volume
+    before it happens. Thresholds are lowered because sf0.001 is below
+    the 10 GB production default; the REWRITE is what's under test."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("l_returnflag").count()
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -1,0 +1,47 @@
+"""Sketch-based approximations must stay within their advertised error
+of the exact answers they replace at scale."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from taxi_data_datapipeline_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_approx_percentile_within_rank_error(spark):
+    approx = {
+        r["l_returnflag"]: [r["ap25"], r["ap50"], r["ap75"], r["ap99"]]
+        for r in QUERIES["approx_percentile_prices"](spark, SF).collect()
+    }
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    for flag, aps in approx.items():
+        vals = sorted(
+            r[0]
+            for r in li.filter(F.col("l_returnflag") == flag)
+            .select("l_extendedprice")
+            .collect()
+        )
+        n = len(vals)
+        for p, a in zip([0.25, 0.5, 0.75, 0.99], aps):
+            # GK guarantee: returned value's rank within n/accuracy of target.
+            target = p * (n - 1)
+            import bisect
+
+            lo = bisect.bisect_left(vals, a)
+            hi = bisect.bisect_right(vals, a) - 1
+            rank_err = min(abs(lo - target), abs(hi - target))
+            assert rank_err <= max(1.0, n / 10000), (flag, p, rank_err, n)
+
+
+def test_approx_distinct_close_to_exact(spark):
+    row = QUERIES["approx_distinct"](spark, SF).collect()[0]
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    exact = li.agg(
+        F.countDistinct("l_orderkey").alias("orders"),
+        F.countDistinct("l_partkey").alias("parts"),
+    ).collect()[0]
+    # rsd=2%; allow 5 sigma.
+    assert abs(row["approx_orders"] - exact["orders"]) / exact["orders"] < 0.1
+    assert abs(row["approx_parts"] - exact["parts"]) / exact["parts"] < 0.1
