@@ -1223,3 +1223,105 @@ def q_approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, p in enumerate(ps)
         ],
     )
+
+
+_PROFILE_COLS = [
+    ("o_orderkey", "decimal(18,2)"),
+    ("o_custkey", "decimal(18,2)"),
+    ("o_orderstatus", None),
+    ("o_totalprice", "decimal(18,2)"),
+    ("o_orderdate", "date"),
+    ("o_orderpriority", None),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, cast in _PROFILE_COLS:
+        expr = c if cast is None else f"CAST({c} AS {cast.upper()})"
+        parts.append(
+            f"""SELECT '{c}' AS column_name,
+       SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(MIN({expr}) AS STRING) AS min_value,
+       CAST(MAX({expr}) AS STRING) AS max_value
+FROM orders"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("table_profile", _profile_oracle())
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style column profiler: null count, exact distinct count, and
+    min/max per column of `orders`, one row per column — the first thing
+    a pipeline runs on an unknown 100 TB delivery.
+
+    Single scan: all 6x3 aggregates in ONE agg (Catalyst Expands the
+    input 6x for the multi-distinct — the documented trade for a
+    profiler, where per-column distincts are the product; the
+    alternative is 6 cached-scan jobs). The wide 1-row result unpivots
+    to rows via stack(). min/max stringify through DECIMAL/DATE casts so
+    both engines format identically (raw double->string differs)."""
+    o = load(spark, sf_dir, "orders")
+    aggs = []
+    for c, cast in _PROFILE_COLS:
+        col = F.col(c)
+        typed = col if cast is None else col.cast(cast)
+        aggs += [
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.countDistinct(col).alias(f"{c}__nd"),
+            F.min(typed).cast("string").alias(f"{c}__min"),
+            F.max(typed).cast("string").alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__nd, {c}__min, {c}__max" for c, _ in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(column_name, n_nulls, n_distinct, min_value, max_value)"
+        )
+    )
+
+
+_DQ_RULES = [
+    ("totalprice_nonnegative", "o_totalprice >= 0"),
+    ("orderdate_present", "o_orderdate IS NOT NULL"),
+    ("status_in_domain", "o_orderstatus IN ('O', 'F', 'P')"),
+    ("priority_wellformed", "o_orderpriority LIKE '%-%'"),
+    ("custkey_in_range", "o_custkey >= 0"),
+]
+
+
+@register(
+    "dq_checks",
+    "SELECT rule_name, n_violations FROM ("
+    + " UNION ALL ".join(
+        f"SELECT '{name}' AS rule_name, "
+        f"SUM(CASE WHEN NOT ({cond}) OR ({cond}) IS NULL THEN 1 ELSE 0 END) AS n_violations "
+        "FROM orders"
+        for name, cond in _DQ_RULES
+    )
+    + ") t",
+)
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate: each rule is a boolean SQL predicate;
+    the output is violations-per-rule (NULL predicate counts as a
+    violation — deequ/Great Expectations semantics). All rules evaluate
+    in ONE conditional-aggregate pass (no per-rule scans), then unpivot
+    via stack — adding a rule is a list entry, not a new job."""
+    o = load(spark, sf_dir, "orders")
+    aggs = [
+        F.sum(
+            F.when(~F.expr(cond) | F.expr(cond).isNull(), 1).otherwise(0)
+        ).alias(f"r{i}")
+        for i, (_, cond) in enumerate(_DQ_RULES)
+    ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(f"'{name}', r{i}" for i, (name, _) in enumerate(_DQ_RULES))
+    return wide.select(
+        F.expr(
+            f"stack({len(_DQ_RULES)}, {stack_args}) AS (rule_name, n_violations)"
+        )
+    )

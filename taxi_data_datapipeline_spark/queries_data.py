@@ -864,3 +864,63 @@ def q_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", "c.chunk_idx", "c.chunk_text", "c.n_tokens")
     )
+
+
+@register(
+    "kmeans_assign",
+    """
+WITH c AS (
+  SELECT vec_id AS k, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8
+), d AS (
+  SELECT e.vec_id, c.k,
+         list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+           - 2 * list_dot_product(e.embedding::DOUBLE[], c.cv)
+           + list_dot_product(c.cv, c.cv) AS d2
+  FROM embeddings e CROSS JOIN c
+), a AS (
+  SELECT vec_id, arg_min(k, d2) AS cluster, MIN(d2) AS d2min
+  FROM d GROUP BY vec_id
+)
+SELECT cluster, COUNT(*) AS n_points,
+       ROUND(CAST(SUM(CAST(ROUND(sqrt(d2min), 9) AS DECIMAL(28,12))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_dist
+FROM a GROUP BY cluster
+""",
+)
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means assignment step (the inner loop of Lloyd's algorithm,
+    and the partitioner behind IVF ANN indexes): every embedding goes to
+    its nearest of 8 fixed centroids; report cluster sizes and mean
+    distance. Centroids are the vec_id<8 rows — deterministic, no
+    trained model; a full Lloyd iteration = this + a centroid-mean
+    groupBy, loopable exactly like operators/graphs.py does for CC.
+
+    The distance to every centroid is a codegen'd in-order double fold
+    (operators/similarity.py:dot — no UDF); argmin is array_min over
+    (distance, k) structs, so the k tie-break matches the oracle's
+    arg_min. Centroids ride into the plan as literals: at 100 TB the
+    assignment is a single mapper pass, no join, no shuffle until the
+    tiny per-cluster aggregate."""
+    from taxi_data_datapipeline_spark.operators.similarity import dot
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 8).collect()
+    }
+    ev = F.col("embedding")
+    self_dot = dot(ev, ev)
+    alts = []
+    for k in sorted(cents):
+        cv = F.array(*[F.lit(x) for x in cents[k]])
+        d2 = self_dot - 2 * dot(ev, cv) + F.lit(sum(x * x for x in cents[k]))
+        alts.append(F.struct(d2.alias("d2"), F.lit(k).alias("k")))
+    best = F.array_min(F.array(*alts))
+    a = emb.select(best.alias("best")).select(
+        F.col("best.k").alias("cluster"),
+        F.round(F.sqrt(F.col("best.d2")), 9).cast("decimal(28,12)").alias("dist"),
+    )
+    return a.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.sum("dist").cast("double") / F.count(F.lit(1)), 6).alias("avg_dist"),
+    )

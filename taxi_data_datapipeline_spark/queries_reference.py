@@ -27,7 +27,7 @@ _HOUR_FILTER_COLS = ",\n       ".join(
 _HOURLY_PIVOT_SQL = f"""
 SELECT event_type AS taxi_type,
        CAST(ts AS DATE) AS date,
-       CAST(user_id AS VARCHAR) AS pickup_place,
+       CAST(user_id AS STRING) AS pickup_place,
        {_HOUR_FILTER_COLS}
 FROM events
 WHERE ts IS NOT NULL
@@ -54,7 +54,7 @@ def q_hourly_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_type AS taxi_type,
        CAST(ts AS DATE) AS date,
        EXTRACT(hour FROM ts)::INT AS hour,
-       CAST(user_id AS VARCHAR) AS pickup_place
+       CAST(user_id AS STRING) AS pickup_place
 FROM events
 WHERE ts IS NOT NULL
 """,
@@ -78,7 +78,7 @@ def q_normalize_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT event_type AS taxi_type,
        CAST(ts AS DATE) AS date,
-       CAST(user_id AS VARCHAR) AS pickup_place,
+       CAST(user_id AS STRING) AS pickup_place,
        EXTRACT(hour FROM ts)::INT AS hour,
        COUNT(*) AS cnt
 FROM events
@@ -107,7 +107,7 @@ def q_long_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH wide AS (
   SELECT event_type AS taxi_type,
          CAST(ts AS DATE) AS date,
-         CAST(user_id AS VARCHAR) AS pickup_place,
+         CAST(user_id AS STRING) AS pickup_place,
          {_HOUR_FILTER_COLS}
   FROM events
   WHERE ts IS NOT NULL
@@ -192,3 +192,16 @@ def q_epoch_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_seconds(F.floor(F.unix_millis("ts") / 1000)).alias("ts_s"),
         F.timestamp_millis(F.unix_millis("ts")).alias("ts_ms"),
     )
+
+
+@register("sql_hourly_pivot", _HOURLY_PIVOT_SQL)
+def q_sql_hourly_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship pivot executed from pure ANSI SQL TEXT: the exact
+    string the DuckDB oracle runs is fed verbatim to `spark.sql` (only a
+    temp-view registration stands between parquet and the query). The
+    reference has no query language at all (SURVEY §3); this entry
+    proves the engine's surface is reachable from SQL, not just the
+    DataFrame API — same plan, same single shuffle as `hourly_pivot`
+    (Catalyst compiles both to the same conditional-aggregate form)."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_HOURLY_PIVOT_SQL)
