@@ -1325,3 +1325,67 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stack({len(_DQ_RULES)}, {stack_args}) AS (rule_name, n_violations)"
         )
     )
+
+
+@register(
+    "streaming_hopping_counts",
+    """
+WITH offs AS (SELECT UNNEST([0, 1, 2, 3]) AS k),
+b AS (
+  SELECT date_trunc('hour', ts)
+           + (CAST(FLOOR(EXTRACT(minute FROM ts) / 15) AS INT) * INTERVAL 15 MINUTE)
+           AS b15,
+         event_type, value
+  FROM events
+)
+SELECT b.b15 - offs.k * INTERVAL 15 MINUTE AS window_start,
+       b.event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(b.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM b, offs
+GROUP BY 1, 2
+""",
+)
+def q_streaming_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sliding-window rollup executed through Structured Streaming:
+    1-hour windows every 15 minutes with a 2-hour watermark, drained
+    with Trigger.AvailableNow into a complete-mode memory sink. Over
+    static input the stream equals the batch `hopping_window_counts`,
+    which is the oracle — the overlap Expand and the windowed state
+    store both happen incrementally per micro-batch, state bounded by
+    watermark horizon x 4 open windows per slide."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{sf_dir}/events*.parquet")
+    )
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    agg = (
+        raw.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = f"stream_hopping_{next(_stream_counter)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

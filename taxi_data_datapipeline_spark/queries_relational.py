@@ -684,3 +684,37 @@ def q_array_agg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@register(
+    "variant_shred",
+    """
+SELECT event_type,
+       COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+WHERE props IS NOT NULL
+GROUP BY event_type
+""",
+)
+def q_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion through Spark 4's VARIANT type:
+    `parse_json` turns the raw JSON payload into a binary variant ONCE,
+    then typed `variant_get` paths shred it — the open-format answer to
+    repeated `get_json_object` string re-parsing (each call re-parses the
+    whole JSON; variant parses once and navigates an offset-encoded
+    tree). The aggregate is integer-only, so the oracle (DuckDB's native
+    JSON extraction) is exact."""
+    e = load(spark, sf_dir, "events")
+    v = e.filter(F.col("props").isNotNull()).select(
+        "event_type", F.parse_json("props").alias("v")
+    )
+    k = F.try_variant_get(F.col("v"), "$.k", "bigint")
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
