@@ -1,0 +1,106 @@
+"""Iterative k-means (Lloyd's algorithm) over an embedding column.
+
+The other iterative-algorithm tier next to connected components
+(operators/graphs.py): a driver-side loop over fully distributed steps.
+Per iteration:
+
+1. **assign** — distance to each of the k current centroids is a
+   codegen'd in-order double fold (operators/similarity.py:dot); argmin
+   via `array_min` over (distance, k) structs. Centroids ride into the
+   plan as LITERALS, so assignment is a mapper-only pass: no join, no
+   shuffle.
+2. **update** — per-cluster mean of each dimension via
+   `posexplode(embedding)` -> groupBy(cluster, dim) avg -> rebuilt into
+   ordered arrays on the driver (k x dim doubles — bytes, not data).
+
+Per-iteration driver traffic is exactly the k x dim centroid matrix, the
+irreducible state of Lloyd's algorithm; everything row-shaped stays
+distributed. At 100 TB each iteration is one scan + one
+aggregate-to-k*dim-rows shuffle.
+
+Convergence / quality is asserted differentially against a NumPy
+reference implementation in tests/test_clustering.py (same seeds, same
+iteration count) — float fold order differs across engines, so this is
+test-verified rather than oracle-hashed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from taxi_data_datapipeline_spark.operators.similarity import dot
+
+
+def _assign(df: DataFrame, centroids: list[list[float]], vec_col: str) -> DataFrame:
+    """Add `cluster` (nearest centroid index) and `d2` (squared L2 to it)."""
+    ev = F.col(vec_col)
+    self_dot = dot(ev, ev)
+    alts: list[Column] = []
+    for k, c in enumerate(centroids):
+        cv = F.array(*[F.lit(float(x)) for x in c])
+        d2 = self_dot - 2 * dot(ev, cv) + F.lit(sum(x * x for x in c))
+        alts.append(F.struct(d2.alias("d2"), F.lit(k).alias("k")))
+    best = F.array_min(F.array(*alts))
+    return (
+        df.withColumn("_b", best)
+        .withColumn("cluster", F.col("_b.k"))
+        .withColumn("d2", F.col("_b.d2"))
+        .drop("_b")
+    )
+
+
+def lloyd_kmeans(
+    df: DataFrame,
+    k: int = 4,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, list[float]]:
+    """Run `iters` Lloyd iterations seeded from the first k rows by
+    `id_col`. Returns (assigned DataFrame with cluster/d2, per-iteration
+    inertia history). The returned DataFrame is lazily re-derivable —
+    only k x dim centroids and one inertia double per iteration ever
+    reach the driver."""
+    seeds = df.filter(F.col(id_col) < k).select(id_col, vec_col).collect()
+    centroids = [
+        [float(x) for x in r[vec_col]]
+        for r in sorted(seeds, key=lambda r: r[id_col])
+    ]
+    dims = len(centroids[0])
+    inertia_hist: list[float] = []
+
+    for _ in range(iters):
+        assigned = _assign(df, centroids, vec_col)
+        # inertia + new centroids in ONE aggregate pass: per (cluster, dim)
+        # component means, plus the d2 sum replicated per dim and re-divided.
+        stats = (
+            assigned.select(
+                "cluster",
+                "d2",
+                F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+                    "dim", "comp"
+                ),
+            )
+            .groupBy("cluster", "dim")
+            .agg(
+                F.avg("comp").alias("mean_comp"),
+                F.sum("d2").alias("d2_sum"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        by_cluster: dict[int, list[float]] = {}
+        inertia = 0.0
+        for r in stats:
+            by_cluster.setdefault(r["cluster"], [0.0] * dims)[r["dim"]] = r[
+                "mean_comp"
+            ]
+            if r["dim"] == 0:
+                inertia += r["d2_sum"]
+        inertia_hist.append(inertia)
+        centroids = [
+            by_cluster.get(i, centroids[i]) for i in range(k)
+        ]  # empty cluster keeps its old centroid
+
+    return _assign(df, centroids, vec_col), inertia_hist

@@ -1389,3 +1389,58 @@ def q_streaming_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "streaming_cdc_compaction",
+    """
+WITH ranked AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, ts AS last_ts, event_type AS last_op, value AS last_value
+FROM ranked
+WHERE rn = 1 AND event_type <> 'error'
+""",
+)
+def q_streaming_cdc_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC latest-state view maintained INCREMENTALLY over an
+    unbounded changelog: the same struct-ordered MAX as the batch
+    `cdc_log_compaction`, but as a streaming complete-mode aggregate —
+    per-key state is ONE struct, updated in place each micro-batch (vs
+    re-ranking the log). Over static input it equals the batch oracle.
+    This is the materialized-view form of MERGE: downstream readers see
+    the current row per key at every trigger."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{sf_dir}/events*.parquet")
+    )
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    latest = raw.groupBy("user_id").agg(
+        F.max(F.struct("ts", "event_id", "event_type", "value")).alias("s")
+    )
+    out = (
+        latest.filter(F.col("s.event_type") != "error")
+        .select(
+            "user_id",
+            F.col("s.ts").alias("last_ts"),
+            F.col("s.event_type").alias("last_op"),
+            F.col("s.value").alias("last_value"),
+        )
+    )
+    name = f"stream_cdc_{next(_stream_counter)}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

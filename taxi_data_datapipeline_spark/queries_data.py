@@ -924,3 +924,21 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_points"),
         F.round(F.sum("dist").cast("double") / F.count(F.lit(1)), 6).alias("avg_dist"),
     )
+
+
+@register("kmeans_iterate")  # float fold order is engine-specific -> rows-only;
+# differential-tested against a NumPy reference in tests/test_clustering.py
+def q_kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three full Lloyd iterations (operators/clustering.py): the
+    iterative big brother of `kmeans_assign`. Driver traffic per
+    iteration is exactly the k x dim centroid matrix; assignment is a
+    literal-centroid mapper pass and the update is one
+    posexplode-groupBy. Returns final cluster sizes + mean distance."""
+    from taxi_data_datapipeline_spark.operators.clustering import lloyd_kmeans
+
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, _hist = lloyd_kmeans(emb, k=4, iters=3)
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.avg(F.sqrt(F.col("d2"))), 6).alias("avg_dist"),
+    )
