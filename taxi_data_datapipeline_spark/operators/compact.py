@@ -41,6 +41,7 @@ def compact_parquet(
     output_dir: str,
     target_file_size: str | int = "128MB",
     sort_within_partitions_by: list[str] | None = None,
+    writer_options: dict[str, str] | None = None,
 ) -> dict:
     """Rewrite ``input_dir``'s parquet files as ``ceil(bytes/target)``
     files at ``output_dir``. Optionally sort rows within each output file
@@ -57,7 +58,10 @@ def compact_parquet(
     out = df.repartition(n_out)
     if sort_within_partitions_by:
         out = out.sortWithinPartitions(*sort_within_partitions_by)
-    out.write.mode("overwrite").parquet(output_dir)
+    writer = out.write.mode("overwrite")
+    for k, v in (writer_options or {}).items():
+        writer = writer.option(k, v)
+    writer.parquet(output_dir)
     written = spark.read.parquet(output_dir)
     return {
         "input_files": in_files,

@@ -942,3 +942,82 @@ def q_kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_points"),
         F.round(F.avg(F.sqrt(F.col("d2"))), 6).alias("avg_dist"),
     )
+
+
+_SPLIT_SQL = (
+    "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+)
+
+
+@register(
+    "contamination_check",
+    f"""
+WITH s AS (
+  SELECT doc_id, {_SQL_GRAMS} AS grams,
+         CASE WHEN {_SPLIT_SQL} < 80 THEN 'train' ELSE 'eval' END AS split
+  FROM documents
+), train_grams AS (
+  SELECT DISTINCT UNNEST(grams) AS gram FROM s WHERE split = 'train'
+), val_hits AS (
+  SELECT v.doc_id, g.gram
+  FROM (SELECT doc_id, UNNEST(grams) AS gram FROM s WHERE split = 'eval') v
+  JOIN train_grams g USING (gram)
+), v_all AS (
+  SELECT doc_id, len(grams) AS n_grams FROM s WHERE split = 'eval'
+)
+SELECT v_all.doc_id,
+       v_all.n_grams,
+       COALESCE(h.n_hit, 0) AS n_contaminated,
+       ROUND(COALESCE(h.n_hit, 0) * 1.0 / v_all.n_grams, 6) AS contamination_ratio
+FROM v_all
+LEFT JOIN (SELECT doc_id, COUNT(DISTINCT gram) AS n_hit FROM val_hits GROUP BY 1) h
+  ON v_all.doc_id = h.doc_id
+""",
+)
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination scan: for every eval-split document, how
+    many of its distinct 3-gram shingles also appear anywhere in the
+    train split — the leakage detector every LLM data pipeline runs
+    before trusting a benchmark number (same shingle basis as the dedup
+    ladder, same hash split as `train_val_split`).
+
+    Shape: explode eval shingles once, LEFT SEMI join against the
+    distinct train-shingle set on the shingle hash, re-aggregate per
+    doc. The train set never re-joins per pair — cost is
+    O(shingles + matches), and the shingle join key is uniformly
+    hash-distributed so no skew. At 100 TB the train-gram set is the
+    big side: it stays shuffle-partitioned and the eval side (always
+    the small split) streams against it."""
+    d = load(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint") % 100
+    s = d.select(
+        "doc_id",
+        ngram_shingles(F.col("text"), 3).alias("grams"),
+        F.when(bucket < 80, "train").otherwise("eval").alias("split"),
+    )
+    train_grams = (
+        s.filter(F.col("split") == "train")
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    v = s.filter(F.col("split") == "eval")
+    hits = (
+        v.select("doc_id", F.explode("grams").alias("gram"))
+        .join(train_grams, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_hit"))
+    )
+    return (
+        v.select("doc_id", F.size("grams").cast("long").alias("n_grams"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_contaminated"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_grams"), 6
+            ).alias("contamination_ratio"),
+        )
+    )
