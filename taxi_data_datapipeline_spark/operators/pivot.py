@@ -8,15 +8,20 @@ per-file tables with a second group-sum.
 
 Spark collapses that whole cascade into ONE logical plan with ONE shuffle:
 
-    groupBy(index_cols).pivot(bucket, explicit_domain).count()
+    groupBy(index_cols).agg(count_if(bucket = v) for v in explicit_domain)
 
 * Catalyst plans it as partial HashAggregate (map-side: the reference's
-  per-batch partial A1) -> exchange on the index keys -> final HashAggregate
-  (the reference's per-file merge A2 + global combine A5 in one step).
-* Passing the explicit pivot domain (0..23) skips Spark's extra
-  distinct-values job AND guarantees all 24 columns exist even for hours
-  absent from the data — the reference's zero-backfill contract
-  (``pivot_utils.py:204-207``).
+  per-batch partial A1 — 24 counters per in-flight group) -> ONE exchange
+  on the index keys -> final HashAggregate (the reference's per-file merge
+  A2 + global combine A5 in one step).
+* `RelationalGroupedDataset.pivot(values).count()` would plan the same
+  result as TWO aggregates (agg on index+bucket, then PivotFirst regroup
+  on index) = two shuffles; the conditional-aggregate form halves the
+  shuffle count — measured in PLANS.md (`sql_hourly_pivot`'s FILTER
+  clause compiles to exactly this shape).
+* The explicit domain (0..23) guarantees all 24 columns exist even for
+  hours absent from the data — the reference's zero-backfill contract
+  (``pivot_utils.py:204-207``) — with no distinct-values pre-job.
 * The min-total HAVING filter runs post-pivot on the wide row, exactly like
   the reference (``pivot_utils.py:211-224``); at 100 TB this is a cheap
   filter over the (much smaller) aggregated table, after the only shuffle.
@@ -55,19 +60,16 @@ def pivot_counts(
 ) -> DataFrame:
     """Count rows per (index_cols, bucket) and pivot bucket into wide columns.
 
-    One shuffle. Explicit ``domain`` -> stable output schema
+    One shuffle (conditional aggregation over the explicit ``domain``,
+    not `.pivot()` — see module doc). Stable output schema
     ``index_cols + [f'{prefix}{v}' for v in domain]`` with zero fill.
     """
-    wide = (
-        df.groupBy(*index_cols)
-        .pivot(bucket_col, list(domain))
-        .count()
-        .na.fill(0)
+    wide = df.groupBy(*index_cols).agg(
+        *[
+            F.count_if(F.col(bucket_col) == v).alias(f"{prefix}{v}")
+            for v in domain
+        ]
     )
-    renames = {str(v): f"{prefix}{v}" for v in domain}
-    wide = wide.withColumnsRenamed(renames)
-    out_cols = list(index_cols) + [f"{prefix}{v}" for v in domain]
-    wide = wide.select(*out_cols)
     if min_total is not None and min_total > 0:
         wide = wide.filter(row_total([f"{prefix}{v}" for v in domain]) >= min_total)
     return wide

@@ -42,13 +42,14 @@ def test_semi_and_anti_join_strategies(spark):
     assert "LeftAnti" in plan_of(spark, "anti_join")
 
 
-def test_pivot_is_two_stage_hash_aggregate(spark):
+def test_pivot_is_single_shuffle_conditional_agg(spark):
     import re
 
     plan = plan_of(spark, "hourly_pivot")
-    # hour-level agg + pivot regroup, nothing more (operator headers only)
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
-    assert "partial_count" in plan  # map-side combine before the first shuffle
+    # Conditional aggregation over the explicit hour domain: ONE exchange
+    # (a .pivot() formulation would regroup twice), with map-side partials.
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "partial_count" in plan  # map-side combine before the shuffle
 
 
 def test_filter_pushdown_on_projection_query(spark):
