@@ -709,3 +709,34 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_nationkey")
         .distinct()
     )
+
+
+@register(
+    "sql_shipping_priority",
+    """
+SELECT l.l_orderkey,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+""",
+)
+def q_sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 executed from pure SQL TEXT — the multi-table proof that
+    the engine's SQL surface covers joins, not just single-table rollups
+    (`sql_hourly_pivot`): the exact oracle string runs verbatim through
+    `spark.sql` after three temp-view registrations. Catalyst plans the
+    same broadcast-dim join tree as the DataFrame form
+    (`q3_shipping_priority`). tests/test_sql_dialect.py extends the
+    claim: ~60% of ALL oracle texts analyze unchanged on Spark SQL; the
+    rest use DuckDB-only list/ASOF/quantile builtins."""
+    from taxi_data_datapipeline_spark.queries import ORACLES
+
+    for t in ["customer", "orders", "lineitem"]:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(ORACLES["sql_shipping_priority"])
