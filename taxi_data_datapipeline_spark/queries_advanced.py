@@ -1444,3 +1444,85 @@ def q_streaming_cdc_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "retention_cohorts",
+    """
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), hits AS (
+  SELECT f.cohort_date,
+         CAST((a.d - f.cohort_date) // 7 AS INT) AS week_n,
+         a.user_id
+  FROM firsts f JOIN activity a ON f.user_id = a.user_id
+), sizes AS (
+  SELECT cohort_date, COUNT(*) AS cohort_size FROM firsts GROUP BY cohort_date
+)
+SELECT h.cohort_date, h.week_n,
+       COUNT(DISTINCT h.user_id) AS active_users,
+       s.cohort_size,
+       ROUND(COUNT(DISTINCT h.user_id) * 1.0 / s.cohort_size, 6) AS retention
+FROM hits h JOIN sizes s ON h.cohort_date = s.cohort_date
+GROUP BY h.cohort_date, h.week_n, s.cohort_size
+""",
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen date, activity
+    bucketed into weeks since signup, retention = active/cohort-size —
+    the product-analytics staple (and a two-level self-aggregation
+    pattern: min-date per key, re-join, distinct-count per bucket).
+
+    One scan feeds both the cohort assignment and the activity set; the
+    cohort-size dim is tiny and broadcasts. Distinct activity pairs are
+    pre-deduped BEFORE the join so the fact side of the shuffle carries
+    (user, day), never raw events."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    activity = ev.distinct()
+    firsts = activity.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+    sizes = firsts.groupBy("cohort_date").agg(F.count(F.lit(1)).alias("cohort_size"))
+    hits = activity.join(firsts, "user_id").select(
+        "cohort_date",
+        (F.datediff(F.col("d"), F.col("cohort_date")) / 7).cast("int").alias("week_n"),
+        "user_id",
+    )
+    return (
+        hits.join(F.broadcast(sizes), "cohort_date")
+        .groupBy("cohort_date", "week_n", "cohort_size")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .select(
+            "cohort_date",
+            "week_n",
+            "active_users",
+            "cohort_size",
+            F.round(F.col("active_users") / F.col("cohort_size"), 6).alias(
+                "retention"
+            ),
+        )
+    )
+
+
+@register("hll_daily_rollup")  # sketch bytes are engine-specific -> rows-only
+def q_hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch REAGGREGATION — the pattern that makes distinct counts
+    feasible at 100 TB: build one Datasketches HLL per (event_type, day)
+    (pre-computable, incrementally maintainable), then answer the
+    per-type total by UNIONING sketches instead of re-scanning raw
+    events. `hll_union_agg` merges register arrays; the estimate is
+    within HLL error of the exact distinct (bounded in
+    tests/test_sketches.py). No cross-engine oracle: sketch binaries are
+    engine-specific."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        F.sum("n_events").alias("n_events"),
+    )

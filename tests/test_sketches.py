@@ -45,3 +45,21 @@ def test_approx_distinct_close_to_exact(spark):
     # rsd=2%; allow 5 sigma.
     assert abs(row["approx_orders"] - exact["orders"]) / exact["orders"] < 0.1
     assert abs(row["approx_parts"] - exact["parts"]) / exact["parts"] < 0.1
+
+
+def test_hll_rollup_matches_exact_and_direct(spark):
+    rolled = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["hll_daily_rollup"](spark, SF).collect()
+    }
+    ev_exact = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    )
+    for r in ev_exact:
+        est, exact = rolled[r["event_type"]], r["d"]
+        # Union-of-daily-sketches must estimate within HLL error (lgK=12
+        # default: ~1.6% rsd; cardinality here is tiny so near-exact).
+        assert abs(est - exact) / max(exact, 1) < 0.05, (r["event_type"], est, exact)
