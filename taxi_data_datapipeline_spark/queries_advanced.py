@@ -1526,3 +1526,70 @@ def q_hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
         F.sum("n_events").alias("n_events"),
     )
+
+
+@register(
+    "grid_density_join",
+    """
+WITH pts AS (
+  SELECT CAST(FLOOR((value * 0.01 + 40.0) * 100) AS INT) AS cx,
+         CAST(FLOOR((value * -0.02 - 73.0) * 100) AS INT) AS cy
+  FROM events
+), cnt AS (
+  SELECT cx, cy, COUNT(*) AS n FROM pts GROUP BY cx, cy
+), offs AS (
+  SELECT a.dx, b.dy
+  FROM (SELECT UNNEST([-1, 0, 1]) AS dx) a,
+       (SELECT UNNEST([-1, 0, 1]) AS dy) b
+), spread AS (
+  SELECT cnt.cx + offs.dx AS nx, cnt.cy + offs.dy AS ny, cnt.n
+  FROM cnt, offs
+)
+SELECT c.cx, c.cy, c.n AS n_events, SUM(s.n) AS neighborhood_events
+FROM cnt c JOIN spread s ON s.nx = c.cx AND s.ny = c.cy
+GROUP BY c.cx, c.cy, c.n
+""",
+)
+def q_grid_density_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial neighbor-cell density: events bucketed into a ~1.1 km
+    lat/lon grid (the reference's F6 rounding as CELLS, pivot_all_files.
+    py:113-119); each occupied cell reports its own count plus the 3x3
+    neighborhood total — the local-density feature behind zone demand
+    maps and spatial outlier detection.
+
+    The join NEVER touches raw points twice: points aggregate to cells
+    first, then each cell SPREADS its count to 9 neighbor keys (map-side
+    explode of a tiny offset array) and re-aggregates — a convolution as
+    agg->explode->agg, cost O(cells x 9), not a distance self-join.
+    Same double arithmetic in both engines -> identical cell ids."""
+    ev = load(spark, sf_dir, "events")
+    cx = F.floor((F.col("value") * 0.01 + 40.0) * 100).cast("int")
+    cy = F.floor((F.col("value") * -0.02 - 73.0) * 100).cast("int")
+    cnt = (
+        ev.select(cx.alias("cx"), cy.alias("cy"))
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    spread = (
+        cnt.select("cx", "cy", "n", F.explode(offs).alias("o"))
+        .select(
+            (F.col("cx") + F.col("o.dx")).alias("nx"),
+            (F.col("cy") + F.col("o.dy")).alias("ny"),
+            "n",
+        )
+        .groupBy("nx", "ny")
+        .agg(F.sum("n").alias("neighborhood_events"))
+    )
+    return (
+        cnt.join(
+            spread, (cnt.cx == spread.nx) & (cnt.cy == spread.ny)
+        )
+        .select("cx", "cy", F.col("n").alias("n_events"), "neighborhood_events")
+    )
