@@ -1476,25 +1476,39 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the product-analytics staple (and a two-level self-aggregation
     pattern: min-date per key, re-join, distinct-count per bucket).
 
-    One scan feeds both the cohort assignment and the activity set; the
-    cohort-size dim is tiny and broadcasts. Distinct activity pairs are
-    pre-deduped BEFORE the join so the fact side of the shuffle carries
-    (user, day), never raw events."""
+    Plan: ONE shuffle of user-grain data. Each user's active-day set is
+    collected in a single groupBy(user_id) (bounded by the analysis
+    horizon — 30ish dates, not raw events); cohort date, week buckets,
+    and per-user dedup all derive from that array map-side. What's left
+    to shuffle afterwards is (cohort, week) counts and the tiny
+    cohort-size dim — no distinct-count Expand, no re-join of the
+    activity fact (the window-and-join formulation costs 6 exchanges;
+    this one costs 3, two of them aggregate-sized)."""
     ev = load(spark, sf_dir, "events").select(
         "user_id", F.to_date("ts").alias("d")
     )
-    activity = ev.distinct()
-    firsts = activity.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
-    sizes = firsts.groupBy("cohort_date").agg(F.count(F.lit(1)).alias("cohort_size"))
-    hits = activity.join(firsts, "user_id").select(
+    per_user = ev.groupBy("user_id").agg(F.collect_set("d").alias("days"))
+    per_user = per_user.withColumn("cohort_date", F.array_min("days"))
+    weeks = per_user.select(
         "cohort_date",
-        (F.datediff(F.col("d"), F.col("cohort_date")) / 7).cast("int").alias("week_n"),
-        "user_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    "days",
+                    lambda d: (
+                        F.datediff(d, F.col("cohort_date")) / 7
+                    ).cast("int"),
+                )
+            )
+        ).alias("week_n"),
+    )
+    sizes = per_user.groupBy("cohort_date").agg(
+        F.count(F.lit(1)).alias("cohort_size")
     )
     return (
-        hits.join(F.broadcast(sizes), "cohort_date")
-        .groupBy("cohort_date", "week_n", "cohort_size")
-        .agg(F.countDistinct("user_id").alias("active_users"))
+        weeks.groupBy("cohort_date", "week_n")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .join(F.broadcast(sizes), "cohort_date")
         .select(
             "cohort_date",
             "week_n",
