@@ -1607,3 +1607,38 @@ def q_grid_density_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("cx", "cy", F.col("n").alias("n_events"), "neighborhood_events")
     )
+
+
+@register(
+    "value_histogram",
+    """
+WITH b AS (
+  SELECT event_type,
+         LEAST(CAST(FLOOR(value / 25.0) AS INT), 19) AS bin
+  FROM events
+)
+SELECT event_type, bin,
+       bin * 25.0 AS bin_lo,
+       COUNT(*) AS n
+FROM b GROUP BY event_type, bin
+""",
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram per series (25-unit bins, last bin open) —
+    the distribution profile behind data-drift checks and bin-packed
+    charts. One conditional projection + one shuffle of (series, bin)
+    counts; bin edges are exact double multiples of 25 so FLOOR is
+    boundary-safe in both engines (values land on edges only at exact
+    .00 prices, where v/25.0 is exact)."""
+    ev = load(spark, sf_dir, "events")
+    bin_ = F.least(F.floor(F.col("value") / 25.0).cast("int"), F.lit(19))
+    return (
+        ev.groupBy("event_type", bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            "bin",
+            (F.col("bin") * 25.0).alias("bin_lo"),
+            "n",
+        )
+    )

@@ -63,11 +63,26 @@ def test_aggregates_have_mapside_partials(spark, name):
     assert "partial_" in plan
 
 
-@pytest.mark.parametrize("name", ["asof_purchase_view", "sessionize_events"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "asof_purchase_view",
+        "sessionize_events",
+        "hourly_pivot",
+        "cdc_log_compaction",
+        "ohlc_bars",
+        "kmeans_assign",
+        "hopping_window_counts",
+        "value_histogram",
+    ],
+)
 def test_single_shuffle_operators(spark, name):
-    """The as-of join (union-marker) and sessionization (shared window +
-    groupBy key) each promise exactly ONE shuffle — their whole point
-    versus range-join / multi-stage formulations."""
+    """Operators that promise exactly ONE shuffle — the as-of join
+    (union-marker), sessionization (shared window + groupBy key), the
+    conditional-aggregate pivot, struct-max compaction/OHLC,
+    literal-centroid k-means assignment, the sliding-window Expand, and
+    histogram binning. A second Exchange appearing here is a scale
+    regression, not a style choice."""
     import re
 
     plan = plan_of(spark, name)
