@@ -271,13 +271,18 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT c_custkey, c_name
 FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2001-01-01')
 """,
 )
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (NOT EXISTS): customers with no orders at all."""
+    """Left-anti join (NOT EXISTS): customers with no RECENT orders (the
+    no-orders-at-all form returns zero rows at every test SF — a check
+    that can't fail is no check; the dated predicate keeps a non-trivial
+    result at sf0.001/0.01/0.1: 65/615/6156 rows)."""
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "2001-01-01")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
