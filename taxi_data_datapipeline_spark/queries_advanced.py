@@ -1642,3 +1642,65 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register(
+    "streaming_session_windows",
+    """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM sess
+GROUP BY user_id, session_id
+""",
+)
+def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in `session_window` running in STREAMING mode: dynamic-gap
+    sessions merge inside the state store as micro-batches arrive, the
+    watermark closes sessions whose gap has provably passed. Same
+    gaps-and-islands oracle as the batch `session_window_native` —
+    stream == batch over static input, completing the sessionization
+    ladder (manual windows, batch built-in, applyInPandasWithState,
+    transformWithState, and now the built-in under streaming)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{sf_dir}/events*.parquet")
+    )
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    agg = (
+        raw.withWatermark("ts", "2 hours")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    name = f"stream_sessions_{next(_stream_counter)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
