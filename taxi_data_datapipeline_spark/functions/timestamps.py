@@ -22,8 +22,12 @@ from pyspark.sql import types as T
 
 # Above this an epoch value must be milliseconds (2_600_000_000 s ~ year 2052,
 # 2_600_000_000 ms ~ 1970-02-01; values in [1e9, 2.6e9] are plausible seconds
-# for 2001..2052 which covers the taxi corpus).
+# for 2001..2052 which covers the taxi corpus). The same ladder extends
+# upward: x1000 per unit step, so micros ~ 1.7e15 and nanos ~ 1.7e18 for
+# current dates — the bands don't overlap for any plausible year.
 _EPOCH_MS_THRESHOLD = 2_600_000_000
+_EPOCH_US_THRESHOLD = _EPOCH_MS_THRESHOLD * 1_000
+_EPOCH_NS_THRESHOLD = _EPOCH_MS_THRESHOLD * 1_000_000
 
 
 def coerce_timestamp(col: Column, dtype: T.DataType | None = None) -> Column:
@@ -37,9 +41,18 @@ def coerce_timestamp(col: Column, dtype: T.DataType | None = None) -> Column:
     if isinstance(dtype, T.DateType):
         return col.cast("timestamp")
     if isinstance(dtype, (T.LongType, T.IntegerType, T.DoubleType, T.FloatType, T.DecimalType)):
+        # Magnitude ladder: ns / us / ms / s. Covers parquet TIMESTAMP(NANOS)
+        # columns read as bigint under spark.sql.legacy.parquet.nanosAsLong
+        # (Spark's vectorized reader has no native nanos type).
         as_long = col.cast("long")
-        return F.when(
-            F.abs(as_long) >= _EPOCH_MS_THRESHOLD, F.timestamp_millis(as_long)
-        ).otherwise(F.timestamp_seconds(as_long))
+        # ns -> us must divide in integer space: double division rounds at
+        # nanos magnitude (>2^53), which would smear timestamps by ~us.
+        ns_to_us = F.floor(as_long.cast("decimal(24,0)") / 1000).cast("long")
+        return (
+            F.when(F.abs(as_long) >= _EPOCH_NS_THRESHOLD, F.timestamp_micros(ns_to_us))
+            .when(F.abs(as_long) >= _EPOCH_US_THRESHOLD, F.timestamp_micros(as_long))
+            .when(F.abs(as_long) >= _EPOCH_MS_THRESHOLD, F.timestamp_millis(as_long))
+            .otherwise(F.timestamp_seconds(as_long))
+        )
     # strings (and anything else): lenient parse, NULL on failure
     return F.try_to_timestamp(col.cast("string"))

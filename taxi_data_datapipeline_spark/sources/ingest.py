@@ -47,6 +47,10 @@ class IngestReport:
 
 def _footer_schema(spark: SparkSession, path: str):
     # Footer-only read: Spark resolves the schema without scanning data pages.
+    # nanosAsLong lets TIMESTAMP(NANOS) files (pandas/pyarrow default) resolve
+    # as bigint instead of failing analysis; coerce_timestamp's magnitude
+    # ladder then restores them to microsecond timestamps.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(path).schema
 
 

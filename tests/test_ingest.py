@@ -125,3 +125,39 @@ def test_coerce_timestamp_type_dispatch(spark):
     expect = datetime.datetime(2023, 1, 5, 7, 45)
     assert out["from_str"] == datetime.datetime(2023, 1, 5, 7, 30)
     assert out["from_s"] == out["from_ms"]
+
+
+def test_pipeline_ingests_pandas_default_nanos_file(spark, tmp_path):
+    """pandas/pyarrow write TIMESTAMP(NANOS) by default; the ingest layer
+    must resolve the footer (nanosAsLong) and the magnitude ladder in
+    coerce_timestamp must land the values on the right microseconds —
+    not smear them through a double division or reject the file."""
+    import numpy as np
+    import pandas as pd
+
+    from taxi_data_datapipeline_spark.sources.ingest import normalize_trips
+
+    n = 200
+    base_ns = 1_704_067_200_000_000_000  # 2024-01-01 UTC
+    steps = (np.arange(n) * 37_123_456_789) % (28 * 86400 * 10**9)
+    pdf = pd.DataFrame(
+        {
+            "tpep_pickup_datetime": pd.to_datetime(base_ns + steps),
+            "PULocationID": (np.arange(n) * 7) % 26,
+        }
+    )
+    f = str(tmp_path / "yellow_tripdata_2024-01.parquet")
+    pdf.to_parquet(f, index=False)  # nanos, on purpose
+
+    trips, report = normalize_trips(spark, [f])
+    assert report.skipped == []
+    rows = trips.collect()
+    assert len(rows) == n
+    got = sorted(r["pickup_datetime"] for r in rows)
+    want = sorted(
+        pd.to_datetime(base_ns + steps).floor("us").tz_localize("UTC").to_pydatetime()
+    )
+    assert [g.replace(tzinfo=None) for g in got] == [
+        w.replace(tzinfo=None) for w in want
+    ]
+    assert rows[0]["taxi_type"] == "yellow"
