@@ -1021,3 +1021,76 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("contamination_ratio"),
         )
     )
+
+
+@register(
+    "embedding_quantize",
+    """
+WITH q AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0
+           AS scale
+  FROM embeddings
+), qd AS (
+  SELECT e.vec_id, q.scale,
+         list_transform(e.embedding::DOUBLE[],
+                        x -> CAST(FLOOR(x / q.scale + 0.5) AS INT)) AS qvec,
+         e.embedding::DOUBLE[] AS ev
+  FROM embeddings e JOIN q ON e.vec_id = q.vec_id
+)
+SELECT vec_id,
+       ROUND(scale, 9) AS scale,
+       qvec[1] AS q0, qvec[2] AS q1,
+       list_max(list_transform(qvec, x -> abs(x))) AS max_q,
+       CAST(SUM(CAST(FLOOR(abs(ev[t.i] - qvec[t.i] * scale)
+                           * 1099511627776.0) AS BIGINT))
+            // len(qvec) AS BIGINT) AS mean_abs_err_fp40
+FROM qd, UNNEST(range(1, len(qvec) + 1)) AS t(i)
+GROUP BY vec_id, scale, qvec
+""",
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the storage
+    op that turns a 100 TB float32 vector store into 25 TB: per-vector
+    scale = max|x|/127, q = round(x/scale), plus reconstruction-error
+    stats. `floor(x/s + 0.5)` instead of round() because Spark/NumPy
+    round half-to-even while DuckDB rounds half-away — floor(+0.5) is
+    bit-identical everywhere. All map-side array math (transform /
+    aggregate folds), zero shuffles; error terms sum as rounded decimals
+    per the parity convention."""
+    emb = load(spark, sf_dir, "embeddings")
+    ev = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(ev, lambda x: F.abs(x))) / F.lit(127.0)
+    d = emb.select("vec_id", ev.alias("ev"), scale.alias("scale"))
+    qvec = F.transform(
+        F.col("ev"),
+        lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("int"),
+    )
+    d = d.withColumn("qvec", qvec)
+    # Fixed-point term encoding: multiplying by 2^40 is an exact exponent
+    # shift in IEEE doubles and FLOOR is exact, so both engines produce the
+    # SAME integer per term — no per-term ROUND boundary disagreements
+    # (ROUND(double, 9) differs between Spark's BigDecimal HALF_UP and
+    # DuckDB's float path on a large fraction of arbitrary doubles).
+    err_terms = F.zip_with(
+        F.col("ev"),
+        F.col("qvec"),
+        lambda x, q: F.floor(
+            F.abs(x - q.cast("double") * F.col("scale")) * F.lit(float(2**40))
+        ).cast("long"),
+    )
+    d = d.withColumn(
+        "mean_abs_err_fp40",
+        (
+            F.aggregate(err_terms, F.lit(0).cast("long"), lambda acc, x: acc + x)
+            / F.size("qvec")
+        ).cast("long"),
+    )
+    return d.select(
+        "vec_id",
+        F.round(F.col("scale"), 9).alias("scale"),
+        F.element_at("qvec", 1).alias("q0"),
+        F.element_at("qvec", 2).alias("q1"),
+        F.array_max(F.transform("qvec", lambda x: F.abs(x))).alias("max_q"),
+        "mean_abs_err_fp40",
+    )
