@@ -1094,3 +1094,143 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(F.transform("qvec", lambda x: F.abs(x))).alias("max_q"),
         "mean_abs_err_fp40",
     )
+
+
+@register(
+    "zipf_fit",
+    rf"""
+WITH tf AS (
+  SELECT lower(x) AS term, COUNT(*) AS c
+  FROM (SELECT UNNEST({_SQL_TOKS}) AS x FROM documents)
+  GROUP BY 1
+), ranked AS (
+  SELECT term, c,
+         ROW_NUMBER() OVER (ORDER BY c DESC, term) AS r
+  FROM tf
+), top AS (
+  SELECT CAST(ROUND(ln(CAST(r AS DOUBLE)), 9) AS DECIMAL(28,12)) AS x,
+         CAST(ROUND(ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(28,12)) AS y
+  FROM ranked WHERE r <= 100
+), s AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE) * CAST(y AS DOUBLE), 9)
+                       AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 9)
+                       AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+  FROM top
+)
+SELECT n,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope
+FROM s
+""",
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: least-squares slope of
+    ln(freq) vs ln(rank) for the top-100 terms (natural text ~ -1;
+    template/spam corpora deviate — a one-number corpus health check).
+
+    Vocabulary counts are one explode+groupBy; ranking is a top-k window
+    over the (small) vocabulary; the regression is the exact-decimal
+    moment-sum pattern of `stats_moments`, so shuffle order cannot move
+    the hash. ln() terms round to 9 before summing (the engines' libm
+    may differ in the last ulp)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    tf = (
+        docs.select(F.explode(toks).alias("x"))
+        .select(F.lower("x").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy(F.col("c").desc(), F.col("term"))
+    top = (
+        tf.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 100)
+        .select(
+            F.round(F.log(F.col("r").cast("double")), 9)
+            .cast("decimal(28,12)")
+            .alias("x"),
+            F.round(F.log(F.col("c").cast("double")), 9)
+            .cast("decimal(28,12)")
+            .alias("y"),
+        )
+    )
+    xd, yd = F.col("x").cast("double"), F.col("y").cast("double")
+    s = top.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.round(xd * yd, 9).cast("decimal(28,12)")).cast("double").alias("sxy"),
+        F.sum(F.round(xd * xd, 9).cast("decimal(28,12)")).cast("double").alias("sxx"),
+    )
+    return s.select(
+        "n",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("zipf_slope"),
+    )
+
+
+@register(
+    "psi_source_drift",
+    """
+WITH b AS (
+  SELECT source, LEAST(CAST(n_chars // 100 AS INT), 5) AS bin FROM documents
+), per_source AS (
+  SELECT source, bin, COUNT(*) AS c FROM b GROUP BY 1, 2
+), totals AS (
+  SELECT source, SUM(c) AS n FROM per_source GROUP BY 1
+), gdist AS (
+  SELECT bin, SUM(c) AS gc FROM per_source GROUP BY 1
+), gtot AS (
+  SELECT SUM(gc) AS gn FROM gdist
+), grid AS (
+  SELECT t.source, g.bin, t.n, g.gc, gt.gn,
+         COALESCE(p.c, 0) AS c
+  FROM totals t CROSS JOIN gdist g CROSS JOIN gtot gt
+  LEFT JOIN per_source p ON p.source = t.source AND p.bin = g.bin
+), terms AS (
+  SELECT source,
+         CAST(ROUND(((c + 1.0) / (n + 6.0) - (gc + 1.0) / (gn + 6.0))
+                    * ln(((c + 1.0) / (n + 6.0)) / ((gc + 1.0) / (gn + 6.0))), 9)
+              AS DECIMAL(28,12)) AS term
+  FROM grid
+)
+SELECT source, ROUND(CAST(SUM(term) AS DOUBLE), 6) AS psi
+FROM terms GROUP BY source
+""",
+)
+def q_psi_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of each source's length distribution
+    against the corpus-wide distribution — the drift detector that flags
+    a crawl source whose content shifted (PSI > 0.2 = investigate).
+    Laplace-smoothed bin fractions avoid ln(0) on empty bins; per-bin
+    terms round to 9 and sum as decimals. Everything aggregates to
+    (source x 6 bins) before any math — the raw table is touched once."""
+    d = load(spark, sf_dir, "documents")
+    bin_ = F.least(F.expr("n_chars DIV 100").cast("int"), F.lit(5))
+    per_source = (
+        d.select("source", bin_.alias("bin"))
+        .groupBy("source", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = per_source.groupBy("source").agg(F.sum("c").alias("n"))
+    glob = per_source.groupBy("bin").agg(F.sum("c").alias("gc"))
+    gtot = glob.agg(F.sum("gc").alias("gn"))
+    grid = (
+        totals.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(gtot))
+        .join(per_source, ["source", "bin"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+    )
+    pa = (F.col("c") + 1.0) / (F.col("n") + 6.0)
+    pg = (F.col("gc") + 1.0) / (F.col("gn") + 6.0)
+    term = F.round((pa - pg) * F.log(pa / pg), 9).cast("decimal(28,12)")
+    return (
+        grid.select("source", term.alias("term"))
+        .groupBy("source")
+        .agg(F.round(F.sum("term").cast("double"), 6).alias("psi"))
+    )
