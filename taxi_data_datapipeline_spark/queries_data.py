@@ -1216,6 +1216,11 @@ def q_psi_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("source", bin_.alias("bin"))
         .groupBy("source", "bin")
         .agg(F.count(F.lit(1)).alias("c"))
+        # Three consumers (totals, global marginal, grid join) would each
+        # re-derive this aggregate — i.e. re-SCAN the corpus. It is
+        # (sources x bins) tiny, so materialize it once (the CC-operator
+        # pattern, operators/graphs.py): one scan total at any scale.
+        .localCheckpoint(eager=True)
     )
     totals = per_source.groupBy("source").agg(F.sum("c").alias("n"))
     glob = per_source.groupBy("bin").agg(F.sum("c").alias("gc"))
