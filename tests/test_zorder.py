@@ -79,3 +79,20 @@ def test_zorder_layout_narrows_both_dimensions(spark, tmp_path):
 
     # and the data survives the round trip
     assert spark.read.parquet(z_dir).count() == ev.count()
+
+
+def test_zorder_key_bijection_property(spark):
+    """Morton interleave must be invertible: deinterleaving the key
+    recovers the exact inputs (no collisions, no dropped bits). Checked
+    in one Spark job over a hypothesis-style random sample."""
+    import random
+
+    rnd = random.Random(7)
+    pairs = [(rnd.randrange(2**16), rnd.randrange(2**16)) for _ in range(500)]
+    df = spark.createDataFrame(pairs, "a long, b long")
+    out = df.select("a", "b", zorder_key(["a", "b"], bits=16))
+    for r in out.collect():
+        z = r["zkey"]
+        a = sum(((z >> (2 * i)) & 1) << i for i in range(16))
+        b = sum(((z >> (2 * i + 1)) & 1) << i for i in range(16))
+        assert (a, b) == (r["a"], r["b"])
