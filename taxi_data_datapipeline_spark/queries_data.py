@@ -1239,3 +1239,98 @@ def q_psi_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.round(F.sum("term").cast("double"), 6).alias("psi"))
     )
+
+
+@register(
+    "multimodal_features_checked",
+    """
+WITH bytes AS (
+  SELECT doc_id, ascii(substring(text, t.i, 1)) AS b, (t.i - 1) % 8 AS dim
+  FROM documents, UNNEST(range(1, length(text) + 1)) AS t(i)
+), dims AS (
+  SELECT doc_id, dim, SUM(b) AS acc FROM bytes GROUP BY doc_id, dim
+), tot AS (
+  SELECT doc_id, SUM(acc) AS total FROM dims GROUP BY doc_id
+), ff AS (
+  SELECT d.doc_id,
+         MAX(CASE WHEN dim = 0 THEN (acc * 1000000) // total END) AS f0,
+         MAX(CASE WHEN dim = 1 THEN (acc * 1000000) // total END) AS f1,
+         MAX(CASE WHEN dim = 2 THEN (acc * 1000000) // total END) AS f2,
+         MAX(CASE WHEN dim = 3 THEN (acc * 1000000) // total END) AS f3,
+         MAX(CASE WHEN dim = 4 THEN (acc * 1000000) // total END) AS f4,
+         MAX(CASE WHEN dim = 5 THEN (acc * 1000000) // total END) AS f5,
+         MAX(CASE WHEN dim = 6 THEN (acc * 1000000) // total END) AS f6,
+         MAX(CASE WHEN dim = 7 THEN (acc * 1000000) // total END) AS f7
+  FROM dims d JOIN tot ON d.doc_id = tot.doc_id
+  GROUP BY d.doc_id
+), cnt AS (
+  SELECT doc_id, b, COUNT(*) AS c FROM bytes GROUP BY doc_id, b
+), ent AS (
+  SELECT cnt.doc_id,
+         ROUND(CAST(SUM(CAST(ROUND(
+             -(CAST(c AS DOUBLE) / length(d.text))
+               * log2(CAST(c AS DOUBLE) / length(d.text)), 9)
+           AS DECIMAL(28,12))) AS DOUBLE), 6) AS byte_entropy
+  FROM cnt JOIN documents d ON cnt.doc_id = d.doc_id
+  GROUP BY cnt.doc_id
+)
+SELECT ff.doc_id, length(d.text) AS n_bytes,
+       f0, f1, f2, f3, f4, f5, f6, f7,
+       ent.byte_entropy
+FROM ff
+JOIN documents d ON ff.doc_id = d.doc_id
+JOIN ent ON ff.doc_id = ent.doc_id
+""",
+)
+def q_multimodal_features_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal feature-extraction path (Arrow-batched mapInPandas
+    over binary payloads) under FULL hash verification — the parity-safe
+    sibling of `multimodal_features`: projected byte-histogram features
+    in exact integer fixed-point ((acc*10^6)//total — no float fold), and
+    byte entropy with per-term ROUND(.,9) decimal summation (the
+    bigram_surprisal convention, with Python's half-even round matching
+    SQL on non-boundary transcendental terms). The oracle recomputes
+    everything from the ASCII payload characters — proving the Python
+    batch path byte-for-byte against SQL."""
+    import math
+    from collections.abc import Iterator
+    from decimal import Decimal
+
+    import pandas as pd
+
+    def feats(payload: bytes):
+        n = len(payload)
+        acc = [0] * 8
+        for i, by in enumerate(payload):
+            acc[i % 8] += by
+        total = sum(acc)
+        ff = [(a * 1_000_000) // total for a in acc] if total else [0] * 8
+        counts: dict[int, int] = {}
+        for by in payload:
+            counts[by] = counts.get(by, 0) + 1
+        ent = Decimal(0)
+        for c in counts.values():
+            p = c / n
+            ent += Decimal(str(round(-p * math.log2(p), 9)))
+        return n, ff, round(float(ent), 6)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _id, text in zip(pdf["doc_id"], pdf["text"]):
+                n, ff, ent = feats(text.encode("utf-8"))
+                rows.append((_id, n, *ff, ent))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_bytes"]
+                + [f"f{k}" for k in range(8)]
+                + ["byte_entropy"],
+            )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = (
+        "doc_id long, n_bytes long, "
+        + ", ".join(f"f{k} long" for k in range(8))
+        + ", byte_entropy double"
+    )
+    return d.mapInPandas(fn, schema)
