@@ -56,6 +56,7 @@ def main() -> None:
     slow_first = [
         "table_profile", "simhash_pairs", "contamination_check",
         "kmeans_iterate", "minhash_lsh_dedup", "dedup_groups_cc",
+        "multimodal_features_checked", "zipf_fit",
         "ngram_jaccard_blocked", "bigram_surprisal", "similarity_join_label",
         "stats_moments", "q21_waiting_supplier", "q1_pricing_summary",
     ]
