@@ -1334,3 +1334,87 @@ def q_multimodal_features_checked(spark: SparkSession, sf_dir: str) -> DataFrame
         + ", byte_entropy double"
     )
     return d.mapInPandas(fn, schema)
+
+
+@register(
+    "weighted_sample",
+    """
+WITH scored AS (
+  SELECT doc_id, source, n_chars,
+         LEAST(CAST(n_chars AS DOUBLE) / 400.0, 1.0) AS keep_p,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           / 4294967296.0 AS u
+  FROM documents
+)
+SELECT doc_id, source, ROUND(keep_p, 6) AS keep_p
+FROM scored WHERE u < keep_p
+""",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling for corpus curation: each document is kept
+    with probability proportional to a quality proxy (length, capped) —
+    longer docs oversampled, boilerplate shards thinned. The coin flip
+    is md5(doc_id)/2^32 — deterministic and ENGINE-PORTABLE (unlike
+    sample()/rand(), which are seeded per-partition and unreproducible
+    across engines or repartitionings — the train_val_split argument),
+    so the exact sample is replayable anywhere. Map-side only: a filter,
+    no shuffle. Complements `stratified_sample` (per-stratum quotas):
+    this one is per-row importance."""
+    d = load(spark, sf_dir, "documents")
+    keep_p = F.least(F.col("n_chars").cast("double") / 400.0, F.lit(1.0))
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) / F.lit(float(2**32))
+    return (
+        d.withColumn("keep_p", keep_p)
+        .withColumn("u", u)
+        .filter(F.col("u") < F.col("keep_p"))
+        .select("doc_id", "source", F.round("keep_p", 6).alias("keep_p"))
+    )
+
+
+@register(
+    "dedup_apply",
+    r"""
+WITH groups AS (
+  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+         MIN(doc_id) AS keep_id
+  FROM documents GROUP BY 1
+)
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       SUM(CASE WHEN d.doc_id = g.keep_id THEN 1 ELSE 0 END) AS n_kept,
+       SUM(CASE WHEN d.doc_id = g.keep_id THEN 0 ELSE d.n_chars END) AS chars_saved
+FROM documents d
+JOIN groups g ON md5(trim(regexp_replace(lower(d.text), '\s+', ' ', 'g'))) = g.fp
+GROUP BY d.source
+""",
+)
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step of exact dedup: `dedup_exact` reports duplicate
+    GROUPS; this one materializes the survivorship decision (first
+    doc_id per fingerprint wins) and the per-source savings report —
+    what a curation run actually ships. One fingerprint groupBy + one
+    window-free join back on the fingerprint; at 100 TB both shuffles
+    carry the compact (fingerprint, ids) pairs, not document text."""
+    from taxi_data_datapipeline_spark.functions.text import fingerprint
+
+    d = load(spark, sf_dir, "documents").withColumn(
+        "fp", fingerprint(F.col("text"))
+    )
+    groups = d.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    return (
+        d.join(groups, "fp")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("keep_id"), 1).otherwise(0)
+            ).alias("n_kept"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("keep_id"), 0).otherwise(
+                    F.col("n_chars")
+                )
+            ).alias("chars_saved"),
+        )
+    )

@@ -723,3 +723,56 @@ def q_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(k).alias("min_k"),
         F.max(k).alias("max_k"),
     )
+
+
+@register(
+    "topk_per_group",
+    """
+SELECT n_name, p_partkey, revenue FROM (
+  SELECT n.n_name, l.l_partkey AS p_partkey,
+         CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+              AS DOUBLE) AS revenue,
+         ROW_NUMBER() OVER (
+           PARTITION BY n.n_name
+           ORDER BY CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                  AS DECIMAL(18,4))) AS DOUBLE) DESC,
+                    l.l_partkey) AS rn
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY n.n_name, l.l_partkey
+) WHERE rn <= 3
+""",
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 revenue parts PER supplier nation — the filtered
+    top-k-per-group shape (rank + filter), distinct from global top-k
+    (`topk_orders`, TakeOrderedAndProject) and from rank-as-output
+    (`window_rank`). The window runs over the already-aggregated
+    (nation, part) table, never raw lineitem; ties break on the unique
+    part key so the hash is stable."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.col("l_partkey").alias("p_partkey"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("revenue").desc(), F.col("p_partkey")
+    )
+    return (
+        rev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("n_name", "p_partkey", "revenue")
+    )
