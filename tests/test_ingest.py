@@ -161,3 +161,34 @@ def test_pipeline_ingests_pandas_default_nanos_file(spark, tmp_path):
         w.replace(tzinfo=None) for w in want
     ]
     assert rows[0]["taxi_type"] == "yellow"
+
+
+def test_epoch_magnitude_ladder_all_units(spark):
+    """coerce_timestamp must land ns/us/ms/s epoch integers on the same
+    instant (truncated to the unit's precision) — one Spark job over a
+    random sample spanning 1990..2100."""
+    import random
+    from datetime import datetime, timezone
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from taxi_data_datapipeline_spark.functions.timestamps import coerce_timestamp
+
+    rnd = random.Random(11)
+    # The unit bands are disambiguated by magnitude; seconds are only
+    # unambiguous below the ms threshold (2.6e9 ~ year 2052, the
+    # documented envelope in functions/timestamps.py).
+    secs = [rnd.randrange(631_152_000, 2_599_999_999) for _ in range(200)]
+    rows = [(s, s * 10**3, s * 10**6, s * 10**9) for s in secs]
+    df = spark.createDataFrame(rows, "s long, ms long, us long, ns long")
+    out = df.select(
+        *[
+            coerce_timestamp(F.col(c), T.LongType()).alias(c)
+            for c in ("s", "ms", "us", "ns")
+        ]
+    ).collect()
+    for r, s in zip(out, secs):
+        want = datetime.fromtimestamp(s, tz=timezone.utc).replace(tzinfo=None)
+        for c in ("s", "ms", "us", "ns"):
+            assert r[c] == want, (c, s, r[c], want)
