@@ -1704,3 +1704,104 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "gapfill_interp",
+    """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS day_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+), bounds AS (
+  SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily
+), cal AS (
+  SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM bounds
+), grid AS (
+  SELECT u.user_id, c.d
+  FROM (SELECT DISTINCT user_id FROM daily) u CROSS JOIN cal c
+), joined AS (
+  SELECT g.user_id, g.d, daily.day_value FROM grid g
+  LEFT JOIN daily ON daily.user_id = g.user_id AND daily.d = g.d
+), ctx AS (
+  SELECT user_id, d, day_value,
+         last_value(day_value IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY d) AS pv,
+         last_value(CASE WHEN day_value IS NOT NULL THEN d END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY d) AS pd,
+         first_value(day_value IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY d
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN day_value IS NOT NULL THEN d END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY d
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+  FROM joined
+)
+SELECT user_id, d, day_value,
+       ROUND(CASE
+         WHEN day_value IS NOT NULL THEN day_value
+         WHEN pv IS NULL THEN nv
+         WHEN nv IS NULL THEN pv
+         ELSE pv + (nv - pv) * ((d - pd) * 1.0 / (nd - pd))
+       END, 6) AS interp_value
+FROM ctx
+""",
+)
+def q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill — the continuous counterpart of
+    `gapfill_locf` (TimescaleDB `interpolate()`): a missing day takes the
+    line between its previous and next observations, weighted by day
+    distance; leading/trailing gaps fall back to nearest-edge.
+
+    Two IGNORE-NULLS window scans (backward last, forward first) over
+    the dense user x day grid — same single user_id shuffle as the LOCF
+    variant, one extra linear pass per partition for the forward frame.
+    The interpolation weight is an exact integer day ratio, so both
+    engines compute identical doubles before the ROUND."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("day_value")
+        )
+    )
+    cal = (
+        daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    )
+    grid = daily.select("user_id").distinct().crossJoin(F.broadcast(cal))
+    joined = grid.join(daily, ["user_id", "d"], "left")
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_d = F.when(F.col("day_value").isNotNull(), F.col("d"))
+    ctx = joined.select(
+        "user_id",
+        "d",
+        "day_value",
+        F.last("day_value", ignorenulls=True).over(wb).alias("pv"),
+        F.last(obs_d, ignorenulls=True).over(wb).alias("pd"),
+        F.first("day_value", ignorenulls=True).over(wf).alias("nv"),
+        F.first(obs_d, ignorenulls=True).over(wf).alias("nd"),
+    )
+    frac = F.datediff(F.col("d"), F.col("pd")) / F.datediff(F.col("nd"), F.col("pd"))
+    interp = (
+        F.when(F.col("day_value").isNotNull(), F.col("day_value"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+    )
+    return ctx.select(
+        "user_id", "d", "day_value", F.round(interp, 6).alias("interp_value")
+    )
