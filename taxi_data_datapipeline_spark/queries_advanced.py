@@ -1805,3 +1805,72 @@ def q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ctx.select(
         "user_id", "d", "day_value", F.round(interp, 6).alias("interp_value")
     )
+
+
+@register(
+    "asof_nearest_purchase",
+    """
+WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+     p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+     b AS (
+       SELECT v.event_id, v.user_id, v.ts, pb.ts AS back_ts
+       FROM v ASOF LEFT JOIN p pb
+         ON v.user_id = pb.user_id AND pb.ts <= v.ts
+     ), f AS (
+       SELECT v.event_id, pf.ts AS fwd_ts
+       FROM v ASOF LEFT JOIN p pf
+         ON v.user_id = pf.user_id AND pf.ts >= v.ts
+     )
+SELECT b.event_id, b.user_id, b.ts AS view_ts,
+       CASE
+         WHEN b.back_ts IS NULL THEN f.fwd_ts
+         WHEN f.fwd_ts IS NULL THEN b.back_ts
+         WHEN (b.ts - b.back_ts) <= (f.fwd_ts - b.ts) THEN b.back_ts
+         ELSE f.fwd_ts
+       END AS nearest_purchase_ts
+FROM b JOIN f ON b.event_id = f.event_id
+""",
+)
+def q_asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (pandas merge_asof
+    direction='nearest'): each view pairs with the temporally CLOSEST
+    purchase by the same user, before or after, ties to the earlier one.
+    Composed from the engine's backward and forward single-shuffle as-of
+    kernels (operators/asof.py) + a pick on absolute distance — the
+    composition stays deterministic because each direction is
+    deterministic and the tie rule is explicit. Oracle: two DuckDB
+    native ASOF joins + the same CASE."""
+    from taxi_data_datapipeline_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    back = asof_join(
+        views, purchases, on=["user_id"], left_ts="ts", right_ts="ts", right_cols=[]
+    ).select("event_id", "user_id", "ts", F.col("ts_asof").alias("back_ts"))
+    fwd = asof_join(
+        views,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=[],
+        direction="forward",
+    ).select("event_id", F.col("ts_asof").alias("fwd_ts"))
+    j = back.join(fwd, "event_id")
+    back_d = F.col("ts").cast("double") - F.col("back_ts").cast("double")
+    fwd_d = F.col("fwd_ts").cast("double") - F.col("ts").cast("double")
+    nearest = (
+        F.when(F.col("back_ts").isNull(), F.col("fwd_ts"))
+        .when(F.col("fwd_ts").isNull(), F.col("back_ts"))
+        .when(back_d <= fwd_d, F.col("back_ts"))
+        .otherwise(F.col("fwd_ts"))
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        nearest.alias("nearest_purchase_ts"),
+    )
