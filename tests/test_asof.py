@@ -166,3 +166,69 @@ def test_asof_join_matches_pandas_merge_asof(spark):
             exp["rv"].astype("float64"),
             check_names=False,
         )
+
+
+def test_nearest_composition_matches_pandas_merge_asof(spark):
+    """The nearest-direction composition (backward + forward + pick by
+    absolute distance, ties backward) must equal
+    pandas.merge_asof(direction='nearest') row-for-row."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(21)
+    n_l, n_r = 300, 150
+    lpdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 6, n_l).astype("int64"),
+            "lt": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10_000, n_l), unit="min"),
+            "lid": np.arange(n_l, dtype="int64"),
+        }
+    )
+    rpdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 6, n_r).astype("int64"),
+            "rt": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10_000, n_r), unit="min"),
+        }
+    ).drop_duplicates(subset=["k", "rt"], keep="first")
+
+    ldf = spark.createDataFrame(lpdf)
+    rdf = spark.createDataFrame(rpdf)
+
+    back = asof_join(
+        ldf, rdf, on=["k"], left_ts="lt", right_ts="rt", right_cols=[]
+    ).select("lid", F.col("lt"), F.col("rt_asof").alias("bt"))
+    fwd = asof_join(
+        ldf, rdf, on=["k"], left_ts="lt", right_ts="rt", right_cols=[],
+        direction="forward",
+    ).select(F.col("lid").alias("lid2"), F.col("rt_asof").alias("ft"))
+    j = back.join(fwd, back.lid == fwd.lid2)
+    bd = F.col("lt").cast("double") - F.col("bt").cast("double")
+    fd = F.col("ft").cast("double") - F.col("lt").cast("double")
+    nearest = (
+        F.when(F.col("bt").isNull(), F.col("ft"))
+        .when(F.col("ft").isNull(), F.col("bt"))
+        .when(bd <= fd, F.col("bt"))
+        .otherwise(F.col("ft"))
+    )
+    got = (
+        j.select("lid", nearest.alias("nt"))
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    exp = (
+        pd.merge_asof(
+            lpdf.sort_values("lt"),
+            rpdf.sort_values("rt"),
+            left_on="lt",
+            right_on="rt",
+            by="k",
+            direction="nearest",
+        )
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_series_equal(got["nt"], exp["rt"], check_names=False)
