@@ -1874,3 +1874,56 @@ def q_asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("view_ts"),
         nearest.alias("nearest_purchase_ts"),
     )
+
+
+@register(
+    "streaming_dim_enrichment",
+    """
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY c.c_mktsegment
+""",
+)
+def q_streaming_dim_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join — the enrichment pattern: an unbounded event
+    stream joins a STATIC dimension snapshot (no watermark needed on the
+    static side; Spark broadcasts or re-reads it per micro-batch), then
+    aggregates. Completes the streaming join matrix next to the
+    stream-stream interval join (streaming/joins.py). Over static input
+    the result equals the batch join, which is the oracle — and the
+    same plain SQL the salted batch variant (`skew_join_salted`)
+    verifies against, proving batch, salted-batch, and streaming
+    formulations all agree."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{sf_dir}/events*.parquet")
+    )
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    dim = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    agg = (
+        raw.join(F.broadcast(dim), raw.user_id == dim.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    name = f"stream_enrich_{next(_stream_counter)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
