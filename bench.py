@@ -1,7 +1,12 @@
 """Benchmark runner: times every registered query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": wall_sec, "unit": "sec",
+SHORT JSON line: {"metric": ..., "value": wall_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
+
+The stdout line must survive tail-capture by the driver (which keeps only
+the last ~2KB), so the "queries" map on stdout is capped to the slowest
+entries; the FULL per-query map is written to bench_detail.json next to
+this file (and echoed to stderr).
 
 Each query is forced end-to-end with the noop sink (full execution, no
 driver-side collect cost), after a warm-up pass of the flagship query to
@@ -88,7 +93,7 @@ def main() -> None:
             list(pool.map(run, sorted(serial)))
     wall = round(time.time() - wall0, 3)
 
-    out = {
+    detail = {
         "metric": "operator_suite_wall_seconds",
         "value": wall,
         "unit": "sec",
@@ -98,8 +103,32 @@ def main() -> None:
         "sum_query_seconds": round(sum(times.values()), 3),
     }
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        detail["errors"] = errors
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    print(json.dumps(detail), file=sys.stderr)
+
+    # Headline for stdout: keep the line SHORT (driver tail-capture keeps
+    # ~2KB) — slowest queries only; full map lives in bench_detail.json.
+    slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:12])
+    out = {
+        "metric": "operator_suite_wall_seconds",
+        "value": wall,
+        "unit": "sec",
+        "queries": slowest,
+        "sf": sf,
+        "parallelism": par,
+        "n_queries": len(times),
+        "n_errors": len(errors),
+        "sum_query_seconds": round(sum(times.values()), 3),
+        "detail": "bench_detail.json",
+    }
+    line = json.dumps(out)
+    if len(line) > 1800:  # belt-and-braces: never exceed the capture window
+        out.pop("queries", None)
+        line = json.dumps(out)
+    print(line)
 
 
 if __name__ == "__main__":

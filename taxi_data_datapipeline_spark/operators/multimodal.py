@@ -12,10 +12,12 @@ Convention for image/audio/video at 100 TB scale:
   ``repartition`` sized to keep ~tens of MB of payload per Arrow batch
   (``spark.sql.execution.arrow.maxRecordsPerBatch`` caps rows).
 
-The actual codecs (PIL/ffmpeg/soundfile) are NOT in this container, so
-``decode_image`` raises NotImplementedError and the feature extractor uses a
-deterministic fake derived from the payload bytes — the Spark-side plumbing
-(schemas, batching, UDF signatures) is real and tested.
+The actual codecs (ffmpeg/soundfile) are NOT in this container, so the
+feature extractor uses a deterministic fake derived from the payload bytes —
+the Spark-side plumbing (schemas, batching, UDF signatures) is real and
+tested. ``decode_image`` is gated on an optional Pillow import: real decode
+when the codec is present (``HAS_PIL``), a clean NotImplementedError when
+it is not.
 """
 
 from __future__ import annotations
@@ -27,6 +29,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+try:  # optional codec: real image decode when Pillow is installed
+    from PIL import Image as _PILImage
+
+    HAS_PIL = True
+except ImportError:  # pragma: no cover - environment-dependent
+    _PILImage = None
+    HAS_PIL = False
 
 MEDIA_META_SCHEMA = T.StructType(
     [
@@ -48,15 +58,27 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def decode_image(payload: bytes) -> "object":
-    """Real decoder stub — image libraries are not available in this
-    environment. Wire PIL/torchvision here in production."""
-    raise NotImplementedError("image codecs not available in this container")
+    """Decode an image payload via Pillow when available; raise a clean
+    NotImplementedError otherwise (capability flag: ``HAS_PIL``)."""
+    if not HAS_PIL:
+        raise NotImplementedError(
+            "image codecs not available: install Pillow to enable decode_image"
+        )
+    import io
+
+    img = _PILImage.open(io.BytesIO(payload))
+    img.load()
+    return img
 
 
 def _fake_features(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic stand-in for an image/audio embedding: fixed-dim byte
-    histogram projection. Pure function of the payload bytes (numpy —
-    per-byte Python loops are ~50x slower inside the Arrow batch)."""
+    histogram projection in exact integer fixed-point — feature[j] =
+    ((sum of bytes at positions ≡ j mod dim) * 10^6) // total / 10^6.
+    Integer arithmetic end-to-end, so any SQL engine reproduces the values
+    bit-for-bit (the cross-engine verification contract). numpy for the
+    byte sums — per-byte Python loops are ~50x slower inside the Arrow
+    batch."""
     import numpy as np
 
     arr = np.frombuffer(payload, dtype=np.uint8)
@@ -65,10 +87,17 @@ def _fake_features(payload: bytes, dim: int = 8) -> list[float]:
     pad = (-arr.size) % dim
     acc = np.pad(arr, (0, pad)).reshape(-1, dim).sum(axis=0, dtype=np.int64)
     total = max(int(acc.sum()), 1)
-    return [round(float(a) / total, 6) for a in acc]
+    return [(int(a) * 1_000_000 // total) / 1e6 for a in acc]
 
 
 def _entropy(payload: bytes) -> float:
+    """Shannon entropy of the byte histogram, with each -p*log2(p) term
+    rounded to 9 decimals and summed exactly (Decimal) before the final
+    round to 6 — the engine's decimal-summation convention (see
+    `token_entropy`): shuffle/batch order and last-ulp libm differences
+    cannot move the result, so SQL oracles match bit-for-bit."""
+    from decimal import Decimal
+
     import numpy as np
 
     arr = np.frombuffer(payload, dtype=np.uint8)
@@ -76,7 +105,11 @@ def _entropy(payload: bytes) -> float:
         return 0.0
     counts = np.bincount(arr, minlength=256)
     p = counts[counts > 0] / arr.size
-    return round(float(-(p * np.log2(p)).sum()), 6)
+    terms = -(p * np.log2(p))
+    ent = Decimal(0)
+    for t in terms:
+        ent += Decimal(str(round(float(t), 9)))
+    return round(float(ent), 6)
 
 
 def extract_features(

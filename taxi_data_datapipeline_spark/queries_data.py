@@ -354,17 +354,67 @@ def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_features")  # Pandas-UDF path -> rows-only
+@register(
+    "multimodal_features",
+    """
+WITH bytes AS (
+  SELECT doc_id, ascii(substring(text, t.i, 1)) AS b, (t.i - 1) % 8 AS dim
+  FROM documents, UNNEST(range(1, length(text) + 1)) AS t(i)
+), dims AS (
+  SELECT doc_id, dim, SUM(b) AS acc FROM bytes GROUP BY doc_id, dim
+), tot AS (
+  SELECT doc_id, SUM(acc) AS total FROM dims GROUP BY doc_id
+), ff AS (
+  SELECT d.doc_id,
+         string_agg(CAST((acc * 1000000) // total AS VARCHAR), '|'
+                    ORDER BY dim) AS feature_fp
+  FROM dims d JOIN tot ON d.doc_id = tot.doc_id
+  GROUP BY d.doc_id
+), cnt AS (
+  SELECT doc_id, b, COUNT(*) AS c FROM bytes GROUP BY doc_id, b
+), ent AS (
+  SELECT cnt.doc_id,
+         ROUND(CAST(SUM(CAST(ROUND(
+             -(CAST(c AS DOUBLE) / length(d.text))
+               * log2(CAST(c AS DOUBLE) / length(d.text)), 9)
+           AS DECIMAL(28,12))) AS DOUBLE), 6) AS byte_entropy
+  FROM cnt JOIN documents d ON cnt.doc_id = d.doc_id
+  GROUP BY cnt.doc_id
+)
+SELECT ff.doc_id, length(d.text) AS n_bytes, ent.byte_entropy, ff.feature_fp
+FROM ff
+JOIN documents d ON ff.doc_id = d.doc_id
+JOIN ent ON ff.doc_id = ent.doc_id
+""",
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic fake 'decode + feature extract' over binary payloads via
     mapInPandas — exercises the real multimodal plumbing (Arrow batches,
-    binary columns, struct metadata) with a stub decoder."""
+    binary columns, typed feature vectors) with a stub decoder.
+
+    Driver-proof output contract: the float32 feature vector is serialized
+    to a fixed-point string at the query boundary (round(x*10^6) recovers
+    the exact integer the operator computed, float32 error « 0.5), because
+    array-typed columns are unhashable in pandas-based canonicalizers. The
+    oracle recomputes histogram features + decimal-summed entropy from the
+    ASCII payload characters."""
     from taxi_data_datapipeline_spark.operators.multimodal import extract_features
 
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
-    return extract_features(d, payload_col="payload", id_col="doc_id")
+    feats = extract_features(d, payload_col="payload", id_col="doc_id")
+    return feats.select(
+        "doc_id",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "byte_entropy",
+        F.concat_ws(
+            "|",
+            F.transform(
+                "feature", lambda x: F.round(x * F.lit(1_000_000)).cast("long")
+            ),
+        ).alias("feature_fp"),
+    )
 
 
 @register(
@@ -1130,11 +1180,16 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln(freq) vs ln(rank) for the top-100 terms (natural text ~ -1;
     template/spam corpora deviate — a one-number corpus health check).
 
-    Vocabulary counts are one explode+groupBy; ranking is a top-k window
-    over the (small) vocabulary; the regression is the exact-decimal
-    moment-sum pattern of `stats_moments`, so shuffle order cannot move
-    the hash. ln() terms round to 9 before summing (the engines' libm
-    may differ in the last ulp)."""
+    Vocabulary counts are one explode+groupBy; the top-100 is taken with
+    orderBy().limit() — physical plan `TakeOrderedAndProject`, per-partition
+    top-k heaps + a 100-row merge, NOT a global sort (at web-corpus scale
+    the vocabulary is 10^8+ terms; a partition-less ranking window would
+    pull all of it into one partition). Ranks are then assigned by a
+    window over the already-bounded 100-row result (single-partition by
+    construction, so the lit-partition spec is exact). The regression is
+    the exact-decimal moment-sum pattern of `stats_moments`, so shuffle
+    order cannot move the hash. ln() terms round to 9 before summing (the
+    engines' libm may differ in the last ulp)."""
     docs = load(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
     tf = (
@@ -1143,10 +1198,11 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    w = Window.orderBy(F.col("c").desc(), F.col("term"))
+    w = Window.partitionBy(F.lit(0)).orderBy(F.col("c").desc(), F.col("term"))
     top = (
-        tf.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") <= 100)
+        tf.orderBy(F.col("c").desc(), F.col("term"))
+        .limit(100)
+        .withColumn("r", F.row_number().over(w))
         .select(
             F.round(F.log(F.col("r").cast("double")), 9)
             .cast("decimal(28,12)")

@@ -670,22 +670,25 @@ def q_q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "array_agg_nations",
     """
-SELECT r_name, list_sort(list(n_name)) AS nations, COUNT(*) AS n
+SELECT r_name, array_to_string(list_sort(list(n_name)), '|') AS nations,
+       COUNT(*) AS n
 FROM region JOIN nation ON r_regionkey = n_regionkey
 GROUP BY r_name
 """,
 )
 def q_array_agg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation surface: collect_list is order-nondeterministic
-    under shuffle, so results are sort_array'd — the convention that makes
-    array aggs hashable across engines."""
+    under shuffle, so results are sort_array'd, then serialized to a
+    delimited string at the query boundary — array-typed output columns
+    are unhashable in pandas-based canonicalizers, and the sort makes the
+    serialization loss-free across engines."""
     r = load(spark, sf_dir, "region")
     n = load(spark, sf_dir, "nation")
     return (
         r.join(n, F.col("r_regionkey") == F.col("n_regionkey"))
         .groupBy("r_name")
         .agg(
-            F.sort_array(F.collect_list("n_name")).alias("nations"),
+            F.concat_ws("|", F.sort_array(F.collect_list("n_name"))).alias("nations"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -696,7 +699,7 @@ def q_array_agg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT event_type,
        COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events
@@ -717,9 +720,11 @@ def q_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.parse_json("props").alias("v")
     )
     k = F.try_variant_get(F.col("v"), "$.k", "bigint")
+    # DuckDB SUM(BIGINT) widens to HUGEINT; cast BOTH engines to a concrete
+    # bigint so the canonicalized values carry identical types.
     return v.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(k).alias("sum_k"),
+        F.sum(k).cast("long").alias("sum_k"),
         F.min(k).alias("min_k"),
         F.max(k).alias("max_k"),
     )

@@ -41,6 +41,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # Parquet TIMESTAMP(NANOS) columns (events.ts) read as long; set
+        # once here, NOT per-query — a mutable conf.set inside a memoized
+        # loader is a race under multi-threaded bench submission.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -31,12 +31,17 @@ DATETIME_CANDIDATES = [
 LOCATION_CANDIDATES = [
     "pulocationid",
     "pickup_location_id",
+    "pickup_locationid",
     "pickup_location",
     "pickup_zone_id",
     "pickup_zone",
     "origin_location_id",
     "pu_location_id",
     "pu_zone_id",
+    # Reference parity (pivot_utils.find_pickup_location_col): a bare
+    # "location_id" column counts as the pickup location too — without it
+    # such files would degrade to pickup_place='' (ADVICE r1).
+    "location_id",
 ]
 
 LAT_LON_CANDIDATES = [

@@ -7,6 +7,7 @@ from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from taxi_data_datapipeline_spark.operators.multimodal import (
+    HAS_PIL,
     attach_media_meta,
     decode_image,
     extract_features,
@@ -26,9 +27,23 @@ def payloads(spark):
     return spark.createDataFrame(rows)
 
 
-def test_decode_is_stubbed():
+@pytest.mark.skipif(HAS_PIL, reason="Pillow present: decode is real, not gated")
+def test_decode_gated_without_codec():
     with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff")
+
+
+@pytest.mark.skipif(not HAS_PIL, reason="Pillow not installed in this container")
+def test_decode_real_png_when_codec_present():
+    # 1x1 red PNG, generated once with Pillow and inlined as bytes.
+    import base64
+
+    png = base64.b64decode(
+        "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR4nGP4"
+        "z8DwHwAFAAH/q842iQAAAABJRU5ErkJggg=="
+    )
+    img = decode_image(png)
+    assert img.size == (1, 1)
 
 
 def test_extract_features_schema_and_determinism(spark, payloads):

@@ -158,6 +158,50 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     joined.write.format("noop").mode("overwrite").save()
 
 
+def _iter_plan_nodes(jnode):
+    stack = [jnode]
+    while stack:
+        node = stack.pop()
+        yield node
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+
+
+def _subtree_is_bounded(jnode) -> bool:
+    """True if the subtree's row count is bounded by construction: a limit
+    (GlobalLimit/LocalLimit) or an ungrouped aggregate (exactly one row)."""
+    for n in _iter_plan_nodes(jnode):
+        name = n.nodeName()
+        if name in ("GlobalLimit", "LocalLimit"):
+            return True
+        if name == "Aggregate" and n.groupingExpressions().isEmpty():
+            return True
+    return False
+
+
+def test_no_unbounded_global_windows_anywhere(spark):
+    """Scale-killer sweep over EVERY registered batch query: a Window with
+    an empty partition spec pulls the entire input into ONE partition
+    ("Moving all data to a single partition"), which is fatal at 100 TB.
+    A global window is tolerated only when its input is provably bounded
+    (a limit or a 1-row aggregate below it) — e.g. zipf_fit ranks a
+    TakeOrderedAndProject(100) result. Regression lock for VERDICT r1
+    finding #3."""
+    offenders = []
+    for name, fn in QUERIES.items():
+        if name.startswith("streaming_"):
+            continue  # streaming plans have no batch Window ranking
+        plan = fn(spark, SF)._jdf.queryExecution().optimizedPlan()
+        for node in _iter_plan_nodes(plan):
+            if node.nodeName() != "Window":
+                continue
+            if node.partitionSpec().isEmpty() and not _subtree_is_bounded(node):
+                offenders.append(name)
+                break
+    assert not offenders, f"unbounded global windows in: {offenders}"
+
+
 def test_runtime_bloom_filter_prunes_fact_scan(spark):
     """Runtime row-level filtering: a selective dim predicate must inject
     a bloom filter (built from the dim's join keys) into the fact scan's
