@@ -44,17 +44,53 @@ def zorder_key(cols: list[Column | str], bits: int = 16) -> Column:
     return reduce(add, out).alias("zkey")
 
 
+def _as_numeric(df: DataFrame, c: str) -> Column:
+    """Map a column onto a sortable non-negative long for Morton keying:
+    dates/timestamps via their epoch representation, strings/binary via a
+    hash (equal values cluster; order is sacrificed — acceptable for
+    point-lookup/equality-skipping dimensions), numerics as-is."""
+    dt = dict(df.dtypes)[c]
+    col = F.col(c)
+    if dt == "date":
+        return F.unix_date(col)
+    if dt.startswith("timestamp"):
+        return F.unix_micros(col.cast("timestamp"))
+    if dt in ("string", "binary"):
+        return F.abs(F.xxhash64(col))
+    return col.cast("long")
+
+
 def zorder_dataframe(
     df: DataFrame, cols: list[str], n_files: int, bits: int = 16
 ) -> DataFrame:
     """Range-partition by the Morton key and sort within partitions —
     the write-side half of OPTIMIZE ZORDER. Each output file then holds
     a compact k-dimensional tile; combine with a small
-    ``parquet.block.size`` for row-group-level tiles inside files."""
-    key = zorder_key(cols, bits=bits)
+    ``parquet.block.size`` for row-group-level tiles inside files.
+
+    Each dimension is min-max scaled into the full ``bits`` range first
+    (via ONE broadcast 1-row aggregate — no driver collect): without
+    scaling, a narrow domain (e.g. 60 days of unix_date ~ 19,7xx) never
+    reaches the interleaved high bits, and range-splitting the key would
+    degrade to clustering on the widest column only."""
+    numeric = {c: _as_numeric(df, c) for c in cols}
+    stats = df.agg(
+        *[F.min(e).alias(f"_mn_{i}") for i, e in enumerate(numeric.values())],
+        *[F.max(e).alias(f"_mx_{i}") for i, e in enumerate(numeric.values())],
+    )
+    scaled = []
+    top = (1 << bits) - 1
+    for i, e in enumerate(numeric.values()):
+        # Double-space scaling: hash dims reach 2^63, so long multiply
+        # would overflow; tile placement doesn't need exact integer math.
+        mn = F.col(f"_mn_{i}").cast("double")
+        span = F.greatest(F.col(f"_mx_{i}").cast("double") - mn, F.lit(1.0))
+        scaled.append(((e.cast("double") - mn) * top / span).cast("long"))
+    key = zorder_key(scaled, bits=bits)
     return (
-        df.withColumn("_zkey", key)
+        df.join(F.broadcast(stats))
+        .withColumn("_zkey", key)
         .repartitionByRange(n_files, "_zkey")
         .sortWithinPartitions("_zkey")
-        .drop("_zkey")
+        .drop("_zkey", *stats.columns)
     )

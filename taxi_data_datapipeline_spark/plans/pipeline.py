@@ -53,6 +53,11 @@ class PipelineConfig:
     report_path: str | None = None
     report_format: str = "json"  # "json" | "tex"
     partition_output_by: list[str] = field(default_factory=list)
+    # Opt-in multi-dimensional clustering of the output files (OPTIMIZE
+    # ZORDER BY analog): readers filtering on ANY of these columns skip
+    # files/row-groups via parquet min/max stats.
+    zorder_by: list[str] = field(default_factory=list)
+    zorder_files: int = 8
 
 
 @dataclass
@@ -156,6 +161,10 @@ def run_pivot_pipeline(
     trips, ingest_report = normalize_trips(spark, files)
     wide, ingest_obs, having_obs = build_wide_plan(trips, config.min_rides)
 
+    if config.zorder_by:
+        from taxi_data_datapipeline_spark.functions.layout import zorder_dataframe
+
+        wide = zorder_dataframe(wide, config.zorder_by, config.zorder_files)
     writer = wide.write.mode("overwrite")
     if config.partition_output_by:
         writer = writer.partitionBy(*config.partition_output_by)

@@ -135,6 +135,51 @@ def test_partitioned_output_prunes(spark, taxi_dir, tmp_path):
     assert {r.taxi_type for r in back.select("taxi_type").distinct().collect()} == {"yellow"}
 
 
+def test_zorder_output_clusters_both_dimensions(spark, tmp_path):
+    """Opt-in ZORDER BY on the pipeline sink: with 4 output files over a
+    64-date x 64-place grid, every file must cover only a fraction of BOTH
+    dimensions (a single-column sort would give ~full range on the other
+    column) — the property that lets readers skip files via min/max stats
+    on either filter column."""
+    import glob
+
+    base = tmp_path / "taxi_grid"
+    base.mkdir()
+    dates = pd.date_range("2024-01-01", periods=64, freq="D")
+    pdf = pd.DataFrame(
+        {
+            "tpep_pickup_datetime": [d + pd.Timedelta(hours=8) for d in dates for _ in range(64)],
+            "PULocationID": list(range(1, 65)) * 64,
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(pdf),
+        str(base / "yellow_tripdata_2024-01.parquet"),
+        coerce_timestamps="us",
+    )
+
+    out = str(tmp_path / "wide_z.parquet")
+    cfg = PipelineConfig(
+        input_path=str(base),
+        output_path=out,
+        min_rides=1,
+        zorder_by=["date", "pickup_place"],
+        zorder_files=4,
+    )
+    metrics = run_pivot_pipeline(spark, cfg)
+    assert metrics.output_rows == 64 * 64
+
+    files = glob.glob(f"{out}/part-*.parquet")
+    assert len(files) == 4
+    for f in files:
+        part = spark.read.parquet(f)
+        n_dates = part.select("date").distinct().count()
+        n_places = part.select("pickup_place").distinct().count()
+        assert n_dates <= 0.8 * 64, f"{f}: {n_dates} dates (no date clustering)"
+        assert n_places <= 0.8 * 64, f"{f}: {n_places} places (no place clustering)"
+    assert spark.read.parquet(out).count() == 64 * 64
+
+
 def test_corrupt_file_skipped_not_fatal(spark, tmp_path):
     """An unreadable *.parquet is skipped with an error record (reference
     pivot_all_files.py:204-216), never a crash."""
