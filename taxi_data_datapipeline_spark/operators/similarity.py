@@ -141,18 +141,21 @@ def ivf_bucket(vec_col: Column, n_dims: int, n_lists: int = 16) -> Column:
     deterministic seeded hyperplanes (same construction as SRP, argmax
     instead of sign bits). Every vector lands in exactly one list; a query
     probes its own list (optionally top-P lists for recall)."""
-    projs = [
-        F.aggregate(
+    # NOTE: the transform lambda must take exactly ONE parameter — PySpark
+    # inspects the lambda arity, and a second (even defaulted) parameter is
+    # bound to the array-index column, silently replacing the plane id.
+    def _proj(p: int) -> Column:
+        return F.aggregate(
             F.transform(
                 F.sequence(F.lit(0), F.lit(n_dims - 1)),
-                lambda i, p=p: F.element_at(vec_col, (i + 1).cast("int")).cast("double")
+                lambda i: F.element_at(vec_col, (i + 1).cast("int")).cast("double")
                 * _srp_component(p, i),
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        for p in range(n_lists)
-    ]
+
+    projs = [_proj(p) for p in range(n_lists)]
     entries = [
         F.struct(pr.alias("proj"), F.lit(-i).alias("ni"), F.lit(i).alias("idx"))
         for i, pr in enumerate(projs)

@@ -166,10 +166,52 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(load(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10)
 
 
-@register("embedding_lsh_topk")  # ANN recall < 1 by construction -> rows-only
+def _srp_planes_sql(n_planes: int) -> str:
+    """VALUES rows of the precomputed hyperplane components (see
+    functions/srp_constants.py) for oracle-side SRP replication."""
+    from taxi_data_datapipeline_spark.functions.srp_constants import SRP_COMPONENTS
+
+    rows = []
+    for p in range(n_planes):
+        comps = ", ".join(repr(c) for c in SRP_COMPONENTS[p])
+        rows.append(f"({p}, [{comps}]::DOUBLE[])")
+    return ",\n         ".join(rows)
+
+
+@register(
+    "embedding_lsh_topk",
+    f"""
+WITH planes(p, comps) AS (
+  VALUES {_srp_planes_sql(4)}
+), v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+), q AS (SELECT ev AS qv FROM v WHERE vec_id = 0),
+proj AS (
+  SELECT v.vec_id, pl.p, list_dot_product(v.ev, pl.comps) AS pr
+  FROM v CROSS JOIN planes pl
+), buckets AS (
+  SELECT vec_id, SUM(CASE WHEN pr >= 0 THEN 1 << p ELSE 0 END) AS bucket
+  FROM proj GROUP BY vec_id
+), qb AS (SELECT bucket AS qbucket FROM buckets WHERE vec_id = 0)
+SELECT v.vec_id,
+       ROUND(list_dot_product(v.ev, q.qv) /
+             (sqrt(list_dot_product(v.ev, v.ev)) * sqrt(list_dot_product(q.qv, q.qv))),
+             6) AS cosine_sim
+FROM v JOIN buckets b ON v.vec_id = b.vec_id CROSS JOIN q CROSS JOIN qb
+WHERE b.bucket = qb.qbucket
+ORDER BY cosine_sim DESC, v.vec_id
+LIMIT 10
+""",
+)
 def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 via sign-random-projection buckets (4 seeded hyperplanes):
-    scan only the query's bucket (~1/16 of the corpus)."""
+    scan only the query's bucket (~1/16 of the corpus).
+
+    Fully hash-checked despite ANN recall < 1: the hyperplanes are
+    deterministic (xxhash64(plane,dim)/2^63, precomputed constants in
+    functions/srp_constants.py for the oracle side), so the oracle
+    replicates the ALGORITHM — same buckets, same candidates, same
+    top-10 — rather than comparing against exact ground truth."""
     return lsh_topk(
         load(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10, n_planes=4
     )
@@ -472,13 +514,41 @@ def q_distinct_users_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embedding_ivf_topk")  # ANN recall < 1 by construction -> rows-only
+@register(
+    "embedding_ivf_topk",
+    f"""
+WITH planes(p, comps) AS (
+  VALUES {_srp_planes_sql(16)}
+), v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+), q AS (SELECT ev AS qv FROM v WHERE vec_id = 0),
+proj AS (
+  SELECT v.vec_id, pl.p, list_dot_product(v.ev, pl.comps) AS pr
+  FROM v CROSS JOIN planes pl
+), lists AS (
+  SELECT vec_id, p AS lst FROM proj
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY pr DESC, p ASC) = 1
+), ql AS (SELECT lst AS qlist FROM lists WHERE vec_id = 0)
+SELECT v.vec_id,
+       ROUND(list_dot_product(v.ev, q.qv) /
+             (sqrt(list_dot_product(v.ev, v.ev)) * sqrt(list_dot_product(q.qv, q.qv))),
+             6) AS cosine_sim
+FROM v JOIN lists l ON v.vec_id = l.vec_id CROSS JOIN q CROSS JOIN ql
+WHERE l.lst = ql.qlist
+ORDER BY cosine_sim DESC, v.vec_id
+LIMIT 10
+""",
+)
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 via IVF coarse quantization (16 inverted lists from
     seeded-hyperplane argmax): scan only the query's list. The scale
     counterpart of the SRP-LSH variant — both exist because IVF probes
     degrade gracefully (top-P lists) while LSH bits compose into band
-    keys for pair generation."""
+    keys for pair generation.
+
+    Fully hash-checked despite ANN recall < 1: the oracle replicates the
+    deterministic quantizer (precomputed hyperplane constants, argmax with
+    ties to the lower list index) and therefore the exact candidate set."""
     from taxi_data_datapipeline_spark.operators.similarity import ivf_topk
 
     return ivf_topk(

@@ -67,3 +67,50 @@ def test_blas_join_threshold_and_symmetry(spark, vectors):
     out = similarity_join_blas(vectors, block_col="label", threshold=0.2).collect()
     assert all(r.cosine_sim >= 0.2 for r in out)
     assert all(r.id_a < r.id_b for r in out)
+
+
+def test_srp_constants_match_live_derivation(spark):
+    """functions/srp_constants.py (used verbatim by the DuckDB oracles for
+    the LSH/IVF ANN queries) must equal the engine's live
+    xxhash64(plane, dim)/2^63 derivation — drift here would silently turn
+    the oracle into a different algorithm."""
+    from pyspark.sql import functions as F
+
+    from taxi_data_datapipeline_spark.functions.srp_constants import SRP_COMPONENTS
+
+    live = (
+        spark.range(16)
+        .withColumnRenamed("id", "p")
+        .crossJoin(spark.range(64).withColumnRenamed("id", "d"))
+        .select(
+            "p",
+            "d",
+            (
+                F.xxhash64(F.col("p").cast("int"), F.col("d").cast("int")).cast("double")
+                / F.lit(float(2**63))
+            ).alias("c"),
+        )
+        .collect()
+    )
+    for r in live:
+        assert SRP_COMPONENTS[r["p"]][r["d"]] == r["c"], (r["p"], r["d"])
+
+
+def test_ivf_lists_actually_spread(spark, vectors):
+    """Regression for the transform-lambda arity bug: a two-parameter
+    lambda got the array INDEX bound to the plane id, collapsing every
+    projection to the same value and every vector into list 0 (IVF then
+    scans the whole corpus). The quantizer must spread vectors over many
+    lists."""
+    from pyspark.sql import functions as F
+
+    from taxi_data_datapipeline_spark.operators.similarity import ivf_bucket
+
+    dims = len(vectors.first()["embedding"])
+    lists = (
+        vectors.withColumn("lst", ivf_bucket(F.col("embedding"), dims, 16))
+        .select("lst")
+        .distinct()
+        .count()
+    )
+    assert lists >= 8, f"only {lists} distinct IVF lists — quantizer collapsed"
