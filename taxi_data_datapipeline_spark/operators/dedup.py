@@ -287,12 +287,25 @@ def simhash(text: Column, ngram: int = 1, bits: int = 64) -> Column:
     return out
 
 
+def _feature_hash(col: Column, hash_fn: str) -> tuple[Column, int]:
+    """Per-feature 64/60-bit hash. ``xxhash64`` is the production path
+    (one JVM intrinsic per shingle); ``md5_60`` (first 15 hex chars of
+    md5 as a bigint) is slower but PORTABLE — any engine with md5 can
+    reproduce the fingerprints bit-for-bit, enabling full cross-engine
+    verification of the simhash pipeline."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col), 64
+    if hash_fn == "md5_60":
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long"), 60
+    raise ValueError(f"unknown hash_fn: {hash_fn}")
+
+
 def simhash_table(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     ngram: int = 3,
-    bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, simhash) via explode + hash-aggregate — the codegen-friendly
     formulation: higher-order array functions are interpreted in Spark, so
@@ -300,10 +313,11 @@ def simhash_table(
     expression interpreter; exploding shingles and summing 64 `getbit`
     columns keeps the whole pipeline in whole-stage codegen with map-side
     partial aggregation (shuffle = 65 longs per doc per partition)."""
+    h, bits = _feature_hash(F.col("gram"), hash_fn)
     feats = df.select(
         F.col(id_col).alias("_id"),
         F.explode(ngram_shingles(F.col(text_col), ngram)).alias("gram"),
-    ).select("_id", F.xxhash64("gram").alias("h"))
+    ).select("_id", h.alias("h"))
     aggs = [F.sum(F.getbit("h", F.lit(b))).alias(f"c{b}") for b in range(bits)] + [
         F.count("*").alias("n")
     ]
@@ -324,6 +338,7 @@ def simhash_dedup(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     prefix_bits: int = 16,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: bucket on the top ``prefix_bits`` bits
     (cheap LSH), verify Hamming distance <= max_hamming inside buckets.
@@ -332,8 +347,9 @@ def simhash_dedup(
     recall; one prefix bucket keeps the demo plan simple and is noted as
     the recall/cost dial.
     """
-    s = simhash_table(df, text_col=text_col, id_col=id_col, ngram=3)
-    s = s.withColumn("bucket", F.shiftright("sh", 64 - prefix_bits))
+    _, bits = _feature_hash(F.lit(""), hash_fn)
+    s = simhash_table(df, text_col=text_col, id_col=id_col, ngram=3, hash_fn=hash_fn)
+    s = s.withColumn("bucket", F.shiftright("sh", bits - prefix_bits))
     a, b = s.alias("a"), s.alias("b")
     ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
     return (

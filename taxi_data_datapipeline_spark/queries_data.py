@@ -130,8 +130,43 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates (hamming <= 3 within 16-bit prefix
     buckets). Fingerprint bits derive from xxhash64 — no cross-engine
     oracle; correctness is unit-tested (identical/near docs -> close
-    fingerprints)."""
+    fingerprints) AND the full pipeline is hash-verified through the
+    portable-hash twin `simhash_pairs_checked`."""
     return simhash_dedup(load(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@register(
+    "simhash_pairs_checked",
+    f"""
+WITH g AS (
+  SELECT doc_id, unnest({_SQL_GRAMS}) AS gram FROM documents
+), h AS (
+  SELECT doc_id, CAST(('0x' || substring(md5(gram), 1, 15)) AS BIGINT) AS hv FROM g
+), bitc AS (
+  SELECT doc_id, b.b AS b, SUM((hv >> b.b) & 1) AS c, COUNT(*) AS n
+  FROM h, UNNEST(generate_series(0, 59)) AS b(b)
+  GROUP BY doc_id, b.b
+), fp AS (
+  SELECT doc_id,
+         SUM(CASE WHEN c * 2 > n THEN (1::BIGINT << b) ELSE 0 END) AS sh
+  FROM bitc GROUP BY doc_id
+), bk AS (SELECT doc_id, sh, sh >> 44 AS bucket FROM fp)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+""",
+)
+def q_simhash_pairs_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The simhash near-dup pipeline under FULL hash verification: same
+    shingling, same bit-vote fingerprinting, same prefix-bucket + Hamming
+    filter as `simhash_pairs`, but per-shingle hashes come from a portable
+    60-bit md5 derivation (first 15 hex chars as a bigint) that any engine
+    reproduces — proving the ALGORITHM end-to-end, while the xxhash64
+    production path keeps the cheap JVM-intrinsic hashing at scale."""
+    return simhash_dedup(
+        load(spark, sf_dir, "documents"), max_hamming=3, hash_fn="md5_60"
+    )
 
 
 # --- similarity search --------------------------------------------------------
