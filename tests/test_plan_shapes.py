@@ -158,28 +158,6 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     joined.write.format("noop").mode("overwrite").save()
 
 
-def _iter_plan_nodes(jnode):
-    stack = [jnode]
-    while stack:
-        node = stack.pop()
-        yield node
-        children = node.children()
-        for i in range(children.size()):
-            stack.append(children.apply(i))
-
-
-def _subtree_is_bounded(jnode) -> bool:
-    """True if the subtree's row count is bounded by construction: a limit
-    (GlobalLimit/LocalLimit) or an ungrouped aggregate (exactly one row)."""
-    for n in _iter_plan_nodes(jnode):
-        name = n.nodeName()
-        if name in ("GlobalLimit", "LocalLimit"):
-            return True
-        if name == "Aggregate" and n.groupingExpressions().isEmpty():
-            return True
-    return False
-
-
 def test_no_unbounded_global_windows_anywhere(spark):
     """Scale-killer sweep over EVERY registered batch query: a Window with
     an empty partition spec pulls the entire input into ONE partition
@@ -188,17 +166,14 @@ def test_no_unbounded_global_windows_anywhere(spark):
     (a limit or a 1-row aggregate below it) — e.g. zipf_fit ranks a
     TakeOrderedAndProject(100) result. Regression lock for VERDICT r1
     finding #3."""
+    from taxi_data_datapipeline_spark.plans.audit import unbounded_global_windows
+
     offenders = []
     for name, fn in QUERIES.items():
         if name.startswith("streaming_"):
             continue  # streaming plans have no batch Window ranking
-        plan = fn(spark, SF)._jdf.queryExecution().optimizedPlan()
-        for node in _iter_plan_nodes(plan):
-            if node.nodeName() != "Window":
-                continue
-            if node.partitionSpec().isEmpty() and not _subtree_is_bounded(node):
-                offenders.append(name)
-                break
+        if unbounded_global_windows(fn(spark, SF)):
+            offenders.append(name)
     assert not offenders, f"unbounded global windows in: {offenders}"
 
 
