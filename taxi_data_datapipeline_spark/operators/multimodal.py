@@ -95,8 +95,12 @@ def _entropy(payload: bytes) -> float:
     rounded to 9 decimals and summed exactly (Decimal) before the final
     round to 6 — the engine's decimal-summation convention (see
     `token_entropy`): shuffle/batch order and last-ulp libm differences
-    cannot move the result, so SQL oracles match bit-for-bit."""
-    from decimal import Decimal
+    cannot move the result, so SQL oracles match bit-for-bit. The FINAL
+    round also happens in the decimal domain (quantize half-up, matching
+    SQL ROUND on DECIMAL): rounding the double instead flips at exact
+    .5e-6 boundaries — e.g. a sum of 4.1406975 rounds down as a double
+    (its nearest double sits below the boundary) but up as a decimal."""
+    from decimal import ROUND_HALF_UP, Decimal
 
     import numpy as np
 
@@ -109,7 +113,7 @@ def _entropy(payload: bytes) -> float:
     ent = Decimal(0)
     for t in terms:
         ent += Decimal(str(round(float(t), 9)))
-    return round(float(ent), 6)
+    return float(ent.quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP))
 
 
 def extract_features(

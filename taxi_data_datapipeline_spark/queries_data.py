@@ -451,10 +451,10 @@ WITH bytes AS (
   SELECT doc_id, b, COUNT(*) AS c FROM bytes GROUP BY doc_id, b
 ), ent AS (
   SELECT cnt.doc_id,
-         ROUND(CAST(SUM(CAST(ROUND(
+         CAST(ROUND(SUM(CAST(ROUND(
              -(CAST(c AS DOUBLE) / length(d.text))
                * log2(CAST(c AS DOUBLE) / length(d.text)), 9)
-           AS DECIMAL(28,12))) AS DOUBLE), 6) AS byte_entropy
+           AS DECIMAL(28,12))), 6) AS DOUBLE) AS byte_entropy
   FROM cnt JOIN documents d ON cnt.doc_id = d.doc_id
   GROUP BY cnt.doc_id
 )
@@ -1428,10 +1428,10 @@ WITH bytes AS (
   SELECT doc_id, b, COUNT(*) AS c FROM bytes GROUP BY doc_id, b
 ), ent AS (
   SELECT cnt.doc_id,
-         ROUND(CAST(SUM(CAST(ROUND(
+         CAST(ROUND(SUM(CAST(ROUND(
              -(CAST(c AS DOUBLE) / length(d.text))
                * log2(CAST(c AS DOUBLE) / length(d.text)), 9)
-           AS DECIMAL(28,12))) AS DOUBLE), 6) AS byte_entropy
+           AS DECIMAL(28,12))), 6) AS DOUBLE) AS byte_entropy
   FROM cnt JOIN documents d ON cnt.doc_id = d.doc_id
   GROUP BY cnt.doc_id
 )
@@ -1455,7 +1455,7 @@ def q_multimodal_features_checked(spark: SparkSession, sf_dir: str) -> DataFrame
     batch path byte-for-byte against SQL."""
     import math
     from collections.abc import Iterator
-    from decimal import Decimal
+    from decimal import ROUND_HALF_UP, Decimal
 
     import pandas as pd
 
@@ -1473,7 +1473,10 @@ def q_multimodal_features_checked(spark: SparkSession, sf_dir: str) -> DataFrame
         for c in counts.values():
             p = c / n
             ent += Decimal(str(round(-p * math.log2(p), 9)))
-        return n, ff, round(float(ent), 6)
+        # final round in the DECIMAL domain (half-up, = SQL ROUND on
+        # DECIMAL) — rounding the double flips at exact .5e-6 boundaries
+        ent6 = ent.quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        return n, ff, float(ent6)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
