@@ -41,6 +41,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-files", type=int, default=None)
     p.add_argument("--name-filter", default="tripdata")
     p.add_argument("--partition-output-by", nargs="*", default=[])
+    p.add_argument(
+        "--zorder-by",
+        nargs="*",
+        default=[],
+        help="cluster output files by these columns (Morton/Z-order layout; "
+        "readers skip files via min/max stats on ANY listed column)",
+    )
+    p.add_argument("--zorder-files", type=int, default=8)
     return p
 
 
@@ -67,6 +75,8 @@ def main(argv: list[str] | None = None) -> int:
         report_path=args.report,
         report_format="tex" if str(args.report).endswith(".tex") else "json",
         partition_output_by=list(args.partition_output_by),
+        zorder_by=list(args.zorder_by),
+        zorder_files=args.zorder_files,
     )
     metrics = run_pivot_pipeline(spark, cfg)
     print(json.dumps(asdict(metrics)))

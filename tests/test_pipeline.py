@@ -238,3 +238,25 @@ def test_report_tex_render():
     assert tex.startswith("\\begin{itemize}")
     assert "\\item input rows: 10" in tex
     assert tex.rstrip().endswith("\\end{itemize}")
+
+
+def test_cli_zorder_flag(spark, taxi_dir, tmp_path, capsys):
+    """--zorder-by flows through the CLI into the clustered write path."""
+    from taxi_data_datapipeline_spark.__main__ import main
+
+    out_dir = str(tmp_path / "cli_z")
+    rc = main(
+        [
+            "--input-dir", taxi_dir,
+            "--output-dir", out_dir,
+            "--min-rides", "1",
+            "--report", str(tmp_path / "r.json"),
+            "--zorder-by", "date", "pickup_place",
+            "--zorder-files", "2",
+        ]
+    )
+    assert rc == 0
+    printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert printed["output_rows"] > 0
+    back = spark.read.parquet(f"{out_dir}/wide_table.parquet")
+    assert back.count() == printed["output_rows"]
