@@ -103,7 +103,7 @@ def q_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessionize_events",
     """
 WITH flagged AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    > INTERVAL 30 MINUTE OR
                    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -111,7 +111,7 @@ WITH flagged AS (
   FROM events),
 sess AS (
   SELECT user_id, ts,
-         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS UNBOUNDED PRECEDING) AS session_id
   FROM flagged)
 SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
@@ -123,12 +123,20 @@ GROUP BY user_id, session_id
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity): lag -> new-session flag
     -> running sum = session id -> per-session aggregate. One shuffle on
-    user_id serves both windows AND the final groupBy (same key)."""
+    user_id serves both windows AND the final groupBy (same key).
+
+    Both windows order by (ts, event_id): with a tie-broken total order
+    the lag flags and the running sum see the SAME row sequence, so the
+    session assignment is deterministic and engine-independent. Ordering
+    the running sum by ts alone leaves rows with equal ts in ambiguous
+    order — a tie-group whose new-session flag sits on a row the engine
+    happens to place last would split the session differently per engine
+    (the r2 driver hash mismatch)."""
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
     wrun = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy(F.col("ts"), F.col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     prev = F.lag("ts").over(w)
