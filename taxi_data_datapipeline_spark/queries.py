@@ -68,8 +68,17 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
             spark.conf.set(key, "true")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     for c in nanos_cols:
-        if dict(df.dtypes).get(c) == "bigint":
+        dtype = dict(df.dtypes).get(c)
+        if dtype == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} DIV 1000")))
+        elif dtype == "timestamp_ntz":
+            # Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) infers as
+            # TIMESTAMP_NTZ under Spark 4. Normalize to the session-zoned
+            # TIMESTAMP the rest of the engine (watermarks, interval
+            # arithmetic, the DuckDB oracle comparison under the UTC
+            # session) is written against; with a UTC session the cast is
+            # a wall-clock identity.
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     _LOAD_CACHE[key] = df
     return df
 

@@ -142,7 +142,7 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = F.lag("ts").over(w)
     new_s = (
         prev.isNull()
-        | (F.col("ts").cast("double") - prev.cast("double") > 30 * 60)
+        | ((F.col("ts") - prev) > F.expr("INTERVAL 30 MINUTE"))
     ).cast("long")
     return (
         ev.select("user_id", "ts", "event_id")
@@ -161,7 +161,7 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_window_native",
     """
 WITH flagged AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                 OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                      >= INTERVAL 30 MINUTE
@@ -169,7 +169,7 @@ WITH flagged AS (
   FROM events),
 sess AS (
   SELECT user_id, ts,
-         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS UNBOUNDED PRECEDING) AS session_id
   FROM flagged)
 SELECT user_id, MIN(ts) AS session_start,
@@ -331,6 +331,29 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 _stream_counter = itertools.count()
 
 
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream source over the events table with the same timestamp
+    normalization ladder as the batch ``load()``: TIMESTAMP(NANOS) parquet
+    reads as long (nanosAsLong) and floors to micros; plain
+    TIMESTAMP(MICROS) without UTC adjustment infers as TIMESTAMP_NTZ under
+    Spark 4 and is cast to the session-zoned TIMESTAMP that watermarks
+    require. Glob form: the file-stream source needs a directory basePath,
+    which it infers from the non-glob path prefix."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{sf_dir}/events*.parquet")
+    )
+    dtype = dict(raw.dtypes).get("ts")
+    if dtype == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif dtype == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
+
+
 @register(
     "streaming_hourly_counts",
     """
@@ -349,17 +372,7 @@ def q_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     equals the batch GROUP BY, which is the oracle. events.ts is stored as
     TIMESTAMP(NANOS), so the stream reads it as long and floors to
     microseconds exactly like the batch loader."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # Glob form: the file-stream source requires a directory basePath, which
-    # it infers from the non-glob path prefix.
-    raw = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(f"{sf_dir}/events*.parquet")
-    )
-    if dict(raw.dtypes).get("ts") == "bigint":
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    raw = _stream_events(spark, sf_dir)
     agg = (
         raw.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -1362,15 +1375,7 @@ def q_streaming_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is the oracle — the overlap Expand and the windowed state
     store both happen incrementally per micro-batch, state bounded by
     watermark horizon x 4 open windows per slide."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    raw = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(f"{sf_dir}/events*.parquet")
-    )
-    if dict(raw.dtypes).get("ts") == "bigint":
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    raw = _stream_events(spark, sf_dir)
     agg = (
         raw.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
@@ -1421,15 +1426,7 @@ def q_streaming_cdc_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-ranking the log). Over static input it equals the batch oracle.
     This is the materialized-view form of MERGE: downstream readers see
     the current row per key at every trigger."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    raw = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(f"{sf_dir}/events*.parquet")
-    )
-    if dict(raw.dtypes).get("ts") == "bigint":
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    raw = _stream_events(spark, sf_dir)
     latest = raw.groupBy("user_id").agg(
         F.max(F.struct("ts", "event_id", "event_type", "value")).alias("s")
     )
@@ -1656,7 +1653,7 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_session_windows",
     """
 WITH flagged AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                 OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                      >= INTERVAL 30 MINUTE
@@ -1664,7 +1661,7 @@ WITH flagged AS (
   FROM events),
 sess AS (
   SELECT user_id, ts,
-         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS UNBOUNDED PRECEDING) AS session_id
   FROM flagged)
 SELECT user_id, MIN(ts) AS session_start,
@@ -1682,15 +1679,7 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream == batch over static input, completing the sessionization
     ladder (manual windows, batch built-in, applyInPandasWithState,
     transformWithState, and now the built-in under streaming)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    raw = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(f"{sf_dir}/events*.parquet")
-    )
-    if dict(raw.dtypes).get("ts") == "bigint":
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    raw = _stream_events(spark, sf_dir)
     agg = (
         raw.withWatermark("ts", "2 hours")
         .groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
@@ -1905,15 +1894,7 @@ def q_streaming_dim_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     same plain SQL the salted batch variant (`skew_join_salted`)
     verifies against, proving batch, salted-batch, and streaming
     formulations all agree."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    raw = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(f"{sf_dir}/events*.parquet")
-    )
-    if dict(raw.dtypes).get("ts") == "bigint":
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    raw = _stream_events(spark, sf_dir)
     dim = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     agg = (
         raw.join(F.broadcast(dim), raw.user_id == dim.c_custkey)

@@ -45,6 +45,14 @@ def get_spark(
         # once here, NOT per-query — a mutable conf.set inside a memoized
         # loader is a race under multi-threaded bench submission.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Range-exchange bounds (global sort, repartitionByRange — the
+        # z-order write path) come from a per-partition reservoir sample
+        # whose seed shifts with the RDD id, so the default 100-row sample
+        # makes file-level clustering quality run-to-run noisy on small
+        # inputs. 2000/partition keeps bounds tight; driver cost is
+        # 2000 x numPartitions keys (~160 MB at 10k partitions), fine for
+        # the sizes range exchanges see here.
+        .config("spark.sql.execution.rangeExchange.sampleSizePerPartition", "2000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
