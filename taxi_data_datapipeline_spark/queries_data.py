@@ -1582,3 +1582,144 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chars_saved"),
         )
     )
+
+
+@register(
+    "fuzzy_match_blocked",
+    """
+WITH p AS (SELECT p_partkey, p_name, p_brand, p_size FROM part)
+SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+       levenshtein(a.p_name, b.p_name) AS dist
+FROM p a JOIN p b
+  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+ AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 4
+""",
+)
+def q_fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy string matching (record linkage): candidate pairs are
+    generated only inside cheap blocking keys (brand, size), then verified
+    with Wagner-Fischer edit distance — the classic blocking-then-verify
+    shape that keeps the O(n^2) comparison local to blocks. Spark
+    `levenshtein` and DuckDB `levenshtein` implement the same unit-cost
+    edit distance, so the verification tier is fully oracle-checked. At
+    100 TB the equi-join on the blocking key is an ordinary hash shuffle;
+    block size bounds the quadratic term (monitor max block population the
+    same way the LSH tier caps hot buckets)."""
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand", "p_size")
+    a, b = p.alias("a"), p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_size") == F.col("b.p_size"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.p_partkey").alias("part_a"),
+            F.col("b.p_partkey").alias("part_b"),
+            dist.alias("dist"),
+        )
+        .filter(F.col("dist") <= 4)
+    )
+
+
+@register(
+    "temperature_mix",
+    """
+WITH s AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
+  FROM documents GROUP BY source
+), t AS (
+  SELECT source, n_docs, n_chars,
+         CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER () AS raw_share,
+         POWER(CAST(n_docs AS DOUBLE), 0.7)
+           / SUM(POWER(CAST(n_docs AS DOUBLE), 0.7)) OVER () AS temp_share
+  FROM s
+)
+SELECT source, n_docs, n_chars,
+       ROUND(raw_share, 6) AS raw_share,
+       ROUND(temp_share, 6) AS temp_share,
+       ROUND(temp_share / raw_share, 6) AS upsample
+FROM t
+""",
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture reweighting — the corpus-mixing step of
+    LLM pretraining (sampling share proportional to n^alpha, alpha=0.7,
+    flattens the source distribution so small high-quality sources are
+    upsampled). One groupBy to per-source counts, then the normalizing
+    sums arrive via a broadcast 1-row aggregate (the scalar-broadcast
+    pattern — no windowed SUM() OVER () over an unpartitioned frame, which
+    would single-partition at scale; the per-source table is small but the
+    plan shape stays scale-safe)."""
+    d = load(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("n_chars")
+    )
+    tot = s.agg(
+        F.sum("n_docs").cast("double").alias("_tot_n"),
+        F.sum(F.pow(F.col("n_docs").cast("double"), F.lit(0.7))).alias("_tot_p"),
+    )
+    raw_share = F.col("n_docs").cast("double") / F.col("_tot_n")
+    temp_share = F.pow(F.col("n_docs").cast("double"), F.lit(0.7)) / F.col("_tot_p")
+    return (
+        s.join(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_chars",
+            F.round(raw_share, 6).alias("raw_share"),
+            F.round(temp_share, 6).alias("temp_share"),
+            F.round(temp_share / raw_share, 6).alias("upsample"),
+        )
+    )
+
+
+@register(
+    "decayed_event_score",
+    """
+WITH mx AS (SELECT MAX(ts) AS tmax FROM events),
+terms AS (
+  SELECT e.user_id,
+         CAST(ROUND(e.value * EXP(-(EPOCH(mx.tmax) - EPOCH(e.ts)) / 604800.0), 9)
+              AS DECIMAL(28,12)) AS term
+  FROM events e CROSS JOIN mx
+  WHERE e.event_type = 'purchase'
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(term) AS DOUBLE), 6) AS decayed_score
+FROM terms
+GROUP BY user_id
+""",
+)
+def q_decayed_event_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed engagement score (half-life style
+    weighting, tau = 7 days against the corpus max timestamp) — the
+    recency-weighted aggregate behind freshness-aware sampling and user
+    scoring. The anchor MAX(ts) arrives as a broadcast 1-row aggregate;
+    each term is rounded then summed as DECIMAL so the float reduction is
+    order-independent across partitions (the engine's cross-engine float
+    convention). Single shuffle on user_id with map-side partial sums."""
+    ev = load(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("_tmax"))
+    # cast(timestamp as double) = fractional epoch seconds, matching
+    # DuckDB EPOCH(ts) including the microsecond component (unix_timestamp
+    # would truncate to whole seconds and diverge).
+    decay = F.exp(
+        -(F.col("_tmax").cast("double") - F.col("ts").cast("double"))
+        / F.lit(604800.0)
+    )
+    term = F.round(F.col("value") * decay, 9).cast("decimal(28,12)")
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(mx))
+        .select("user_id", term.alias("term"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("term").cast("double"), 6).alias("decayed_score"),
+        )
+    )
