@@ -9,13 +9,14 @@ which for dedup graphs (tight cliques + chains of a few hops) is small.
 Scale shape: each round is one join edges-to-labels + one min-aggregate —
 both shuffles on the node id. Label state is checkpoint-truncated
 (``localCheckpoint``) so the lineage doesn't grow with iterations — the
-classic Spark iterative-algorithm pattern. Convergence check is a cheap
-count of changed labels per round.
+classic Spark iterative-algorithm pattern. The convergence check rides
+the checkpoint job as an ``Observation`` metric, so each round costs
+exactly one job and only a scalar ever reaches the driver.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -61,8 +62,14 @@ def connected_components(
                 )).cast("long").alias("_changed"),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = new_labels.agg(F.sum("_changed")).collect()[0][0] or 0
+        # Piggyback the convergence metric on the checkpoint job itself
+        # (Observation fires when the eager materialization runs) — one
+        # Spark job per round instead of checkpoint + separate agg.
+        obs = Observation()
+        new_labels = new_labels.observe(
+            obs, F.sum("_changed").alias("chg")
+        ).localCheckpoint(eager=True)
+        changed = obs.get["chg"] or 0
         labels = new_labels.drop("_changed")
         if changed == 0:
             break

@@ -14,6 +14,7 @@ it). Conventions that keep the value-hash comparison honest:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -42,6 +43,34 @@ def register(name: str, oracle: str | None = None):
 _NANOS_TS_COLS = {"events": ["ts"]}
 
 
+# Parquet splits at row-group granularity, so a table written as one file
+# with one row group scans as ONE partition no matter how maxPartitionBytes
+# is tuned — and every map-side stage above it (explodes, multi-distinct
+# Expands, shingle hashing) runs on a single core. When the scan yields
+# fewer splits than the session's parallelism and the file is big enough
+# for per-row work to matter, fan out with a round-robin repartition: the
+# shuffle moves only the pruned columns (Catalyst pushes Project/Filter
+# below a Repartition), costs ~milliseconds at these sizes, and unlocks
+# every core above it. At production scale inputs arrive as many files /
+# many row groups, the partition count exceeds parallelism, and this
+# no-ops — it is specifically the unsplittable-input remedy (same fix you
+# would apply to a lone gzip shard or a single giant row group).
+_FANOUT_MIN_BYTES = 512 * 1024
+
+
+def _fan_out_narrow_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    try:
+        nbytes = os.path.getsize(path)
+    except OSError:
+        return df  # non-local path (s3a etc.) — splits are the store's job
+    if nbytes < _FANOUT_MIN_BYTES:
+        return df
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 # Memoized source DataFrames: a DataFrame is an immutable logical plan, so
 # reusing one per (app, sf_dir, table) is safe and skips the parquet footer
 # listing + schema read that spark.read.parquet pays on every call — across
@@ -66,7 +95,9 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         key = "spark.sql.legacy.parquet.nanosAsLong"
         if spark.conf.get(key, "false") != "true":
             spark.conf.set(key, "true")
-    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    path = f"{sf_dir}/{table}.parquet"
+    df = spark.read.parquet(path)
+    df = _fan_out_narrow_scan(spark, df, path)
     for c in nanos_cols:
         dtype = dict(df.dtypes).get(c)
         if dtype == "bigint":

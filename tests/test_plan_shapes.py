@@ -19,6 +19,24 @@ def plan_of(spark, name: str) -> str:
     )
 
 
+def semantic_shuffles(plan: str) -> int:
+    """Count key shuffles (hash/range/single-partition exchanges). The
+    round-robin scan fan-out `load()` inserts over unsplittable local
+    files is deliberately excluded: it carries no grouping semantics and
+    disappears at production scale where inputs arrive pre-split."""
+    import re
+
+    # Formatted plans carry the distribution in the node's Arguments line;
+    # only (shuffle) Exchange nodes have these three. BroadcastExchange
+    # shows *BroadcastMode and the fan-out shows roundrobinpartitioning —
+    # neither matches.
+    return len(
+        re.findall(
+            r"Arguments: (?:hashpartitioning|rangepartitioning|SinglePartition)", plan
+        )
+    )
+
+
 def test_scan_prunes_columns_and_pushes_nullfilter(spark):
     plan = plan_of(spark, "hourly_pivot")
     assert "PushedFilters: [IsNotNull(ts)]" in plan
@@ -54,9 +72,10 @@ def test_pivot_is_single_shuffle_conditional_agg(spark):
     import re
 
     plan = plan_of(spark, "hourly_pivot")
-    # Conditional aggregation over the explicit hour domain: ONE exchange
-    # (a .pivot() formulation would regroup twice), with map-side partials.
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    # Conditional aggregation over the explicit hour domain: ONE key
+    # shuffle (a .pivot() formulation would regroup twice), with map-side
+    # partials.
+    assert semantic_shuffles(plan) == 1
     assert "partial_count" in plan  # map-side combine before the shuffle
 
 
@@ -89,12 +108,12 @@ def test_single_shuffle_operators(spark, name):
     (union-marker), sessionization (shared window + groupBy key), the
     conditional-aggregate pivot, struct-max compaction/OHLC,
     literal-centroid k-means assignment, the sliding-window Expand, and
-    histogram binning. A second Exchange appearing here is a scale
-    regression, not a style choice."""
-    import re
+    histogram binning. A second KEY shuffle appearing here is a scale
+    regression, not a style choice (the round-robin scan fan-out is not
+    one — see semantic_shuffles)."""
 
     plan = plan_of(spark, name)
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert semantic_shuffles(plan) == 1
 
 
 def test_q19_disjunction_keeps_broadcast_join(spark):
