@@ -1916,3 +1916,189 @@ def q_streaming_dim_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# --- Markov transition matrix -------------------------------------------------
+
+
+@register(
+    "markov_transitions",
+    """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events)
+SELECT from_type, to_type, COUNT(*) AS n,
+       ROUND(CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY from_type), 6) AS prob
+FROM seq WHERE to_type IS NOT NULL
+GROUP BY from_type, to_type
+""",
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences
+    — the behavioral model behind next-action prediction and anomalous-
+    session scoring. lead() inside each user's timeline (ordered by ts
+    with event_id tie-break) pairs each event with its successor; one
+    groupBy counts the (from, to) cells.
+
+    The row-normalizing SUM runs as a window over the already-aggregated
+    k x k matrix (25 cells here), partitioned by from_type — the
+    windows-over-aggregates shape that shuffles aggregate-sized rows,
+    never raw events. The per-user lead() shuffles once on user_id; at
+    100 TB that is the same exchange sessionization pays and partitions
+    uniformly (user_id is high-cardinality).
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    cells = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    wrow = Window.partitionBy("from_type")
+    return cells.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wrow), 6).alias("prob"),
+    )
+
+
+# --- SCD type-2 history build -------------------------------------------------
+
+
+@register(
+    "scd2_history",
+    """
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+runs AS (
+  SELECT user_id, event_type, ts,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run_id
+  FROM seq),
+collapsed AS (
+  SELECT user_id, run_id, event_type,
+         MIN(ts) AS valid_from, COUNT(*) AS n_events
+  FROM runs GROUP BY user_id, run_id, event_type)
+SELECT user_id, CAST(run_id AS BIGINT) AS version, event_type,
+       valid_from,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) AS valid_to,
+       n_events,
+       CAST(CASE WHEN LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+                 IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_current
+FROM collapsed
+""",
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: collapse each user's event
+    stream into versioned state intervals (gaps-and-islands). A change
+    flag fires when the state differs from its predecessor (null-safe so
+    the first row of every user starts run 0 without a special case), a
+    running sum numbers the runs, a groupBy collapses each run to its
+    first timestamp, and lead() closes each interval with the next run's
+    start — the standard half-open [valid_from, valid_to) convention with
+    NULL valid_to marking the current row.
+
+    All three windows and the groupBy share the user_id partitioning, so
+    Spark plans ONE exchange on user_id and keeps the sorts local (the
+    second window's (user_id, run_id) ordering is a prefix-compatible
+    local re-sort, and the collapsed table is runs-sized, not
+    events-sized). That single-shuffle property is what makes the build
+    viable on a 100 TB event log.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type"))
+    ).cast("int")
+    runs = ev.select(
+        "user_id", "event_type", "ts",
+        F.sum(chg).over(w).alias("run_id"),
+    )
+    collapsed = runs.groupBy("user_id", "run_id", "event_type").agg(
+        F.min("ts").alias("valid_from"), F.count(F.lit(1)).alias("n_events")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("run_id")
+    valid_to = F.lead("valid_from").over(w2)
+    return collapsed.select(
+        "user_id",
+        F.col("run_id").cast("long").alias("version"),
+        "event_type",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        "n_events",
+        valid_to.isNull().cast("int").alias("is_current"),
+    )
+
+
+# --- linear regression via exact sufficient statistics ------------------------
+
+
+@register(
+    "regr_fit",
+    """
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity * 100 AS DECIMAL(38,0))) AS DOUBLE) / 100 AS sx,
+         CAST(SUM(CAST(l_extendedprice * 100 AS DECIMAL(38,0))) AS DOUBLE) / 100 AS sy,
+         CAST(SUM(CAST(l_quantity * l_quantity * 10000 AS DECIMAL(38,0))) AS DOUBLE)
+           / 10000 AS sxx,
+         CAST(SUM(CAST(l_quantity * l_extendedprice * 10000 AS DECIMAL(38,0))) AS DOUBLE)
+           / 10000 AS sxy,
+         CAST(SUM(CAST(l_extendedprice * l_extendedprice * 10000 AS DECIMAL(38,0))) AS DOUBLE)
+           / 10000 AS syy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, n,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         AS intercept,
+       ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM s
+""",
+)
+def q_regr_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinary-least-squares fit of extendedprice against quantity per
+    return flag, from exact sufficient statistics: the five sums (Sx, Sy,
+    Sxx, Sxy, Syy) are accumulated as scale-0 DECIMALs (inputs have <= 2
+    decimal places, so x*100 and cross-products*10000 are integers that
+    the double products represent exactly), making the reduction
+    order-independent; slope/intercept/R^2 are then closed-form doubles
+    computed with the identical IEEE expression on both engines. Only
+    scale-0 decimals are converted to double (a scale>0 conversion
+    differs across engines by ulps — engine parity convention).
+
+    One aggregation, map-side partials, 3 output rows: the canonical
+    'model fit as an aggregate' shape that needs no driver-side math and
+    no second pass at any data size.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum((x * 100).cast("decimal(38,0)")).cast("double") / 100).alias("sx"),
+        (F.sum((y * 100).cast("decimal(38,0)")).cast("double") / 100).alias("sy"),
+        (F.sum((x * x * 10000).cast("decimal(38,0)")).cast("double") / 10000).alias("sxx"),
+        (F.sum((x * y * 10000).cast("decimal(38,0)")).cast("double") / 10000).alias("sxy"),
+        (F.sum((y * y * 10000).cast("decimal(38,0)")).cast("double") / 10000).alias("syy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    cov_n = n * sxy - sx * sy
+    var_n = n * sxx - sx * sx
+    slope = cov_n / var_n
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round((cov_n * cov_n) / (var_n * (n * syy - sy * sy)), 6).alias("r2"),
+    )

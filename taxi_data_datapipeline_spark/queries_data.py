@@ -1723,3 +1723,238 @@ def q_decayed_event_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("term").cast("double"), 6).alias("decayed_score"),
         )
     )
+
+
+# --- BM25 ranking -------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "join", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "bm25_rank",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
+dl AS (
+  SELECT doc_id, COUNT(*) AS dlen FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dlen) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tc FROM toks
+  WHERE term IN ('spark', 'join', 'window') GROUP BY doc_id, term),
+df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS dfreq FROM tf GROUP BY term),
+terms AS (
+  -- e0 suffixes force DOUBLE literals: DuckDB parses bare 1.2 as
+  -- DECIMAL(2,1) and would run exact decimal arithmetic where Spark
+  -- runs IEEE doubles.
+  -- single quantization straight to DECIMAL(28,12): a ROUND(9) first
+  -- would emit terminating 9-digit decimals that land on .5e-6
+  -- boundaries at ~1e-3 rate, re-amplifying 1-ulp LN() differences at
+  -- the final ROUND(6) (the double-rounding landmine)
+  SELECT tf.doc_id,
+         CAST(
+           LN(1.0e0 + (stats.n_docs - df.dfreq + 0.5e0) / (df.dfreq + 0.5e0))
+           * (tf.tc * 2.2e0)
+           / (tf.tc + 1.2e0 * (0.25e0 + 0.75e0 * dl.dlen / stats.avgdl))
+           AS DECIMAL(28,12)) AS term_score
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats)
+SELECT doc_id,
+       COUNT(*) AS n_terms_hit,
+       CAST(ROUND(SUM(term_score), 6) AS DOUBLE) AS bm25
+FROM terms GROUP BY doc_id
+""",
+)
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance scoring (Robertson/Sparck Jones; k1=1.2, b=0.75) of
+    every document against a fixed keyword query — the retrieval-scoring
+    primitive behind corpus search and RAG-style training-data selection.
+
+    Plan shape: one explode -> (doc, term) counts filtered to the query
+    terms (the IN filter prunes the token stream before the shuffle), a
+    broadcast join against the vocabulary-sized df table and the 1-row
+    corpus stats aggregate, then a single groupBy(doc_id) sum. Per-term
+    scores are quantized once to DECIMAL(28,12) and summed in the decimal
+    domain so partition fold order can't flip the value hash, with the
+    final ROUND(6) also applied to the decimal (a ROUND(9)-then-ROUND(6)
+    double-rounding would re-amplify 1-ulp LN() differences). At 100 TB
+    the only big shuffles are the two token-stream groupBys; both carry
+    map-side partial aggregates.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dlen").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("dfreq"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("dfreq") + F.lit(0.5)) / (F.col("dfreq") + F.lit(0.5))
+    )
+    # Literals spelled as the exact doubles the oracle uses (2.2e0 etc.);
+    # deriving them arithmetically (k1 + 1.0) could land one ulp off.
+    tf_norm = (F.col("tc") * F.lit(2.2)) / (
+        F.col("tc")
+        + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dlen") / F.col("avgdl"))
+    )
+    term_score = (idf * tf_norm).cast("decimal(28,12)")
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .select("doc_id", term_score.alias("term_score"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            F.round(F.sum("term_score"), 6).cast("double").alias("bm25"),
+        )
+    )
+
+
+# --- PII detection / redaction ------------------------------------------------
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b555-[0-9]{4}\b"
+
+
+@register(
+    "pii_scrub",
+    f"""
+WITH contact AS (
+  SELECT c_custkey, c_mktsegment,
+         'user' || CAST(c_custkey AS VARCHAR) || '@example.com tel 555-'
+               || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+               || ' ref ' || c_name AS blob
+  FROM customer),
+scrubbed AS (
+  SELECT c_mktsegment,
+         len(regexp_extract_all(blob, '{_PII_EMAIL}')) AS n_emails,
+         len(regexp_extract_all(blob, '{_PII_PHONE}')) AS n_phones,
+         length(blob)
+           - length(regexp_replace(regexp_replace(blob, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+                                   '{_PII_PHONE}', '[PHONE]', 'g')) AS chars_redacted
+  FROM contact)
+SELECT c_mktsegment,
+       COUNT(*) AS n_records,
+       SUM(n_emails) AS emails_found,
+       SUM(n_phones) AS phones_found,
+       SUM(chars_redacted) AS chars_redacted
+FROM scrubbed GROUP BY c_mktsegment
+""",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over free-text blobs — the scrubbing pass
+    every training corpus goes through before the tokenizer. The synthetic
+    tables carry no real PII, so the blob column is constructed
+    deterministically from customer keys (email + phone + name), then the
+    detector runs for real: regex find (count), regex redact (replace
+    all), and a chars-redacted audit measuring what the scrub removed.
+
+    Both engines run the same patterns (Java regex and RE2 agree on this
+    character-class subset — no backreferences, no lookaround). The scan
+    is embarrassingly parallel (no shuffle until the final per-segment
+    rollup, which carries map-side partials); at 100 TB this is a pure
+    map-side pass, the ideal shape.
+    """
+    cust = load(spark, sf_dir, "customer")
+    blob = F.concat(
+        F.lit("user"),
+        F.col("c_custkey").cast("string"),
+        F.lit("@example.com tel 555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit(" ref "),
+        F.col("c_name"),
+    )
+    scrubbed = cust.select(
+        "c_mktsegment",
+        F.regexp_count(blob, F.lit(_PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(blob, F.lit(_PII_PHONE)).alias("n_phones"),
+        (
+            F.length(blob)
+            - F.length(
+                F.regexp_replace(
+                    F.regexp_replace(blob, _PII_EMAIL, "[EMAIL]"),
+                    _PII_PHONE,
+                    "[PHONE]",
+                )
+            )
+        ).alias("chars_redacted"),
+    )
+    return scrubbed.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum("n_emails").alias("emails_found"),
+        F.sum("n_phones").alias("phones_found"),
+        F.sum("chars_redacted").alias("chars_redacted"),
+    )
+
+
+# --- mutual information -------------------------------------------------------
+
+
+@register(
+    "mutual_information",
+    """
+WITH joint AS (
+  SELECT lang, source, COUNT(*) AS c FROM documents GROUP BY lang, source),
+n AS (SELECT SUM(c) AS n FROM joint),
+ml AS (SELECT lang, SUM(c) AS cl FROM joint GROUP BY lang),
+ms AS (SELECT source, SUM(c) AS cs FROM joint GROUP BY source),
+terms AS (
+  SELECT CAST(
+           (CAST(j.c AS DOUBLE) / n.n)
+           * LN((CAST(j.c AS DOUBLE) * n.n)
+                / (CAST(ml.cl AS DOUBLE) * ms.cs)) AS DECIMAL(28,12)) AS term
+  FROM joint j JOIN ml USING (lang) JOIN ms USING (source) CROSS JOIN n)
+SELECT COUNT(*) AS n_cells,
+       CAST(ROUND(SUM(term), 6) AS DOUBLE) AS mi_nats
+FROM terms
+""",
+)
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(lang; source) in nats — the dependence measure
+    used to audit whether corpus metadata dimensions are redundant (high
+    MI: one stratification suffices) or independent (low MI: sample over
+    the cross product). Computed from the contingency table:
+    I = sum_cells p(l,s) * ln(p(l,s) / (p(l) p(s))).
+
+    One groupBy builds the joint table; the marginals and the grand total
+    are re-aggregations of that (already tiny) table, broadcast back in.
+    Per-cell terms are rounded then decimal-summed (order-independent
+    float convention). The only corpus-sized shuffle is the first
+    contingency groupBy, which carries map-side partials.
+    """
+    docs = load(spark, sf_dir, "documents")
+    joint = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("c"))
+    n = joint.agg(F.sum("c").alias("n"))
+    ml = joint.groupBy("lang").agg(F.sum("c").alias("cl"))
+    ms = joint.groupBy("source").agg(F.sum("c").alias("cs"))
+    term = (
+        (F.col("c").cast("double") / F.col("n"))
+        * F.log(
+            (F.col("c").cast("double") * F.col("n"))
+            / (F.col("cl").cast("double") * F.col("cs"))
+        )
+    ).cast("decimal(28,12)")
+    return (
+        joint.join(F.broadcast(ml), "lang")
+        .join(F.broadcast(ms), "source")
+        .join(F.broadcast(n))
+        .select(term.alias("term"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.round(F.sum("term"), 6).cast("double").alias("mi_nats"),
+        )
+    )
