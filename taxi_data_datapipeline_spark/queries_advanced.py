@@ -2102,3 +2102,117 @@ def q_regr_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
         F.round((cov_n * cov_n) / (var_n * (n * syy - sy * sy)), 6).alias("r2"),
     )
+
+
+# --- graph analytics over the co-purchase graph -------------------------------
+
+_EDGE_CTE = """
+li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM li x JOIN li y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey)
+"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (a < b) part co-purchase edges: parts appearing in the
+    same order. One groupBy collects each order's (small, <= 7-element)
+    sorted part set; pairs are generated array-side with a nested
+    transform — O(orders * k^2) work with no join at all — then a single
+    distinct dedups across orders. Two shuffles total (basket build +
+    dedup) versus four for the equivalent self-join formulation, and the
+    per-order bound k keeps the intermediate linear in the table."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = F.expr(
+        "flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"
+    )
+    return (
+        baskets.select(F.explode(pairs).alias("p"))
+        .select("p.a", "p.b")
+        .distinct()
+    )
+
+
+@register(
+    "triangle_count",
+    f"""
+WITH {_EDGE_CTE},
+deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+  GROUP BY node),
+o AS (
+  SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.a < e.b)
+              THEN e.a ELSE e.b END AS u,
+         CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.a < e.b)
+              THEN e.b ELSE e.a END AS v
+  FROM e JOIN deg da ON e.a = da.node JOIN deg db ON e.b = db.node),
+wedge AS (
+  SELECT o1.v AS x, o2.v AS y
+  FROM o o1 JOIN o o2 ON o1.u = o2.u AND o1.v < o2.v),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM wedge JOIN e ON wedge.x = e.a AND wedge.y = e.b),
+counts AS (
+  SELECT COUNT(*) AS n_nodes, SUM(d * (d - 1) // 2) AS n_wedges FROM deg),
+ne AS (SELECT COUNT(*) AS n_edges FROM e)
+SELECT counts.n_nodes, ne.n_edges, tri.n_triangles,
+       ROUND(3.0e0 * tri.n_triangles / counts.n_wedges, 6) AS clustering
+FROM counts CROSS JOIN ne CROSS JOIN tri
+""",
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census + global clustering coefficient of the part
+    co-purchase graph (see operators/graphs.py:triangle_stats for the
+    degree-orientation scale argument)."""
+    from taxi_data_datapipeline_spark.operators.graphs import triangle_stats
+
+    return triangle_stats(_copurchase_edges(spark, sf_dir))
+
+
+def _pagerank_oracle(iters: int = 5, units: int = 10**12) -> str:
+    prev = "r0"
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""r{k} AS (
+  SELECT s.v AS node,
+         CAST(bs.base + SUM((r.runits * 17) // (20 * d.outdeg)) AS BIGINT)
+           AS runits
+  FROM sym s
+  JOIN {prev} r ON s.u = r.node
+  JOIN deg d ON s.u = d.u
+  CROSS JOIN bs
+  GROUP BY s.v, bs.base)"""
+        )
+        prev = f"r{k}"
+    steps_sql = ",\n".join(steps)
+    return f"""
+WITH {_EDGE_CTE},
+sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e),
+deg AS (SELECT u, COUNT(*) AS outdeg FROM sym GROUP BY u),
+n AS (SELECT COUNT(*) AS n FROM deg),
+bs AS (SELECT ({units} * 3) // (20 * n) AS base FROM n),
+r0 AS (SELECT u AS node, CAST({units} // n.n AS BIGINT) AS runits
+       FROM deg CROSS JOIN n),
+{steps_sql}
+SELECT node, runits FROM {prev}
+"""
+
+
+@register("pagerank_copurchase", _pagerank_oracle())
+def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-iteration PageRank over the part co-purchase graph in exact
+    fixed-point integer arithmetic — an ITERATIVE numeric algorithm with
+    a full value-hash oracle (the SQL unrolls the five iterations as
+    chained CTEs; every engine reproduces the BIGINT ranks bit-for-bit
+    because no float ever appears). See operators/graphs.py:
+    pagerank_units for the per-iteration shuffle shape."""
+    from taxi_data_datapipeline_spark.operators.graphs import pagerank_units
+
+    return pagerank_units(_copurchase_edges(spark, sf_dir))

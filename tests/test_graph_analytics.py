@@ -1,0 +1,65 @@
+"""Triangle census + fixed-point PageRank on graphs with known answers."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from taxi_data_datapipeline_spark.operators.graphs import (
+    pagerank_units,
+    triangle_stats,
+)
+
+# K4 on {1,2,3,4} (4 triangles) plus a pendant node 5 hanging off 4 and an
+# isolated edge 6-7: 4 triangles, 8 edges, 7 nodes.
+EDGES = [
+    (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+    (4, 5),
+    (6, 7),
+]
+
+
+def _edges_df(spark):
+    return spark.createDataFrame(EDGES, "a long, b long")
+
+
+def test_triangle_census_known_graph(spark):
+    row = triangle_stats(_edges_df(spark)).collect()[0]
+    assert row.n_nodes == 7
+    assert row.n_edges == 8
+    assert row.n_triangles == 4
+    # wedges: degs 3,3,3,4,1,1,1 -> C(3,2)*3 + C(4,2) + 0*3 = 9 + 6 = 15
+    assert row.clustering == round(3.0 * 4 / 15, 6)
+
+
+def test_triangle_census_triangle_free(spark):
+    # a path 1-2-3-4 has wedges but no triangles
+    path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "a long, b long")
+    row = triangle_stats(path).collect()[0]
+    assert row.n_triangles == 0
+    assert row.clustering == 0.0
+
+
+def test_pagerank_mass_conservation_and_symmetry(spark):
+    r = pagerank_units(_edges_df(spark)).collect()
+    ranks = {row.node: row.runits for row in r}
+    assert set(ranks) == {1, 2, 3, 4, 5, 6, 7}
+    # total mass stays ~1.0 (floor divisions only ever LOSE units)
+    total = sum(ranks.values())
+    assert 0.999 * 10**12 < total <= 10**12
+    # symmetric roles get identical ranks (1,2,3 interchangeable; 6,7 too)
+    assert ranks[1] == ranks[2] == ranks[3]
+    assert ranks[6] == ranks[7]
+    # the K4 hub with the pendant outranks the K4 rim, which outranks the
+    # pendant and the isolated pair
+    assert ranks[4] > ranks[1] > ranks[5]
+    assert ranks[1] > ranks[6]
+
+
+def test_pagerank_is_deterministic_across_partitionings(spark):
+    e = _edges_df(spark)
+    r1 = {(row.node, row.runits) for row in pagerank_units(e).collect()}
+    r2 = {
+        (row.node, row.runits)
+        for row in pagerank_units(e.repartition(13)).collect()
+    }
+    assert r1 == r2
