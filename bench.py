@@ -59,8 +59,9 @@ def main() -> None:
     # before the sub-second tail keeps the pool busy to the end instead
     # of finishing on a lone 5 s straggler (classic LPT makespan cut).
     slow_first = [
-        "table_profile", "simhash_pairs", "contamination_check",
-        "kmeans_iterate", "minhash_lsh_dedup", "dedup_groups_cc",
+        "dedup_groups_cc", "kmeans_iterate", "pagerank_copurchase",
+        "triangle_count", "table_profile", "simhash_pairs",
+        "contamination_check", "minhash_lsh_dedup",
         "multimodal_features_checked", "zipf_fit",
         "ngram_jaccard_blocked", "bigram_surprisal", "similarity_join_label",
         "stats_moments", "q21_waiting_supplier", "q1_pricing_summary",

@@ -79,8 +79,16 @@ def _fan_out_narrow_scan(spark: SparkSession, df: DataFrame, path: str) -> DataF
 _LOAD_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
-def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, table)
+def load(
+    spark: SparkSession, sf_dir: str, table: str, fan_out: bool = False
+) -> DataFrame:
+    """Memoized parquet scan. ``fan_out=True`` inserts the round-robin
+    repartition for MAP-HEAVY consumers (shingling, multi-distinct
+    Expands, per-row vector math) whose work would otherwise serialize on
+    a single-split input; the default stays a raw scan because the extra
+    exchange is pure overhead for shuffle-first queries (joins, windows,
+    plain groupBys) — measured 2x either way on the respective tiers."""
+    key = (spark.sparkContext.applicationId, sf_dir, table, fan_out)
     cached = _LOAD_CACHE.get(key)
     if cached is not None:
         return cached
@@ -92,12 +100,15 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         # TIMESTAMP(NANOS) column. Set-if-unset keeps that path working
         # without mutating conf on every memoized load (thread-safety
         # under multi-threaded bench submission).
-        key = "spark.sql.legacy.parquet.nanosAsLong"
-        if spark.conf.get(key, "false") != "true":
-            spark.conf.set(key, "true")
+        # NB: distinct name — reusing ``key`` here once shadowed the cache
+        # key and silently disabled memoization for every nanos table.
+        conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+        if spark.conf.get(conf_key, "false") != "true":
+            spark.conf.set(conf_key, "true")
     path = f"{sf_dir}/{table}.parquet"
     df = spark.read.parquet(path)
-    df = _fan_out_narrow_scan(spark, df, path)
+    if fan_out:
+        df = _fan_out_narrow_scan(spark, df, path)
     for c in nanos_cols:
         dtype = dict(df.dtypes).get(c)
         if dtype == "bigint":

@@ -75,7 +75,7 @@ GROUP BY 1
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact (normalized-text) duplicate groups — hash groupBy, one shuffle."""
-    return exact_dedup(load(spark, sf_dir, "documents"))
+    return exact_dedup(load(spark, sf_dir, "documents", fan_out=True))
 
 
 @register(
@@ -95,7 +95,7 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     here sit far above the banding recall cliff (see module doc).
     """
     return minhash_lsh_pairs(
-        load(spark, sf_dir, "documents"),
+        load(spark, sf_dir, "documents", fan_out=True),
         num_perm=32,
         bands=8,
         jaccard_threshold=0.5,
@@ -117,7 +117,7 @@ WHERE jaccard >= 0.05
 def q_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact pairwise 3-gram Jaccard inside (lang, length-bucket) blocks —
     the bounded-quadratic ground-truth dedup tier."""
-    docs = load(spark, sf_dir, "documents").withColumn(
+    docs = load(spark, sf_dir, "documents", fan_out=True).withColumn(
         "lenb", F.expr("n_chars DIV 100")
     )
     return blocked_jaccard_pairs(
@@ -132,7 +132,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle; correctness is unit-tested (identical/near docs -> close
     fingerprints) AND the full pipeline is hash-verified through the
     portable-hash twin `simhash_pairs_checked`."""
-    return simhash_dedup(load(spark, sf_dir, "documents"), max_hamming=3)
+    return simhash_dedup(load(spark, sf_dir, "documents", fan_out=True), max_hamming=3)
 
 
 @register(
@@ -165,7 +165,7 @@ def q_simhash_pairs_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduces — proving the ALGORITHM end-to-end, while the xxhash64
     production path keeps the cheap JVM-intrinsic hashing at scale."""
     return simhash_dedup(
-        load(spark, sf_dir, "documents"), max_hamming=3, hash_fn="md5_60"
+        load(spark, sf_dir, "documents", fan_out=True), max_hamming=3, hash_fn="md5_60"
     )
 
 
@@ -174,7 +174,7 @@ def q_simhash_pairs_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     row = (
-        load(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).select("embedding").first()
+        load(spark, sf_dir, "embeddings", fan_out=True).filter(F.col("vec_id") == 0).select("embedding").first()
     )
     return list(row["embedding"])
 
@@ -198,7 +198,7 @@ LIMIT 10
 )
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 to vec_id=0 — the exact ANN baseline."""
-    return brute_force_topk(load(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10)
+    return brute_force_topk(load(spark, sf_dir, "embeddings", fan_out=True), _query_vec(spark, sf_dir), k=10)
 
 
 def _srp_planes_sql(n_planes: int) -> str:
@@ -248,7 +248,7 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     replicates the ALGORITHM — same buckets, same candidates, same
     top-10 — rather than comparing against exact ground truth."""
     return lsh_topk(
-        load(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10, n_planes=4
+        load(spark, sf_dir, "embeddings", fan_out=True), _query_vec(spark, sf_dir), k=10, n_planes=4
     )
 
 
@@ -268,7 +268,7 @@ WHERE cosine_sim >= 0.3
 def q_similarity_join_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked all-pairs cosine join (block = label), threshold 0.3."""
     return similarity_join_blas(
-        load(spark, sf_dir, "embeddings"), block_col="label", threshold=0.3
+        load(spark, sf_dir, "embeddings", fan_out=True), block_col="label", threshold=0.3
     )
 
 
@@ -282,7 +282,7 @@ FROM embeddings
 )
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector scalar surface: per-row L2 norm (codegen'd array fold)."""
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings", fan_out=True)
     return e.select("vec_id", "label", F.round(norm(F.col("embedding")), 6).alias("l2_norm"))
 
 
@@ -301,7 +301,7 @@ FROM documents
 )
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + BPE-ish subword-boundary tokens."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", fan_out=True)
     return d.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
@@ -336,7 +336,7 @@ FROM f
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality features + composite score (length / word-length /
     stopword / punctuation heuristics)."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", fan_out=True)
     feats = quality_features(F.col("text"))
     return d.select(
         "doc_id",
@@ -377,7 +377,7 @@ FROM v
 def q_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-vote language ID (argmax, alphabetical tie-break, 'en'
     fallback) next to the labeled lang for eyeballing accuracy."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", fan_out=True)
     return d.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
@@ -396,7 +396,7 @@ FROM documents
 )
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized md5 fingerprint + raw sha256 content hash per document."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", fan_out=True)
     return d.select(
         "doc_id",
         fingerprint(F.col("text")).alias("fingerprint"),
@@ -421,7 +421,7 @@ def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary column plumbing: treat text bytes as a blob payload,
     extract typed metadata (byte length, content hash, size class) — the
     pattern image/audio columns use (see operators/multimodal.py)."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", fan_out=True)
     blob = F.encode(F.col("text"), "UTF-8")
     return d.select(
         "doc_id",
@@ -477,7 +477,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ASCII payload characters."""
     from taxi_data_datapipeline_spark.operators.multimodal import extract_features
 
-    d = load(spark, sf_dir, "documents").select(
+    d = load(spark, sf_dir, "documents", fan_out=True).select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
     feats = extract_features(d, payload_col="payload", id_col="doc_id")
@@ -522,7 +522,7 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                     frames.append(text[k * 64 : k * 64 + 16])
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
 
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = load(spark, sf_dir, "documents", fan_out=True).select("doc_id", "text")
     return d.mapInPandas(fn, "doc_id long, frame_idx int, frame string")
 
 
@@ -587,7 +587,7 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from taxi_data_datapipeline_spark.operators.similarity import ivf_topk
 
     return ivf_topk(
-        load(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10, n_lists=16
+        load(spark, sf_dir, "embeddings", fan_out=True), _query_vec(spark, sf_dir), k=10, n_lists=16
     )
 
 
@@ -630,7 +630,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> re-attach token counts for the kept representatives. The operators
     compose as plain DataFrames — Catalyst pipelines the filter into the
     scan and shares the shuffle between dedup groupBy and the final join."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", fan_out=True)
     scored = docs.select(
         "doc_id", "text", quality_score(F.col("text")).alias("quality")
     ).filter(F.col("quality") >= 0.75)
@@ -673,7 +673,7 @@ def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     reshuffling when the corpus grows, any engine recomputes the same
     split. (Spark's sample()/sampleBy() are seeded per-partition and NOT
     stable across engines or repartitioning.)"""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", fan_out=True)
     bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
         "bigint"
     ) % 100
@@ -715,7 +715,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from taxi_data_datapipeline_spark.operators.graphs import connected_components
 
     pairs = similarity_join_blas(
-        load(spark, sf_dir, "embeddings"), block_col="label", threshold=0.45
+        load(spark, sf_dir, "embeddings", fan_out=True), block_col="label", threshold=0.45
     ).select("id_a", "id_b")
     return connected_components(pairs, src="id_a", dst="id_b")
 
@@ -750,7 +750,7 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     a single sort-shuffle per stream instead of a stateful scan. Returns
     per-pack occupancy stats (docs, tokens).
     """
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", fan_out=True)
     w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, 0
     )
@@ -789,7 +789,7 @@ def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate / spam for the curation gate. Pure array expressions inside
     the scan projection — no shuffle at all (and no per-position re-
     tokenization: shingles come from the linear zip_with builder)."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", fan_out=True)
     toks = tokens(F.col("text"))
     n_toks = F.size(toks)
     n_grams = F.when(n_toks >= 3, n_toks - 2).otherwise(1)
@@ -822,7 +822,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     on any engine and stable under corpus growth/repartitioning (unlike
     sample()/sampleBy(), which are seeded per-partition). One window
     shuffle on the stratum key; rank short-circuits per partition."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", fan_out=True)
     w = Window.partitionBy("lang").orderBy(
         F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
     )
@@ -849,7 +849,7 @@ def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     characters, and fraction of the corpus — the balancing input for
     data-mixture tuning. The global total is a broadcast 1-row join (no
     driver collect), same pattern as q11's scalar threshold."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", fan_out=True)
     total = d.agg(F.count("*").alias("total_docs"))
     return (
         d.groupBy("source", "lang")
@@ -890,7 +890,7 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for BPE training. explode is generated per scan partition (no shuffle);
     the word groupBy is the single exchange, and the top-k plans as
     TakeOrderedAndProject — no global sort of the vocabulary at 100 TB."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", fan_out=True)
     return (
         d.select(F.explode(tokens(F.col("text"))).alias("w"))
         .select(F.lower(F.col("w")).alias("word"))
@@ -956,7 +956,7 @@ def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta + match-list length so both engines agree without a
     regexp_count builtin."""
     pat = r"\b(spark|hash|merge)\b"
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", fan_out=True)
     return d.select(
         "doc_id",
         (
@@ -994,7 +994,7 @@ def q_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     produces the identical relation — the escape hatch for chunkers
     that need a real tokenizer — but the built-in form IS the engine
     path: no Python round-trip at 100 TB."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", fan_out=True)
     toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
     n_chunks = F.ceil(F.size(F.col("tok")) / F.lit(64.0)).cast("int")
     chunk = lambda k: F.slice(F.col("tok"), k * 64 + 1, 64)  # noqa: E731
@@ -1058,7 +1058,7 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny per-cluster aggregate."""
     from taxi_data_datapipeline_spark.operators.similarity import dot
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", fan_out=True)
     cents = {
         int(r["vec_id"]): [float(x) for x in r["embedding"]]
         for r in emb.filter(F.col("vec_id") < 8).collect()
@@ -1091,7 +1091,7 @@ def q_kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
     posexplode-groupBy. Returns final cluster sizes + mean distance."""
     from taxi_data_datapipeline_spark.operators.clustering import lloyd_kmeans
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", fan_out=True)
     assigned, _hist = lloyd_kmeans(emb, k=4, iters=3)
     return assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_points"),
@@ -1143,7 +1143,7 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-distributed so no skew. At 100 TB the train-gram set is the
     big side: it stays shuffle-partitioned and the eval side (always
     the small split) streams against it."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", fan_out=True)
     bucket = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
     ).cast("bigint") % 100
@@ -1213,7 +1213,7 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical everywhere. All map-side array math (transform /
     aggregate folds), zero shuffles; error terms sum as rounded decimals
     per the parity convention."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", fan_out=True)
     ev = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     scale = F.array_max(F.transform(ev, lambda x: F.abs(x))) / F.lit(127.0)
     d = emb.select("vec_id", ev.alias("ev"), scale.alias("scale"))
@@ -1295,7 +1295,7 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact-decimal moment-sum pattern of `stats_moments`, so shuffle
     order cannot move the hash. ln() terms round to 9 before summing (the
     engines' libm may differ in the last ulp)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", fan_out=True)
     toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
     tf = (
         docs.select(F.explode(toks).alias("x"))
@@ -1371,7 +1371,7 @@ def q_psi_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Laplace-smoothed bin fractions avoid ln(0) on empty bins; per-bin
     terms round to 9 and sum as decimals. Everything aggregates to
     (source x 6 bins) before any math — the raw table is touched once."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", fan_out=True)
     bin_ = F.least(F.expr("n_chars DIV 100").cast("int"), F.lit(5))
     per_source = (
         d.select("source", bin_.alias("bin"))
@@ -1491,7 +1491,7 @@ def q_multimodal_features_checked(spark: SparkSession, sf_dir: str) -> DataFrame
                 + ["byte_entropy"],
             )
 
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = load(spark, sf_dir, "documents", fan_out=True).select("doc_id", "text")
     schema = (
         "doc_id long, n_bytes long, "
         + ", ".join(f"f{k} long" for k in range(8))
@@ -1524,7 +1524,7 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the exact sample is replayable anywhere. Map-side only: a filter,
     no shuffle. Complements `stratified_sample` (per-stratum quotas):
     this one is per-row importance."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", fan_out=True)
     keep_p = F.least(F.col("n_chars").cast("double") / 400.0, F.lit(1.0))
     u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
         "bigint"
@@ -1563,7 +1563,7 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry the compact (fingerprint, ids) pairs, not document text."""
     from taxi_data_datapipeline_spark.functions.text import fingerprint
 
-    d = load(spark, sf_dir, "documents").withColumn(
+    d = load(spark, sf_dir, "documents", fan_out=True).withColumn(
         "fp", fingerprint(F.col("text"))
     )
     groups = d.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
@@ -1654,7 +1654,7 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern — no windowed SUM() OVER () over an unpartitioned frame, which
     would single-partition at scale; the per-source table is small but the
     plan shape stays scale-safe)."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", fan_out=True)
     s = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("n_chars")
     )
@@ -1787,7 +1787,7 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only big shuffles are the two token-stream groupBys; both carry
     map-side partial aggregates.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", fan_out=True)
     toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
     stats = dl.agg(
@@ -1936,7 +1936,7 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     float convention). The only corpus-sized shuffle is the first
     contingency groupBy, which carries map-side partials.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", fan_out=True)
     joint = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("c"))
     n = joint.agg(F.sum("c").alias("n"))
     ml = joint.groupBy("lang").agg(F.sum("c").alias("cl"))

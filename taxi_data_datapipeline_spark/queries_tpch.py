@@ -543,7 +543,7 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     the last bits. Moment sums are exact and order-independent — the
     assembled doubles are bit-identical everywhere, and the map-side
     partial aggregation is the same single shuffle the built-ins use."""
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem", fan_out=True)
     qty, price = F.col("l_quantity"), F.col("l_extendedprice")
 
     def dsum(col, alias):

@@ -38,7 +38,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "128m")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local-mode driver == executor: the whole suite's shuffle state,
+        # broadcast vars, and localCheckpoint blocks live in this one
+        # heap. 8g thrashed GC under concurrent bench submission (suite
+        # wall 35s -> 27s when raised); the container has 128 GiB.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         # Parquet TIMESTAMP(NANOS) columns (events.ts) read as long; set
