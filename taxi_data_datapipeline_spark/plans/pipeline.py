@@ -112,26 +112,44 @@ def build_wide_plan(
     (reference P3 stats dict).
     """
     ingest_obs = Observation("ingest")
+    # ONE timestamp decomposition per row. The naive form spends four
+    # calendar conversions per row (to_date + hour for the projection,
+    # year + month for the audit) — at 100M+ rows that dominates the whole
+    # map phase. Instead: epoch seconds once (timestamp->long is a pure
+    # integer op), date and hour by integer arithmetic (exact under the
+    # UTC session timezone session.py pins; floor/pmod keep pre-1970
+    # timestamps correct), and the month-mismatch audit as a half-open
+    # calendar-window test on the derived DATE (make_date/add_months are
+    # int calendar math, no zone lookups) — equivalent to the
+    # year()/month() pair for any valid (file_year, file_month).
+    secs = F.col("pickup_datetime").cast("long")
+    projected = trips.select(
+        "taxi_type",
+        "file_year",
+        "file_month",
+        F.col("pickup_datetime").isNotNull().alias("has_ts"),
+        F.date_from_unix_date(F.floor(secs / F.lit(86400)).cast("int")).alias("date"),
+        (F.pmod(secs, F.lit(86400)) / F.lit(3600)).cast("int").alias("hour"),
+        F.col("pickup_place").cast("string").alias("pickup_place"),
+    )
+    month_start = F.make_date("file_year", "file_month", F.lit(1))
     mismatch = (
-        F.col("pickup_datetime").isNotNull()
+        F.col("has_ts")
         & F.col("file_year").isNotNull()
         & (
-            (F.year("pickup_datetime") != F.col("file_year"))
-            | (F.month("pickup_datetime") != F.col("file_month"))
+            (F.col("date") < month_start)
+            | (F.col("date") >= F.add_months(month_start, 1))
         )
     )
-    trips = trips.observe(
+    projected = projected.observe(
         ingest_obs,
         F.count(F.lit(1)).alias("input_rows"),
-        F.sum(F.col("pickup_datetime").isNull().cast("long")).alias("parse_failures"),
+        F.sum((~F.col("has_ts")).cast("long")).alias("parse_failures"),
         F.sum(mismatch.cast("long")).alias("month_mismatch"),
     )
 
-    prepared = trips.filter(F.col("pickup_datetime").isNotNull()).select(
-        F.col("taxi_type"),
-        F.to_date("pickup_datetime").alias("date"),
-        F.col("pickup_place").cast("string").alias("pickup_place"),
-        F.hour("pickup_datetime").alias("hour"),
+    prepared = projected.filter(F.col("has_ts")).select(
+        "taxi_type", "date", "pickup_place", "hour"
     )
     unfiltered = pivot_counts(
         prepared,
