@@ -159,12 +159,16 @@ DRIVER_WINDOW: list[str] = [
     "zipf_fit", "funnel_conversion", "curation_pipeline",
     # Window-function family
     "percentile_prices", "grouping_sets_agg", "range_window_revenue",
-    "window_navigation", "window_distribution", "unpivot_roundtrip",
+    "window_navigation", "unpivot_roundtrip",
     # As-of joins / sessionization / change-data-capture
-    "asof_purchase_view", "asof_nearest_purchase", "sessionize_events",
+    "asof_nearest_purchase", "sessionize_events",
     "session_window_native", "cdc_log_compaction",
     # Time-series: gap-filling and bars
-    "gapfill_locf", "ohlc_bars", "gapfill_interp",
+    "ohlc_bars", "gapfill_interp",
+    # Graph analytics (round 3): degree-oriented triangles, fixed-point PageRank
+    "triangle_count", "pagerank_copurchase",
+    # Retrieval scoring (round 3)
+    "bm25_rank",
     # Structured Streaming analogs (AvailableNow-drained, oracle-checked)
     "streaming_hourly_counts", "streaming_session_windows",
     "streaming_cdc_compaction", "streaming_dim_enrichment",
