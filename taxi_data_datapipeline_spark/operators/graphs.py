@@ -230,3 +230,57 @@ def pagerank_units(
             (F.lit(base) + F.sum("c")).cast("long").alias("runits")
         ).localCheckpoint(eager=True)
     return r
+
+
+def min_label_rounds(
+    edges: DataFrame, src: str = "a", dst: str = "b", iters: int = 5
+) -> DataFrame:
+    """Fixed-round min-label propagation: after round k each node is
+    labeled with the minimum node id within k hops. Unlike
+    ``connected_components`` (which iterates to convergence, a
+    data-dependent stopping rule), the round count here is FIXED — which
+    makes the result a pure deterministic function of the edge list, so
+    a SQL oracle can reproduce it by unrolling the rounds as chained
+    CTEs (same oracle pattern as the fixed-point PageRank). On graphs
+    whose diameter <= iters the result IS the connected components.
+
+    Shape per round: one join of the symmetric edge list against the
+    node-sized label table + one min-aggregate, both shuffling node-id
+    keyed rows; labels are checkpoint-truncated per round so lineage
+    stays flat.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        nbr = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("u"), F.col("label").alias("ul")
+                ),
+                "u",
+            )
+            .groupBy("v")
+            .agg(F.min("ul").alias("nbr_label"))
+            .withColumnRenamed("v", "node")
+        )
+        labels = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nbr_label"), F.col("label")),
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels

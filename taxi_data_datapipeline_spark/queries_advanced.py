@@ -2237,3 +2237,227 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from taxi_data_datapipeline_spark.operators.graphs import pagerank_units
 
     return pagerank_units(_copurchase_edges(spark, sf_dir))
+
+
+# --- snapshot diff / table delta ---------------------------------------------
+
+
+@register(
+    "snapshot_diff",
+    """
+WITH snap_a AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 10 != 0),
+snap_b AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10.0e0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 7 != 3),
+diff AS (
+  SELECT CASE WHEN a.o_orderkey IS NULL THEN 'added'
+              WHEN b.o_orderkey IS NULL THEN 'removed'
+              WHEN a.o_totalprice != b.o_totalprice
+                   OR a.o_orderstatus != b.o_orderstatus THEN 'changed'
+              ELSE 'unchanged' END AS change_type,
+         COALESCE(b.o_totalprice, 0.0e0) - COALESCE(a.o_totalprice, 0.0e0)
+           AS delta
+  FROM snap_a a FULL OUTER JOIN snap_b b ON a.o_orderkey = b.o_orderkey)
+SELECT change_type, COUNT(*) AS n,
+       CAST(SUM(CAST(delta AS DECIMAL(18,2))) AS DOUBLE) AS net_price_delta
+FROM diff
+GROUP BY change_type
+""",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (table-delta classification): full-outer-join two
+    snapshots of the orders table on the primary key and classify every
+    key as added / removed / changed / unchanged, reporting counts and
+    the net price delta per class — the core of incremental-load
+    validation and CDC reconciliation. Snapshots are deterministic
+    modular slices of the same table (deletes = keys leaving, updates =
+    price bump on keys divisible by 5).
+
+    Scale shape: one sort-merge full-outer join on the key (both sides
+    shuffle-partitioned by o_orderkey; AQE handles any key skew), then a
+    4-group hash agg with map-side partials. Deltas are exact-decimal
+    summed so fold order can't move the double output.
+    """
+    o = load(spark, sf_dir, "orders")
+    snap_a = o.filter(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    snap_b = o.filter(F.col("o_orderkey") % 7 != 3).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + F.lit(10.0)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    a, b = snap_a.alias("a"), snap_b.alias("b")
+    joined = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full")
+    change = (
+        F.when(F.col("a.o_orderkey").isNull(), "added")
+        .when(F.col("b.o_orderkey").isNull(), "removed")
+        .when(
+            (F.col("a.o_totalprice") != F.col("b.o_totalprice"))
+            | (F.col("a.o_orderstatus") != F.col("b.o_orderstatus")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    delta = F.coalesce(F.col("b.o_totalprice"), F.lit(0.0)) - F.coalesce(
+        F.col("a.o_totalprice"), F.lit(0.0)
+    )
+    return (
+        joined.select(change.alias("change_type"), delta.alias("delta"))
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("delta").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("net_price_delta"),
+        )
+    )
+
+
+# --- time-weighted average (TWAP) --------------------------------------------
+
+
+@register(
+    "time_weighted_value",
+    """
+WITH seg AS (
+  SELECT user_id,
+         CAST(FLOOR(value * 1e6) AS BIGINT) AS vunits,
+         epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           - epoch_us(ts) AS dur_us
+  FROM events)
+SELECT user_id,
+       COUNT(*) AS n_intervals,
+       CAST(SUM(dur_us) AS BIGINT) AS total_dur_us,
+       ROUND(CAST(SUM(vunits * (dur_us // 1000)) AS DOUBLE)
+             / (1e3 * SUM(dur_us)), 6) AS twap
+FROM seg
+WHERE dur_us IS NOT NULL AND dur_us > 0
+GROUP BY user_id
+""",
+)
+def q_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value (TWAP) per user: each event's value
+    holds until the user's next event; the average weights each value by
+    its holding duration — the standard irregular-time-series aggregate
+    (financial TWAP, state-duration metrics). Zero-length segments
+    (simultaneous events) carry no weight and are dropped; each user's
+    last event has no successor and is excluded.
+
+    Cross-engine exactness: values enter BIGINT fixed-point (floor to
+    micro-units — floor, not cast: DuckDB's double->int cast rounds),
+    durations are integer microseconds floored to milliseconds before
+    the product so the weighted sum stays within int64 at production
+    horizons, and the final division is one double op on two exact
+    integers.
+
+    Scale shape: one shuffle on user_id serves both the LEAD window and
+    the groupBy (same partitioning, Catalyst reuses the exchange); no
+    self-join formulation.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = ev.select(
+        "user_id",
+        F.floor(F.col("value") * F.lit(1e6)).alias("vunits"),
+        (
+            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+        ).alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull() & (F.col("dur_us") > 0))
+    return seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("dur_us").cast("bigint").alias("total_dur_us"),
+        F.round(
+            F.sum(F.col("vunits") * F.expr("dur_us div 1000")).cast("double")
+            / (F.lit(1e3) * F.sum("dur_us")),
+            6,
+        ).alias("twap"),
+    )
+
+
+# Support-thresholded co-purchase edges: pairs that co-occur in >= 2
+# DISTINCT orders (the standard market-basket support prune). The raw
+# co-purchase graph has diameter ~2 — min-support sparsifies it into real
+# community structure while also being the edge filter any production
+# co-occurrence analysis applies first.
+_EDGE_SUPPORT_CTE = """
+li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT x.l_partkey AS a, y.l_partkey AS b
+  FROM li x JOIN li y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY x.l_partkey, y.l_partkey
+  HAVING COUNT(*) >= 2)
+"""
+
+
+def _copurchase_edges_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (a < b) co-purchase edges with order-support >= 2: same
+    array-side pair generation as ``_copurchase_edges`` (one basket
+    groupBy, no self-join), but the dedup ``distinct`` becomes a count
+    aggregate + HAVING — identical shuffle count, and the support filter
+    is evaluated map-side-partial like any hash agg."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = F.expr(
+        "flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"
+    )
+    return (
+        baskets.select(F.explode(pairs).alias("p"))
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("a", "b")
+    )
+
+
+def _label_prop_oracle(iters: int = 5) -> str:
+    prev = "l0"
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""l{k} AS (
+  SELECT cur.node, LEAST(cur.label, MIN(p.label)) AS label
+  FROM {prev} cur
+  JOIN sym s ON s.v = cur.node
+  JOIN {prev} p ON p.node = s.u
+  GROUP BY cur.node, cur.label)"""
+        )
+        prev = f"l{k}"
+    steps_sql = ",\n".join(steps)
+    return f"""
+WITH {_EDGE_SUPPORT_CTE},
+sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e),
+l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym),
+{steps_sql}
+SELECT node, label AS community
+FROM {prev}
+"""
+
+
+@register("label_propagation", _label_prop_oracle())
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection tier: 5 fixed rounds of min-label propagation
+    over the support->=2 co-purchase graph, emitting every node's
+    community label (min node id within 5 hops). The fixed round count
+    keeps the result a deterministic function of the edge list, so the
+    oracle unrolls the rounds as chained CTEs — the driver-checkable
+    counterpart to the convergence-driven ``dedup_groups_cc``
+    (operators/graphs.py:min_label_rounds documents the per-round
+    shuffle shape)."""
+    from taxi_data_datapipeline_spark.operators.graphs import min_label_rounds
+
+    labels = min_label_rounds(_copurchase_edges_support(spark, sf_dir))
+    return labels.select("node", F.col("label").alias("community"))

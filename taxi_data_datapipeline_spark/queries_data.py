@@ -1958,3 +1958,323 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("term"), 6).cast("double").alias("mi_nats"),
         )
     )
+
+
+@register(
+    "ngram_dup_fraction",
+    f"""
+WITH g AS (
+  SELECT doc_id, unnest({_SQL_GRAMS}) AS gram FROM documents
+),
+c AS (
+  SELECT doc_id, COUNT(*) OVER (PARTITION BY gram) AS nd FROM g
+)
+SELECT doc_id,
+       COUNT(*) AS n_grams,
+       CAST(COUNT(*) FILTER (WHERE nd >= 2) AS BIGINT) AS n_dup_grams,
+       ROUND(CAST(COUNT(*) FILTER (WHERE nd >= 2) AS DOUBLE) / COUNT(*), 6)
+         AS dup_fraction
+FROM c
+GROUP BY doc_id
+""",
+)
+def q_ngram_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-n-gram fraction (the RefinedWeb/Dolma
+    'fraction of characters in duplicated n-grams' filter, word-3-gram
+    variant): a shingle that appears in >= 2 distinct documents is
+    'duplicated'; each document reports what share of its distinct
+    shingles are. Shingles are distinct per doc (functions/text.py:
+    ngram_shingles), so a plain count per gram IS the containing-doc
+    count.
+
+    Scale shape: one explode (generated per scan partition, no shuffle),
+    then a single hash-partitioned unordered window (PARTITION BY gram,
+    no frame sort semantics needed beyond the partition clustering) to
+    annotate each (doc, gram) with its corpus frequency, then the per-doc
+    groupBy. Two shuffles total; the alternative groupBy(gram)+join-back
+    moves the same exploded rows one extra time. Hot shingles (stop-word
+    trigrams) are bounded by the containing-doc count and spread across
+    the gram hash space.
+    """
+    docs = load(spark, sf_dir, "documents", fan_out=True)
+    g = docs.select(
+        "doc_id", F.explode(ngram_shingles(F.col("text"))).alias("gram")
+    )
+    nd = F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    dup = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+    return (
+        g.select("doc_id", nd.alias("nd"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            dup.cast("bigint").alias("n_dup_grams"),
+            F.round(
+                dup.cast("double") / F.count(F.lit(1)), 6
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+_SQL_SUBTOKS = (
+    r"list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),"
+    r" t -> t != '')"
+)
+
+
+@register(
+    "oov_rate",
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_SUBTOKS}) AS tok FROM documents
+),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, COUNT(*) AS freq FROM tok GROUP BY tok
+    ORDER BY freq DESC, tok LIMIT 500)
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(COUNT(*) FILTER (WHERE v.tok IS NULL) AS BIGINT) AS n_oov,
+       ROUND(CAST(COUNT(*) FILTER (WHERE v.tok IS NULL) AS DOUBLE)
+             / COUNT(*), 6) AS oov_rate
+FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+GROUP BY t.doc_id
+""",
+)
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: build the top-500 sub-word vocab
+    (deterministic freq-then-token ordering), then measure each
+    document's out-of-vocabulary token-occurrence rate — the standard
+    pre-training sanity check that a tokenizer's vocab fits the corpus.
+
+    Scale shape: the vocab build is one shuffle ending in
+    TakeOrderedAndProject (per-partition top-k heaps, no global sort);
+    the 500-row vocab then BROADCASTS into the occurrence stream, so the
+    coverage pass costs one map-side join + the per-doc groupBy. The
+    corpus is never shuffled by token for the join.
+    """
+    docs = load(spark, sf_dir, "documents", fan_out=True)
+    tok = docs.select(
+        "doc_id", F.explode(bpe_ish_tokens(F.col("text"))).alias("tok")
+    )
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "tok")
+        .limit(500)
+        .select("tok")
+    )
+    oov = F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+    return (
+        tok.join(
+            F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "tok", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            oov.cast("bigint").alias("n_oov"),
+            F.round(oov.cast("double") / F.count(F.lit(1)), 6).alias(
+                "oov_rate"
+            ),
+        )
+    )
+
+
+@register(
+    "negative_pairs",
+    """
+WITH n AS (SELECT COUNT(*) AS n FROM embeddings),
+cand AS (
+  SELECT e.vec_id,
+         (e.vec_id * 1103 + j.j * 7919) % n.n AS partner_id,
+         e.label AS label_a
+  FROM embeddings e
+  CROSS JOIN (SELECT unnest([1, 2]) AS j) j
+  CROSS JOIN n),
+pairs AS (
+  SELECT c.vec_id, c.partner_id, c.label_a, p.label AS label_b,
+         ROUND(list_dot_product(a.embedding::DOUBLE[], p.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(p.embedding::DOUBLE[], p.embedding::DOUBLE[]))),
+               6) AS cosine_sim
+  FROM cand c
+  JOIN embeddings p ON c.partner_id = p.vec_id
+  JOIN embeddings a ON c.vec_id = a.vec_id
+  WHERE c.partner_id != c.vec_id)
+SELECT vec_id, partner_id, label_a, label_b, cosine_sim
+FROM pairs
+WHERE label_a != label_b
+""",
+)
+def q_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative-pair sampling for contrastive training:
+    each vector proposes 2 pseudo-random partners via a multiplicative
+    hash over the id space (no RNG state — any engine and any rerun
+    derives the same pairs, and the corpus growing only adds pairs),
+    keeps cross-label ones, and scores them with the exact in-order
+    cosine. The hash-partner construction replaces the cartesian
+    sample-join a naive implementation would do: candidate generation is
+    a map-side expression, and the only joins are two hash joins back to
+    the embedding table on its key — at 100 TB that is two
+    shuffle-by-key passes (or broadcast if one side is a dim), never an
+    all-pairs blowup.
+
+    The count scalar rides in as a broadcast 1-row aggregate
+    (the idiomatic scalar-broadcast pattern, not a driver collect).
+    """
+    from taxi_data_datapipeline_spark.operators.similarity import cosine
+
+    emb = load(spark, sf_dir, "embeddings", fan_out=True)
+    n = emb.agg(F.count(F.lit(1)).alias("n"))
+    cand = (
+        emb.select("vec_id", F.col("label").alias("label_a"))
+        .join(F.broadcast(n))
+        .select(
+            "vec_id",
+            "label_a",
+            F.explode(
+                F.array(
+                    (F.col("vec_id") * 1103 + 1 * 7919) % F.col("n"),
+                    (F.col("vec_id") * 1103 + 2 * 7919) % F.col("n"),
+                )
+            ).alias("partner_id"),
+        )
+        .filter(F.col("partner_id") != F.col("vec_id"))
+    )
+    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"))
+    b = emb.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("eb"),
+    )
+    return (
+        cand.join(a, cand["vec_id"] == a["a_id"])
+        .join(b, cand["partner_id"] == b["b_id"])
+        .filter(F.col("label_a") != F.col("label_b"))
+        .select(
+            "vec_id",
+            "partner_id",
+            "label_a",
+            "label_b",
+            F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cosine_sim"),
+        )
+    )
+
+
+@register(
+    "equidepth_buckets",
+    """
+WITH edges AS (
+  SELECT quantile_cont(n_chars,
+           [0.1e0,0.2e0,0.3e0,0.4e0,0.5e0,0.6e0,0.7e0,0.8e0,0.9e0]) AS es
+  FROM documents),
+b AS (
+  SELECT n_chars,
+         1 + len(list_filter(es, e -> n_chars > e)) AS bucket
+  FROM documents CROSS JOIN edges)
+SELECT bucket,
+       COUNT(*) AS n_docs,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM b
+GROUP BY bucket
+""",
+)
+def q_equidepth_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) histogram of document lengths — the
+    scale-correct formulation: a global ntile() would sort the whole
+    corpus in ONE partition, so instead the 9 decile edges are computed
+    by a single-pass percentile aggregate (1-row result), BROADCAST back
+    (idiomatic scalar-broadcast, no collect), and each row buckets
+    itself with an array fold over the edge list. One agg + one map-side
+    bucketing pass + one small groupBy; at 100 TB swap the exact
+    percentile for approx_percentile and keep the identical shape.
+    """
+    docs = load(spark, sf_dir, "documents", fan_out=True)
+    fracs = [i / 10 for i in range(1, 10)]
+    edges = docs.agg(
+        F.percentile("n_chars", F.array(*[F.lit(p) for p in fracs])).alias("es")
+    )
+    bucket = F.lit(1) + F.aggregate(
+        F.col("es"),
+        F.lit(0),
+        lambda acc, e: acc + F.when(F.col("n_chars") > e, 1).otherwise(0),
+    )
+    return (
+        docs.select("n_chars")
+        .join(F.broadcast(edges))
+        .select("n_chars", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )
+
+
+@register(
+    "embedding_standardize",
+    """
+WITH du AS (
+  SELECT vec_id, u.pos AS dim,
+         CAST(FLOOR(u.x * 1048576) AS BIGINT) AS xu
+  FROM embeddings,
+       LATERAL unnest(embedding::DOUBLE[]) WITH ORDINALITY AS u(x, pos)),
+stats AS (
+  SELECT dim, COUNT(*) AS n,
+         SUM(xu) AS s,
+         SUM(xu * xu) AS ss
+  FROM du GROUP BY dim)
+SELECT d.vec_id, d.dim,
+       ROUND(CAST(s.n * d.xu - s.s AS DOUBLE)
+             / sqrt(CAST(s.n * (s.n * s.ss - s.s * s.s) AS DOUBLE)), 6)
+         AS z
+FROM du d JOIN stats s ON d.dim = s.dim
+""",
+)
+def q_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature standardization (per-dimension z-score) of the embedding
+    table — the preprocessing pass in front of clustering/ANN. Exactness
+    recipe: components enter BIGINT fixed-point (floor to 2^-20 units),
+    per-dimension sufficient statistics (n, sum, sum-of-squares) are
+    exact integer sums, and z = (n*x - s) / sqrt(n*(n*ss - s^2)) — the
+    algebra keeps everything integer until one sqrt and one division, so
+    both engines emit bit-identical doubles before the display round.
+
+    Scale shape: posexplode is generated map-side; the dim-stats groupBy
+    produces one row per dimension (tiny — broadcasts back for the
+    z-join); output stays exploded (vec_id, dim, z) so no array column
+    reaches the driver hasher. The moment sums run in DECIMAL(38,0)
+    from the start — n*ss exceeds int64 past ~10^3 vectors at this unit
+    scale, and decimal sums stay exact and order-independent to ~10^38.
+    """
+    emb = load(spark, sf_dir, "embeddings", fan_out=True)
+    du = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("dim0", "x"),
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("x").cast("double") * F.lit(1048576.0)).alias("xu"),
+    )
+    # Moments in DECIMAL(38,0): exact, order-independent, and immune to
+    # the int64 overflow n*ss hits past ~10^3 vectors (DuckDB's SUM(BIGINT)
+    # widens to int128 natively; Spark needs the explicit decimal).
+    dec = "decimal(38,0)"
+    stats = du.groupBy("dim").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("xu").cast(dec)).alias("s"),
+        F.sum((F.col("xu") * F.col("xu")).cast(dec)).alias("ss"),
+    )
+    z = (F.col("n") * F.col("xu") - F.col("s")).cast("double") / F.sqrt(
+        (F.col("n") * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))).cast(
+            "double"
+        )
+    )
+    return (
+        du.join(F.broadcast(stats), "dim")
+        .select("vec_id", "dim", F.round(z, 6).alias("z"))
+    )

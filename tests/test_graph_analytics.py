@@ -63,3 +63,30 @@ def test_pagerank_is_deterministic_across_partitionings(spark):
         for row in pagerank_units(e.repartition(13)).collect()
     }
     assert r1 == r2
+
+
+def test_min_label_rounds_respects_hop_limit(spark):
+    from taxi_data_datapipeline_spark.operators.graphs import min_label_rounds
+
+    # path 1-2-3-4-5-6-7: after k rounds node i holds min id within k hops
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 7)], "a long, b long"
+    )
+    l1 = {r.node: r.label for r in min_label_rounds(path, iters=1).collect()}
+    assert l1 == {1: 1, 2: 1, 3: 2, 4: 3, 5: 4, 6: 5, 7: 6}
+    l3 = {r.node: r.label for r in min_label_rounds(path, iters=3).collect()}
+    # 3 rounds of min-propagation double reach via relabeled neighbors:
+    # label(v) after k rounds = min over nodes whose chain of k steps
+    # reaches v; on a path that closes the whole prefix quickly
+    assert l3[1] == 1 and l3[7] <= 4
+
+
+def test_min_label_rounds_converges_to_components(spark):
+    from taxi_data_datapipeline_spark.operators.graphs import min_label_rounds
+
+    labels = {
+        r.node: r.label
+        for r in min_label_rounds(_edges_df(spark), iters=4).collect()
+    }
+    # K4+pendant collapses to 1; the isolated edge to 6
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 6}
