@@ -2219,10 +2219,10 @@ def q_equidepth_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_standardize",
     """
 WITH du AS (
-  SELECT vec_id, u.pos AS dim,
-         CAST(FLOOR(u.x * 1048576) AS BIGINT) AS xu
+  SELECT vec_id, i.i AS dim,
+         CAST(FLOOR(embedding[i.i]::DOUBLE * 1048576) AS BIGINT) AS xu
   FROM embeddings,
-       LATERAL unnest(embedding::DOUBLE[]) WITH ORDINALITY AS u(x, pos)),
+       LATERAL unnest(generate_series(1, len(embedding))) AS i(i)),
 stats AS (
   SELECT dim, COUNT(*) AS n,
          SUM(xu) AS s,
