@@ -20,6 +20,45 @@ from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 
+def _sym_with_self_loops(
+    edges: DataFrame, src: str, dst: str
+) -> DataFrame:
+    """Symmetric closure of an undirected edge list PLUS a self-loop per
+    node. With self-loops in place, one propagation round is a single
+    join + min-aggregate — ``min over N(v) ∪ {v}`` — so the label table
+    appears ONCE in each round's plan. That single-reference shape is
+    what lets rounds chain without materialization (a label table
+    referenced twice per round doubles its subtree every chained round).
+
+    The raw pair list is materialized FIRST: the closure references it
+    four times (two directions + two self-loop sources), and each union
+    branch would otherwise re-execute the upstream pair-generation plan
+    — for dedup graphs that upstream is the full MinHash banding pass,
+    so un-checkpointed it ran 4x inside one job (measured 4x wall on
+    dedup_groups_cc)."""
+    base = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
+        eager=True
+    )
+    return (
+        base.unionByName(base.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .unionByName(base.select("u", F.col("u").alias("v")))
+        .unionByName(base.select(F.col("v").alias("u"), F.col("v").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
+def _propagate_min(symx: DataFrame, labels: DataFrame, col: str) -> DataFrame:
+    """One min-label propagation round over a self-looped symmetric edge
+    list: label'(v) = min over u in N(v) ∪ {v} of label(u)."""
+    return (
+        symx.join(labels.withColumnRenamed("node", "u"), "u")
+        .groupBy("v")
+        .agg(F.min(col).alias(col))
+        .withColumnRenamed("v", "node")
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
@@ -27,52 +66,29 @@ def connected_components(
     max_iter: int = 20,
 ) -> DataFrame:
     """(node, component) for every node in the edge list; component =
-    min node id reachable. Undirected."""
-    sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .distinct()
-        # materialize once: every round joins against sym, and without this
-        # each round would recompute the (possibly expensive) upstream
-        # pair-generation plan from scratch
-        .localCheckpoint(eager=True)
+    min node id reachable. Undirected.
+
+    Two propagation rounds run per materialized job (the self-loop form
+    keeps the chained plan linear — see ``_sym_with_self_loops``), so a
+    diameter-d graph costs ~d/2 Spark jobs. Convergence is detected
+    collect-free from the SUM of labels riding the checkpoint job as an
+    ``Observation``: labels only ever decrease, so an unchanged sum
+    means a fixpoint (monotone invariant — no old-vs-new join needed)."""
+    symx = _sym_with_self_loops(edges, src, dst)
+    labels = symx.select(F.col("u").alias("node")).distinct().withColumn(
+        "comp", F.col("node")
     )
-    labels = (
-        sym.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
-    )
+    prev_sum = None
     for _ in range(max_iter):
-        # neighbor labels: for node u, the labels of every v it touches
-        nbr = (
-            sym.join(labels.withColumnRenamed("node", "v"), "v")
-            .groupBy("u")
-            .agg(F.min("comp").alias("nbr_comp"))
-            .withColumnRenamed("u", "node")
-        )
-        new_labels = (
-            labels.join(nbr, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
-                ).alias("comp"),
-                (F.col("comp") != F.least(
-                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
-                )).cast("long").alias("_changed"),
-            )
-        )
-        # Piggyback the convergence metric on the checkpoint job itself
-        # (Observation fires when the eager materialization runs) — one
-        # Spark job per round instead of checkpoint + separate agg.
+        stepped = _propagate_min(symx, _propagate_min(symx, labels, "comp"), "comp")
         obs = Observation()
-        new_labels = new_labels.observe(
-            obs, F.sum("_changed").alias("chg")
+        labels = stepped.observe(
+            obs, F.sum("comp").alias("s")
         ).localCheckpoint(eager=True)
-        changed = obs.get["chg"] or 0
-        labels = new_labels.drop("_changed")
-        if changed == 0:
+        cur_sum = obs.get["s"]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels
 
 
@@ -211,24 +227,31 @@ def pagerank_units(
     # an executor (~64 MB at the threshold), else fall back to the
     # per-round hash join every billion-node distributed PageRank pays.
     bcast_ranks = n <= 4_000_000
-    for _ in range(iters):
-        r_build = r.withColumnRenamed("node", "u")
+
+    def one_iter(rdf: DataFrame) -> DataFrame:
+        r_build = rdf.withColumnRenamed("node", "u")
         if bcast_ranks:
             r_build = F.broadcast(r_build)
-        contrib = (
-            sym.join(r_build, "u")
-            .select(
-                F.col("v").alias("node"),
-                F.expr("runits * 17 DIV (20 * outdeg)").alias("c"),
-            )
+        contrib = sym.join(r_build, "u").select(
+            F.col("v").alias("node"),
+            F.expr("runits * 17 DIV (20 * outdeg)").alias("c"),
         )
-        # Eagerly materialize the node-sized rank table each round:
-        # without this, round k's broadcast subtree re-executes every
-        # previous round's edge pass (lineage is cut, each iteration is
-        # one bounded job over the cached edges).
-        r = contrib.groupBy("node").agg(
+        return contrib.groupBy("node").agg(
             (F.lit(base) + F.sum("c")).cast("long").alias("runits")
-        ).localCheckpoint(eager=True)
+        )
+
+    # Two iterations chain per materialized job: the rank table appears
+    # exactly once per iteration, so the chained plan stays linear (the
+    # inner broadcast subtree builds inside the same job). The
+    # localCheckpoint every other round cuts lineage so no job ever
+    # replays more than two edge passes.
+    done = 0
+    while done < iters:
+        step = min(2, iters - done)
+        for _ in range(step):
+            r = one_iter(r)
+        r = r.localCheckpoint(eager=True)
+        done += step
     return r
 
 
@@ -244,43 +267,22 @@ def min_label_rounds(
     CTEs (same oracle pattern as the fixed-point PageRank). On graphs
     whose diameter <= iters the result IS the connected components.
 
-    Shape per round: one join of the symmetric edge list against the
-    node-sized label table + one min-aggregate, both shuffling node-id
-    keyed rows; labels are checkpoint-truncated per round so lineage
-    stays flat.
+    Shape per round: one join of the self-looped symmetric edge list
+    against the node-sized label table + one min-aggregate, both
+    shuffling node-id keyed rows. Two rounds chain per materialized job
+    (single label reference per round keeps the chained plan linear),
+    and labels are checkpoint-truncated at each job so lineage stays
+    flat.
     """
-    sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .localCheckpoint(eager=True)
+    symx = _sym_with_self_loops(edges, src, dst)
+    labels = symx.select(F.col("u").alias("node")).distinct().withColumn(
+        "label", F.col("node")
     )
-    labels = (
-        sym.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(iters):
-        nbr = (
-            sym.join(
-                labels.select(
-                    F.col("node").alias("u"), F.col("label").alias("ul")
-                ),
-                "u",
-            )
-            .groupBy("v")
-            .agg(F.min("ul").alias("nbr_label"))
-            .withColumnRenamed("v", "node")
-        )
-        labels = (
-            labels.join(nbr, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"),
-                    F.coalesce(F.col("nbr_label"), F.col("label")),
-                ).alias("label"),
-            )
-            .localCheckpoint(eager=True)
-        )
+    done = 0
+    while done < iters:
+        step = min(2, iters - done)  # two chained rounds per job
+        for _ in range(step):
+            labels = _propagate_min(symx, labels, "label")
+        labels = labels.localCheckpoint(eager=True)
+        done += step
     return labels
