@@ -104,3 +104,86 @@ def lloyd_kmeans(
         ]  # empty cluster keeps its old centroid
 
     return _assign(df, centroids, vec_col), inertia_hist
+
+
+def _trunc_div(s: int, n: int) -> int:
+    """Truncating integer division (toward zero) — matches SQL DIV /
+    DuckDB ``//`` on negative sums, unlike Python's flooring ``//``."""
+    q = abs(s) // n
+    return -q if s < 0 else q
+
+
+def _assign_units(xu: DataFrame, centroids: dict[int, list[int]]) -> DataFrame:
+    """Nearest-centroid assignment in exact BIGINT arithmetic: squared
+    L2 distance as an in-order integer fold, argmin via array_min over
+    (d2u, cid) structs (ties -> lowest cid). Mapper-only: centroids are
+    literals, no join, no shuffle."""
+    alts = []
+    for cid in sorted(centroids):
+        cv = F.array(*[F.lit(int(c)) for c in centroids[cid]])
+        d2u = F.aggregate(
+            F.zip_with(F.col("v"), cv, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        alts.append(F.struct(d2u.alias("d2u"), F.lit(cid).alias("k")))
+    best = F.array_min(F.array(*alts))
+    return (
+        xu.withColumn("_b", best)
+        .withColumn("cluster", F.col("_b.k"))
+        .withColumn("d2u", F.col("_b.d2u"))
+        .drop("_b")
+    )
+
+
+def lloyd_kmeans_units(
+    df: DataFrame,
+    k: int = 4,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1 << 20,
+) -> DataFrame:
+    """Lloyd's k-means entirely in BIGINT fixed-point: components enter
+    integer units (floor to 2^-20), distances are exact integer sums,
+    and centroid updates are truncating integer divisions — so every
+    iteration is a pure deterministic function of the input and ANY
+    engine reproduces the final assignment bit-for-bit (the same trick
+    that makes the fixed-point PageRank oracle-checkable; float Lloyd
+    can only ever be differentially tested because mean() fold order
+    moves ulps across partitionings).
+
+    Semantics mirrored by the SQL oracle: seeds = the k lowest ids'
+    vectors; ties in assignment break to the lowest cluster id; a
+    cluster that loses all members is DROPPED (not re-seeded).
+
+    Scale shape per iteration: one mapper-only assignment pass
+    (centroid literals — no join) + one groupBy(cluster, dim) whose
+    result is k x dims rows; only that centroid matrix reaches the
+    driver, the irreducible state of Lloyd's algorithm.
+    """
+    xu = df.select(
+        id_col,
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * F.lit(float(scale))),
+        ).alias("v"),
+    )
+    seeds = xu.filter(F.col(id_col) < k).select(id_col, "v").collect()
+    centroids = {int(r[id_col]): [int(x) for x in r["v"]] for r in seeds}
+    dims = len(next(iter(centroids.values())))
+    for _ in range(iters):
+        stats = (
+            _assign_units(xu, centroids)
+            .select("cluster", F.posexplode("v").alias("dim", "xu"))
+            .groupBy("cluster", "dim")
+            .agg(F.sum("xu").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        newc: dict[int, list[int]] = {}
+        for r in stats:
+            newc.setdefault(r["cluster"], [0] * dims)[r["dim"]] = _trunc_div(
+                int(r["s"]), int(r["n"])
+            )
+        centroids = newc  # empty clusters drop, mirroring the SQL
+    return _assign_units(xu, centroids).select(id_col, "cluster", "d2u")

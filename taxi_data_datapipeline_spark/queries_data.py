@@ -2278,3 +2278,73 @@ def q_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         du.join(F.broadcast(stats), "dim")
         .select("vec_id", "dim", F.round(z, 6).alias("z"))
     )
+
+
+def _kmeans_units_oracle(k: int = 4, iters: int = 3) -> str:
+    steps = []
+    prev = "c0"
+    for t in range(1, iters + 1):
+        steps.append(
+            f"""d{t} AS (
+  SELECT d.vec_id, c.cid, SUM((d.xu - c.cu) * (d.xu - c.cu)) AS d2
+  FROM du d JOIN {prev} c ON d.dim = c.dim
+  GROUP BY d.vec_id, c.cid),
+a{t} AS (
+  SELECT vec_id, cid AS cluster, d2 FROM (
+    SELECT vec_id, cid, d2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d{t}) WHERE rn = 1),
+c{t} AS (
+  SELECT a.cluster AS cid, d.dim, SUM(d.xu) // COUNT(*) AS cu
+  FROM a{t} a JOIN du d ON a.vec_id = d.vec_id
+  GROUP BY a.cluster, d.dim)"""
+        )
+        prev = f"c{t}"
+    fin = iters + 1
+    steps.append(
+        f"""d{fin} AS (
+  SELECT d.vec_id, c.cid, SUM((d.xu - c.cu) * (d.xu - c.cu)) AS d2
+  FROM du d JOIN {prev} c ON d.dim = c.dim
+  GROUP BY d.vec_id, c.cid),
+a{fin} AS (
+  SELECT vec_id, cid AS cluster, d2 FROM (
+    SELECT vec_id, cid, d2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d{fin}) WHERE rn = 1)"""
+    )
+    steps_sql = ",\n".join(steps)
+    return f"""
+WITH xu AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(FLOOR(x * 1048576) AS BIGINT)) AS v
+  FROM embeddings),
+du AS (
+  SELECT vec_id, i.i AS dim, v[i.i] AS xu
+  FROM xu, LATERAL unnest(generate_series(1, len(v))) AS i(i)),
+c0 AS (SELECT vec_id AS cid, dim, xu AS cu FROM du WHERE vec_id < {k}),
+{steps_sql}
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, CAST(d2 AS BIGINT) AS d2u
+FROM a{fin}
+"""
+
+
+@register("kmeans_units", _kmeans_units_oracle())
+def q_kmeans_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point Lloyd k-means (k=4, 3 iterations) with a FULL
+    value-hash oracle: the SQL unrolls every assign/update round as
+    chained CTEs over exact integer arithmetic, so an iterative
+    clustering algorithm gets the same bit-for-bit cross-engine check
+    as any relational query (operators/clustering.py:lloyd_kmeans_units
+    for the semantics and per-iteration scale shape). The float-domain
+    production path stays ``kmeans_iterate``; this twin proves the
+    iteration logic itself."""
+    from taxi_data_datapipeline_spark.operators.clustering import (
+        lloyd_kmeans_units,
+    )
+
+    emb = load(spark, sf_dir, "embeddings", fan_out=True)
+    out = lloyd_kmeans_units(emb)
+    return out.select(
+        "vec_id", F.col("cluster").cast("bigint").alias("cluster"), "d2u"
+    )
