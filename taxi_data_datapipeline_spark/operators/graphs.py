@@ -286,3 +286,51 @@ def min_label_rounds(
         labels = labels.localCheckpoint(eager=True)
         done += step
     return labels
+
+
+def bfs_depths(
+    edges: DataFrame,
+    source: int,
+    src: str = "a",
+    dst: str = "b",
+    iters: int = 4,
+) -> DataFrame:
+    """Breadth-first shortest-hop depths from ``source``, bounded at
+    ``iters`` hops: (node, depth) for every node reachable within the
+    bound. Distance relaxation over the self-looped symmetric closure —
+    d'(v) = min over u in N(v) ∪ {v} of d(u) + [u != v] — is one join +
+    one min-aggregate per round (the self-loop carries the node's own
+    depth at weight 0), the same single-reference shape that lets two
+    rounds chain per materialized job. The fixed hop bound keeps the
+    result a pure function of the edge list, so a SQL oracle unrolls
+    the rounds as chained CTEs.
+    """
+    symx = _sym_with_self_loops(edges, src, dst)
+    dist = (
+        symx.filter(F.col("u") == source)
+        .select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("depth", F.lit(0).cast("long"))
+    )
+
+    def relax(d: DataFrame) -> DataFrame:
+        return (
+            symx.join(d.withColumnRenamed("node", "u"), "u")
+            .groupBy("v")
+            .agg(
+                F.min(
+                    F.col("depth")
+                    + F.when(F.col("u") == F.col("v"), 0).otherwise(1)
+                ).alias("depth")
+            )
+            .withColumnRenamed("v", "node")
+        )
+
+    done = 0
+    while done < iters:
+        step = min(2, iters - done)
+        for _ in range(step):
+            dist = relax(dist)
+        dist = dist.localCheckpoint(eager=True)
+        done += step
+    return dist

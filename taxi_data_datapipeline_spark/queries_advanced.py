@@ -2457,3 +2457,45 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     labels = min_label_rounds(_copurchase_edges_support(spark, sf_dir))
     return labels.select("node", F.col("label").alias("community"))
+
+
+def _bfs_oracle(iters: int = 4) -> str:
+    prev = "d0"
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""d{k} AS (
+  SELECT s.v AS node,
+         MIN(d.depth + CASE WHEN s.u = s.v THEN 0 ELSE 1 END) AS depth
+  FROM symx s JOIN {prev} d ON s.u = d.node
+  GROUP BY s.v)"""
+        )
+        prev = f"d{k}"
+    steps_sql = ",\n".join(steps)
+    return f"""
+WITH {_EDGE_SUPPORT_CTE},
+symx AS (
+  SELECT a AS u, b AS v FROM e
+  UNION SELECT b, a FROM e
+  UNION SELECT a, a FROM e
+  UNION SELECT b, b FROM e),
+seed AS (SELECT MIN(a) AS s FROM e),
+d0 AS (SELECT s AS node, CAST(0 AS BIGINT) AS depth FROM seed),
+{steps_sql}
+SELECT node, depth FROM {prev}
+"""
+
+
+@register("bfs_hops", _bfs_oracle())
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest-hop BFS layers from the lowest part id in the
+    support->=2 co-purchase graph, bounded at 4 hops — the reachability
+    / ego-network primitive (operators/graphs.py:bfs_depths for the
+    per-round shuffle shape and the chained-round argument). Unrolled
+    chained-CTE oracle; nodes beyond the hop bound are absent from both
+    sides."""
+    from taxi_data_datapipeline_spark.operators.graphs import bfs_depths
+
+    edges = _copurchase_edges_support(spark, sf_dir)
+    seed = edges.agg(F.min("a").alias("s")).collect()[0]["s"]
+    return bfs_depths(edges, int(seed))

@@ -90,3 +90,21 @@ def test_min_label_rounds_converges_to_components(spark):
     }
     # K4+pendant collapses to 1; the isolated edge to 6
     assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 6}
+
+
+def test_bfs_depths_path_graph(spark):
+    from taxi_data_datapipeline_spark.operators.graphs import bfs_depths
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 7)], "a long, b long"
+    )
+    d = {r.node: r.depth for r in bfs_depths(path, 1, iters=4).collect()}
+    assert d == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}  # nodes beyond 4 hops absent
+
+
+def test_bfs_depths_branching(spark):
+    from taxi_data_datapipeline_spark.operators.graphs import bfs_depths
+
+    d = {r.node: r.depth for r in bfs_depths(_edges_df(spark), 1, iters=2).collect()}
+    # K4 neighbors at 1 hop, pendant 5 at 2 (via 4); 6/7 unreachable
+    assert d == {1: 0, 2: 1, 3: 1, 4: 1, 5: 2}
