@@ -123,6 +123,12 @@ def build_wide_plan(
     # int calendar math, no zone lookups) — equivalent to the
     # year()/month() pair for any valid (file_year, file_month).
     secs = F.col("pickup_datetime").cast("long")
+    # pickup_place keeps whatever type ingest resolved (native ints under
+    # typed_place): the aggregation below keys on it, and hashing a
+    # fixed-width int beats hashing a freshly-cast string ~2.5x at the
+    # pivot's row rate. The string contract is restored AFTER the
+    # aggregate, where it costs one cast per OUTPUT row (thousands-fold
+    # fewer than input rows).
     projected = trips.select(
         "taxi_type",
         "file_year",
@@ -130,7 +136,7 @@ def build_wide_plan(
         F.col("pickup_datetime").isNotNull().alias("has_ts"),
         F.date_from_unix_date(F.floor(secs / F.lit(86400)).cast("int")).alias("date"),
         (F.pmod(secs, F.lit(86400)) / F.lit(3600)).cast("int").alias("hour"),
-        F.col("pickup_place").cast("string").alias("pickup_place"),
+        "pickup_place",
     )
     month_start = F.make_date("file_year", "file_month", F.lit(1))
     mismatch = (
@@ -166,7 +172,9 @@ def build_wide_plan(
         F.sum((total < min_rides).cast("long")).alias("low_count_dropped"),
         F.sum((total >= min_rides).cast("long")).alias("kept"),
     )
-    wide = unfiltered.filter(total >= min_rides)
+    wide = unfiltered.filter(total >= min_rides).withColumn(
+        "pickup_place", F.col("pickup_place").cast("string")
+    )
     return wide, ingest_obs, having_obs
 
 
@@ -176,7 +184,7 @@ def run_pivot_pipeline(
     """Execute the full pipeline; returns the observed run metrics."""
     t0 = time.time()
     files = select_input_files(config)
-    trips, ingest_report = normalize_trips(spark, files)
+    trips, ingest_report = normalize_trips(spark, files, typed_place=True)
     wide, ingest_obs, having_obs = build_wide_plan(trips, config.min_rides)
 
     if config.zorder_by:
