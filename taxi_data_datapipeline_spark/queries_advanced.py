@@ -2499,3 +2499,51 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _copurchase_edges_support(spark, sf_dir)
     seed = edges.agg(F.min("a").alias("s")).collect()[0]["s"]
     return bfs_depths(edges, int(seed))
+
+
+@register(
+    "streaming_exact_dedup",
+    """
+SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+         AS fingerprint
+FROM documents
+""",
+)
+def q_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ladder's incremental tier as an oracle-checked query:
+    parquet file-source stream of the documents table -> first-seen-wins
+    ``dropDuplicates`` on the normalized-text md5 fingerprint
+    (streaming/dedup.py) -> append-mode memory sink drained with
+    AvailableNow. Which COPY of a duplicate survives is
+    arrival-order-dependent, so the query returns the fingerprint SET —
+    deterministic and equal to the batch DISTINCT, which is the oracle.
+    State is one row per distinct fingerprint (the
+    dropDuplicatesWithinWatermark variant bounds it by recency —
+    tests/test_streaming_dedup.py)."""
+    from pyspark.sql import types as T
+
+    from taxi_data_datapipeline_spark.streaming.dedup import dedup_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    # Glob form: the file-stream source needs a directory basePath, which
+    # it infers from the non-glob path prefix (same trick as _stream_events).
+    raw = spark.readStream.schema(schema).parquet(f"{sf_dir}/documents*.parquet")
+    deduped = dedup_stream(raw).select("fingerprint")
+    name = f"stream_dedup_{next(_stream_counter)}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
