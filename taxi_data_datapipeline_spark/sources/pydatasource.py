@@ -27,7 +27,12 @@ from __future__ import annotations
 import hashlib
 from datetime import datetime, timedelta
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 TAXI_TYPES = ["yellow", "green", "fhv"]
 
@@ -54,6 +59,9 @@ class SynthTripsSource(DataSource):
     def reader(self, schema) -> DataSourceReader:
         return SynthTripsReader(self.options)
 
+    def streamReader(self, schema) -> "SynthTripsStreamReader":
+        return SynthTripsStreamReader(self.options)
+
 
 class SynthTripsReader(DataSourceReader):
     def __init__(self, options) -> None:
@@ -77,3 +85,45 @@ class SynthTripsReader(DataSourceReader):
             ts = month_start + timedelta(seconds=h % (28 * 86400))
             place = str(h // 7 % 260)
             yield (ts, place, taxi_type, m)
+
+
+class SynthTripsStreamReader(DataSourceStreamReader):
+    """Streaming form of the same universe: each micro-batch covers the
+    next arrived MONTH across all taxi types — modeling how the real
+    dataset lands (one file per (type, month) per month). Offsets are
+    ``{"month": n}`` = "months fully ingested"; partitions(start, end)
+    fans each batch out as one InputPartition per (type, month), the
+    identical parallelism unit as the batch reader, and ``read`` is the
+    same deterministic generator — so stream-drained contents equal the
+    batch read row-for-row (tested)."""
+
+    def __init__(self, options) -> None:
+        self.rows = int(options.get("rows_per_partition", "1000"))
+        self.months = int(options.get("months", "2"))
+        self.months_per_batch = int(options.get("months_per_batch", "1"))
+
+    def initialOffset(self) -> dict:
+        return {"month": 0}
+
+    def latestOffset(self) -> dict:
+        # All months are "already arrived" in this synthetic universe;
+        # months_per_batch throttles how many each micro-batch ingests
+        # (the maxFilesPerTrigger analog).
+        cur = getattr(self, "_cur", 0)
+        self._cur = min(self.months, cur + self.months_per_batch)
+        return {"month": self._cur}
+
+    def partitions(self, start: dict, end: dict):
+        return [
+            InputPartition((t, m))
+            for t in range(len(TAXI_TYPES))
+            for m in range(start["month"], end["month"])
+        ]
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def read(self, partition):
+        yield from SynthTripsReader(
+            {"rows_per_partition": str(self.rows), "months": str(self.months)}
+        ).read(partition)

@@ -58,3 +58,44 @@ def test_months_are_disjoint_time_ranges(spark):
     spans = sorted([(r["month_id"], r["lo"], r["hi"]) for r in spans])
     for (m1, _, hi1), (m2, lo2, _) in zip(spans, spans[1:]):
         assert hi1 < lo2, (m1, m2)
+
+
+def test_stream_reader_equals_batch(spark, tmp_path):
+    from taxi_data_datapipeline_spark.sources.pydatasource import SynthTripsSource
+
+    spark.dataSource.register(SynthTripsSource)
+    opts = {"rows_per_partition": "200", "months": "3"}
+    batch = spark.read.format("synthtrips").options(**opts).load()
+
+    stream = (
+        spark.readStream.format("synthtrips")
+        .options(**opts)
+        .load()
+        .writeStream.format("memory")
+        .queryName("synth_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        stream.processAllAvailable()
+    finally:
+        stream.stop()
+    got = spark.table("synth_stream")
+    assert got.count() == batch.count() == 200 * 3 * 3
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+
+
+def test_stream_reader_batches_per_month(spark, tmp_path):
+    from taxi_data_datapipeline_spark.sources.pydatasource import (
+        SynthTripsStreamReader,
+    )
+
+    r = SynthTripsStreamReader({"rows_per_partition": "10", "months": "2"})
+    assert r.initialOffset() == {"month": 0}
+    assert r.latestOffset() == {"month": 1}  # one month per trigger
+    assert r.latestOffset() == {"month": 2}
+    assert r.latestOffset() == {"month": 2}  # exhausted universe stays put
+    parts = r.partitions({"month": 0}, {"month": 1})
+    assert len(parts) == 3  # one per taxi type for the arrived month
