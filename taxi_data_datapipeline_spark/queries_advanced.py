@@ -2547,3 +2547,77 @@ def q_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "assoc_rules",
+    """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pc AS (
+  SELECT x.l_partkey AS a, y.l_partkey AS b, COUNT(*) AS s_ab
+  FROM li x JOIN li y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY x.l_partkey, y.l_partkey
+  HAVING COUNT(*) >= 2),
+ic AS (SELECT l_partkey AS item, COUNT(*) AS s_i FROM li GROUP BY l_partkey),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li),
+both_dirs AS (
+  SELECT a AS antecedent, b AS consequent, s_ab FROM pc
+  UNION ALL
+  SELECT b, a, s_ab FROM pc)
+SELECT r.antecedent, r.consequent, r.s_ab AS pair_support,
+       ROUND(CAST(r.s_ab AS DOUBLE) / ia.s_i, 6) AS confidence,
+       ROUND(CAST(r.s_ab * n.n_orders AS DOUBLE)
+             / CAST(ia.s_i * ic2.s_i AS DOUBLE), 6) AS lift
+FROM both_dirs r
+JOIN ic ia ON r.antecedent = ia.item
+JOIN ic ic2 ON r.consequent = ic2.item
+CROSS JOIN n
+""",
+)
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules (market-basket support / confidence / lift) for
+    co-purchased part pairs with order-support >= 2 — the classic
+    frequent-itemset pair tier, derived from the SAME memoized pair-count
+    table the graph family shares (zero extra pair generation). Item
+    supports are a part-sized dimension that BROADCASTS into the rule
+    join; the order count rides in as a broadcast 1-row aggregate. All
+    ratios are single double divisions of exact integers, rounded once.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    pc = (
+        _copurchase_pair_counts(spark, sf_dir)
+        .filter(F.col("support") >= 2)
+        .withColumnRenamed("support", "s_ab")
+    )
+    ic = li.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count(F.lit(1)).alias("s_i")
+    )
+    n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    both = pc.select(
+        F.col("a").alias("antecedent"), F.col("b").alias("consequent"), "s_ab"
+    ).unionByName(
+        pc.select(
+            F.col("b").alias("antecedent"), F.col("a").alias("consequent"), "s_ab"
+        )
+    )
+    ia = ic.select(F.col("item").alias("antecedent"), F.col("s_i").alias("s_a"))
+    ib = ic.select(F.col("item").alias("consequent"), F.col("s_i").alias("s_b"))
+    return (
+        both.join(F.broadcast(ia), "antecedent")
+        .join(F.broadcast(ib), "consequent")
+        .join(F.broadcast(n))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("s_ab").alias("pair_support"),
+            F.round(F.col("s_ab").cast("double") / F.col("s_a"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                (F.col("s_ab") * F.col("n_orders")).cast("double")
+                / (F.col("s_a") * F.col("s_b")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )
