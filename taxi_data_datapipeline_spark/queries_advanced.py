@@ -2621,3 +2621,68 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "cusum_changepoint",
+    """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+tot AS (
+  SELECT event_type, COUNT(*) AS n_days, SUM(n) AS s
+  FROM daily GROUP BY event_type),
+dev AS (
+  SELECT d.event_type, d.day,
+         SUM(d.n * t.n_days - t.s)
+           OVER (PARTITION BY d.event_type ORDER BY d.day) AS cusum
+  FROM daily d JOIN tot t ON d.event_type = t.event_type)
+SELECT event_type,
+       CAST(MIN(CASE WHEN rnk = 1 THEN day END) AS DATE) AS change_day,
+       CAST(MAX(ABS(cusum)) AS BIGINT) AS max_abs_cusum,
+       COUNT(*) AS n_days
+FROM (
+  SELECT event_type, day, cusum,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY ABS(cusum) DESC, day) AS rnk
+  FROM dev)
+GROUP BY event_type
+""",
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per event type: cumulative sum of
+    mean-centered daily counts, peak |CUSUM| marks the most likely level
+    shift. Exactness: deviations are scaled by the day count
+    (n_d * D - S) so everything stays BIGINT — no float mean, no fold
+    order. One shuffle builds daily counts; the per-type totals re-join
+    broadcast; cumsum + argmax windows share the event_type partitioning
+    (the aggregate-sized table, not raw events — window-over-aggregate,
+    ROUND_NOTES landmine 9).
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("n").alias("s")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    dev = (
+        daily.join(F.broadcast(tot), "event_type")
+        .withColumn(
+            "cusum",
+            F.sum(F.col("n") * F.col("n_days") - F.col("s")).over(w),
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), "day"
+    )
+    return (
+        dev.withColumn("rnk", F.row_number().over(wr))
+        .groupBy("event_type")
+        .agg(
+            F.min(F.when(F.col("rnk") == 1, F.col("day"))).alias("change_day"),
+            F.max(F.abs(F.col("cusum"))).cast("bigint").alias("max_abs_cusum"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+    )

@@ -2348,3 +2348,53 @@ def q_kmeans_units(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vec_id", F.col("cluster").cast("bigint").alias("cluster"), "d2u"
     )
+
+
+@register(
+    "inverted_index",
+    f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest({_SQL_SUBTOKS}) AS term FROM documents
+),
+idx AS (
+  SELECT term,
+         COUNT(*) AS df,
+         list_sort(list(doc_id)) AS postings
+  FROM tok GROUP BY term)
+SELECT term, df,
+       array_to_string(postings[1:20], ',') AS head_postings
+FROM idx
+WHERE df >= 5
+""",
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (term -> document-frequency + posting list),
+    the retrieval-side storage structure behind BM25/TF-IDF: explode
+    distinct (doc, term) pairs, one groupBy(term) collecting sorted
+    postings. Rare terms (df < 5) are left to the long tail; the
+    emitted posting HEAD (first 20 doc ids) is serialized to a string at
+    the query boundary (driver hashers can't hash list cells —
+    landmine 13). At corpus scale the posting lists for stop-word terms
+    are the classic skew case: real deployments cap or skip them exactly
+    like this df-band does, and the groupBy carries map-side partial
+    collect_set segments.
+    """
+    docs = load(spark, sf_dir, "documents", fan_out=True)
+    tok = docs.select(
+        "doc_id", F.explode(bpe_ish_tokens(F.col("text"))).alias("term")
+    ).distinct()
+    return (
+        tok.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        )
+        .filter(F.col("df") >= 5)
+        .select(
+            "term",
+            "df",
+            F.concat_ws(
+                ",", F.slice(F.col("postings"), 1, 20).cast("array<string>")
+            ).alias("head_postings"),
+        )
+    )
