@@ -173,13 +173,17 @@ DRIVER_WINDOW: list[str] = [
     "streaming_hourly_counts", "streaming_session_windows",
     "streaming_cdc_compaction", "streaming_dim_enrichment",
     # Skew-aware shapes
-    "skew_join_salted", "salted_event_totals",
+    "skew_join_salted",
+    # Iterative clustering with a full unrolled-CTE oracle (round 3)
+    "kmeans_units",
     # Deduplication tiers
     "dedup_groups_cc", "minhash_lsh_dedup", "ngram_jaccard_blocked",
     # Embedding similarity
     "embedding_near_dup", "embedding_quantize",
     # Text analysis
-    "tfidf_top_terms", "bigram_surprisal",
+    "tfidf_top_terms",
+    # Market-basket association rules (round 3)
+    "assoc_rules",
     # Behavioral analytics
     "retention_cohorts",
 ]
