@@ -2690,3 +2690,67 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_days"),
         )
     )
+
+
+@register(
+    "trimmed_mean_prices",
+    """
+WITH edges AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.05e0) AS lo,
+         quantile_cont(l_extendedprice, 0.95e0) AS hi
+  FROM lineitem GROUP BY l_returnflag),
+c AS (
+  SELECT l.l_returnflag,
+         CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents,
+         l.l_extendedprice < e.lo AS is_low,
+         l.l_extendedprice > e.hi AS is_high
+  FROM lineitem l JOIN edges e ON l.l_returnflag = e.l_returnflag)
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       CAST(COUNT(*) FILTER (WHERE is_low) AS BIGINT) AS n_low,
+       CAST(COUNT(*) FILTER (WHERE is_high) AS BIGINT) AS n_high,
+       ROUND(CAST(SUM(cents) FILTER (WHERE NOT is_low AND NOT is_high)
+                  AS DOUBLE)
+             / (100.0e0 * COUNT(*) FILTER (WHERE NOT is_low AND NOT is_high)),
+             6) AS trimmed_mean
+FROM c
+GROUP BY l_returnflag
+""",
+)
+def q_trimmed_mean_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (5%-trimmed) mean price per return flag: percentile edges
+    from one single-pass aggregate, BROADCAST back, and a second pass
+    counts/sums only in-band rows — the scale-correct two-pass robust
+    statistic (same shape as the MAD outlier query; never a global
+    sort). Exactness: in-band values are summed as integer CENTS (the
+    money-decimal convention), so the final mean is one double division
+    of exact integers; the float percentile edges only ever sit in
+    COMPARISONS, where both engines agree bit-for-bit.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    edges = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.05)).alias("lo"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("hi"),
+    )
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "bigint"
+    )
+    c = li.join(F.broadcast(edges), "l_returnflag").select(
+        "l_returnflag",
+        cents.alias("cents"),
+        (F.col("l_extendedprice") < F.col("lo")).alias("is_low"),
+        (F.col("l_extendedprice") > F.col("hi")).alias("is_high"),
+    )
+    mid = ~F.col("is_low") & ~F.col("is_high")
+    return c.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("is_low")).cast("bigint").alias("n_low"),
+        F.count_if(F.col("is_high")).cast("bigint").alias("n_high"),
+        F.round(
+            F.sum(F.when(mid, F.col("cents"))).cast("double")
+            / (F.lit(100.0) * F.count_if(mid)),
+            6,
+        ).alias("trimmed_mean"),
+    )
