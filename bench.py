@@ -38,7 +38,7 @@ from taxi_data_datapipeline_spark.session import get_spark
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    par = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PAR", "8")))
+    par = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PAR", "12")))  # swept 6-16 on local[32]: 12 min-wall (8 underlaps the long tail, 16 oversubscribes)
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
