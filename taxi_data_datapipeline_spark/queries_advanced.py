@@ -2754,3 +2754,51 @@ def q_trimmed_mean_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("trimmed_mean"),
     )
+
+
+@register(
+    "seasonal_adjust",
+    """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+dow AS (
+  SELECT event_type, dayofweek(day) AS dw,
+         COUNT(*) AS days_n, SUM(n) AS dow_s
+  FROM daily GROUP BY 1, 2)
+SELECT d.event_type, d.day, d.n,
+       ROUND(CAST(t.dow_s AS DOUBLE) / t.days_n, 6) AS dow_mean,
+       ROUND(d.n - CAST(t.dow_s AS DOUBLE) / t.days_n, 6) AS residual
+FROM daily d
+JOIN dow t ON d.event_type = t.event_type AND dayofweek(d.day) = t.dw
+""",
+)
+def q_seasonal_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal adjustment (weekly-seasonality removal) of daily event
+    counts: subtract each (event_type, day-of-week) mean from the daily
+    series — the naive-seasonal baseline every traffic/forecast pipeline
+    starts from. One shuffle builds the daily series; the 7-row-per-type
+    seasonal profile re-aggregates that (already aggregate-sized) table
+    and BROADCASTS back. Residual = n - s/days is one double division +
+    one subtraction of exact integers, rounded once; DuckDB and Spark
+    agree on dayofweek (1 = Sunday) under the pinned UTC session.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    dow = daily.groupBy(
+        "event_type", F.dayofweek("day").alias("dw")
+    ).agg(F.count(F.lit(1)).alias("days_n"), F.sum("n").alias("dow_s"))
+    mean = F.col("dow_s").cast("double") / F.col("days_n")
+    return (
+        daily.withColumn("dw", F.dayofweek("day"))
+        .join(F.broadcast(dow), ["event_type", "dw"])
+        .select(
+            "event_type",
+            "day",
+            "n",
+            F.round(mean, 6).alias("dow_mean"),
+            F.round(F.col("n") - mean, 6).alias("residual"),
+        )
+    )

@@ -2398,3 +2398,65 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("head_postings"),
         )
     )
+
+
+@register(
+    "knn_join",
+    """
+WITH q AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id < 8),
+c AS (
+  SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv, label FROM embeddings),
+scored AS (
+  SELECT q.q_id, c.c_id, c.label,
+         ROUND(list_dot_product(q.qv, c.cv)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(c.cv, c.cv))), 6) AS cosine_sim
+  FROM q CROSS JOIN c
+  WHERE q.q_id != c.c_id),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY cosine_sim DESC, c_id) AS rk
+  FROM scored)
+SELECT q_id, c_id, label, cosine_sim, rk
+FROM ranked WHERE rk <= 3
+""",
+)
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN join: top-3 cosine neighbors for EACH of a set of query
+    vectors in one pass — the production shape of similarity search
+    (embedding_topk is the single-query tier; the LSH/IVF queries are
+    the sublinear tier). The query set BROADCASTS into the corpus scan
+    (queries are the small side by construction), each scan row scores
+    against all broadcast queries map-side, and per-query top-k comes
+    from one window over the scored stream partitioned by query id —
+    rank ties broken by candidate id. At 100 TB: corpus scanned once
+    regardless of query-set size; the shuffle carries only
+    (n_queries x candidates) scored rows.
+    """
+    from taxi_data_datapipeline_spark.operators.similarity import cosine
+
+    emb = load(spark, sf_dir, "embeddings", fan_out=True)
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"), "label"
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            "label",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine_sim").desc(), "c_id"
+    )
+    return scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 3
+    )
