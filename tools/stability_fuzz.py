@@ -28,7 +28,10 @@ from check_oracle import frame_hash  # noqa: E402
 import __spark_entry__ as e  # noqa: E402
 from taxi_data_datapipeline_spark.session import get_spark  # noqa: E402
 
-PARTITION_SETTINGS = ("32", "7")
+# (shuffle partitions, scan split size): vary BOTH the reduce-side and
+# the map-side partitioning — a query whose answer survives these is
+# insensitive to cluster geometry on either end of the exchange.
+PARTITION_SETTINGS = (("32", "128m"), ("7", "1m"))
 
 
 def main() -> None:
@@ -43,8 +46,9 @@ def main() -> None:
     for i, (name, fn) in enumerate(qs.items()):
         hashes = []
         try:
-            for parts in PARTITION_SETTINGS:
+            for parts, split in PARTITION_SETTINGS:
                 spark.conf.set("spark.sql.shuffle.partitions", parts)
+                spark.conf.set("spark.sql.files.maxPartitionBytes", split)
                 df = fn(spark, sf_dir)
                 hashes.append(
                     frame_hash(df.columns, [tuple(r) for r in df.collect()])
@@ -54,6 +58,7 @@ def main() -> None:
             continue
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", "32")
+            spark.conf.set("spark.sql.files.maxPartitionBytes", "128m")
         if len(set(hashes)) != 1:
             bad.append((name, "hash unstable across partition counts"))
         if (i + 1) % 25 == 0:
