@@ -179,6 +179,7 @@ def pagerank_units(
     dst: str = "b",
     iters: int = 5,
     units: int = 10**12,
+    weight: str | None = None,
 ) -> DataFrame:
     """PageRank over an undirected edge list, computed entirely in
     fixed-point integer arithmetic: ranks are BIGINT micro-units
@@ -195,6 +196,11 @@ def pagerank_units(
     once; 5 iterations = 5 shuffle rounds, independent of data size. On
     an undirected graph every node has out-degree >= 1, so there is no
     dangling-mass term.
+
+    ``weight`` names an integer edge-weight column: each neighbor then
+    receives rank share w/sum(w) instead of 1/deg — still exact
+    (runits * 17 * w DIV (20 * wdeg)), so the weighted variant keeps the
+    full unrolled-CTE oracle. Unweighted is w = 1.
     """
     # One pass builds everything iteration-invariant: symmetrize (the
     # input is canonical unique pairs, so the two directions cannot
@@ -202,14 +208,19 @@ def pagerank_units(
     # first-row marker with two windows sharing ONE exchange on u, and
     # materialize. The node count rides the same job as an Observation —
     # zero extra actions before the iterations start.
-    sym0 = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    w_expr = F.col(weight) if weight is not None else F.lit(1).cast("long")
+    sym0 = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v"), w_expr.alias("w")
+    ).unionByName(
+        edges.select(
+            F.col(dst).alias("u"), F.col(src).alias("v"), w_expr.alias("w")
+        )
     )
     wu = Window.partitionBy("u")
     wuo = Window.partitionBy("u").orderBy("v")
     obs = Observation()
     sym = (
-        sym0.withColumn("outdeg", F.count(F.lit(1)).over(wu))
+        sym0.withColumn("outdeg", F.sum("w").over(wu))
         .withColumn("_first", (F.row_number().over(wuo) == 1).cast("long"))
         .observe(obs, F.sum("_first").alias("n"))
         .localCheckpoint(eager=True)
@@ -234,7 +245,7 @@ def pagerank_units(
             r_build = F.broadcast(r_build)
         contrib = sym.join(r_build, "u").select(
             F.col("v").alias("node"),
-            F.expr("runits * 17 DIV (20 * outdeg)").alias("c"),
+            F.expr("runits * 17 * w DIV (20 * outdeg)").alias("c"),
         )
         return contrib.groupBy("node").agg(
             (F.lit(base) + F.sum("c")).cast("long").alias("runits")

@@ -2802,3 +2802,54 @@ def q_seasonal_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n") - mean, 6).alias("residual"),
         )
     )
+
+
+def _pagerank_weighted_oracle(iters: int = 5, units: int = 10**12) -> str:
+    prev = "r0"
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""r{k} AS (
+  SELECT s.v AS node,
+         CAST(bs.base + SUM((r.runits * 17 * s.w) // (20 * d.wdeg)) AS BIGINT)
+           AS runits
+  FROM sym s
+  JOIN {prev} r ON s.u = r.node
+  JOIN deg d ON s.u = d.u
+  CROSS JOIN bs
+  GROUP BY s.v, bs.base)"""
+        )
+        prev = f"r{k}"
+    steps_sql = ",\n".join(steps)
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT x.l_partkey AS a, y.l_partkey AS b, COUNT(*) AS w
+  FROM li x JOIN li y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY x.l_partkey, y.l_partkey),
+sym AS (SELECT a AS u, b AS v, w FROM e UNION ALL SELECT b, a, w FROM e),
+deg AS (SELECT u, SUM(w) AS wdeg FROM sym GROUP BY u),
+n AS (SELECT COUNT(*) AS n FROM deg),
+bs AS (SELECT ({units} * 3) // (20 * n) AS base FROM n),
+r0 AS (SELECT u AS node, CAST({units} // n.n AS BIGINT) AS runits
+       FROM deg CROSS JOIN n),
+{steps_sql}
+SELECT node, runits FROM {prev}
+"""
+
+
+@register("pagerank_weighted", _pagerank_weighted_oracle())
+def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support-WEIGHTED PageRank over the co-purchase graph: each
+    neighbor's rank share is proportional to how many orders the pair
+    co-occurred in (w/sum(w)), not 1/degree — the weighted-graph tier of
+    the analytics family. Same BIGINT fixed-point discipline as the
+    unweighted variant (operators/graphs.py:pagerank_units with a weight
+    column), so the 5 unrolled iterations keep a full value-hash oracle.
+    Reuses the shared memoized pair-count table — zero extra pair
+    generation."""
+    from taxi_data_datapipeline_spark.operators.graphs import pagerank_units
+
+    counts = _copurchase_pair_counts(spark, sf_dir)
+    return pagerank_units(counts, weight="support")
