@@ -740,3 +740,30 @@ def q_sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ["customer", "orders", "lineitem"]:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(ORACLES["sql_shipping_priority"])
+
+
+@register(
+    "sql_lateral_topk",
+    """
+SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) t
+WHERE c.c_mktsegment = 'BUILDING'
+""",
+)
+def q_sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery from pure SQL TEXT: each customer's
+    top-2 orders by price, expressed as the ANSI lateral-join idiom and
+    run VERBATIM on both engines (Spark 4 plans the correlated
+    ORDER BY ... LIMIT as a partitioned window top-k under the hood —
+    the same physical shape as the `topk_per_group` DataFrame query, no
+    per-customer re-execution)."""
+    from taxi_data_datapipeline_spark.queries import ORACLES
+
+    for t in ["customer", "orders"]:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(ORACLES["sql_lateral_topk"])
