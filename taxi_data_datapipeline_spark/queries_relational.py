@@ -781,3 +781,67 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("n_name", "p_partkey", "revenue")
     )
+
+
+@register(
+    "skew_diagnostics",
+    """
+WITH k1 AS (SELECT l_partkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1),
+k2 AS (SELECT l_suppkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1),
+k3 AS (SELECT user_id AS k, COUNT(*) AS c FROM events GROUP BY 1),
+s1 AS (
+  SELECT 'lineitem.l_partkey' AS key_col, CAST(SUM(c) AS BIGINT) AS n_rows,
+         COUNT(*) AS n_keys, CAST(MAX(c) AS BIGINT) AS top1_rows,
+         ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top1_share,
+         ROUND(quantile_cont(c, 0.99e0) / quantile_cont(c, 0.5e0), 6)
+           AS p99_over_p50
+  FROM k1),
+s2 AS (
+  SELECT 'lineitem.l_suppkey', CAST(SUM(c) AS BIGINT), COUNT(*),
+         CAST(MAX(c) AS BIGINT),
+         ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6),
+         ROUND(quantile_cont(c, 0.99e0) / quantile_cont(c, 0.5e0), 6)
+  FROM k2),
+s3 AS (
+  SELECT 'events.user_id', CAST(SUM(c) AS BIGINT), COUNT(*),
+         CAST(MAX(c) AS BIGINT),
+         ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6),
+         ROUND(quantile_cont(c, 0.99e0) / quantile_cont(c, 0.5e0), 6)
+  FROM k3)
+SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+""",
+)
+def q_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics — the pre-flight report a 100 TB join
+    plan needs: per candidate key column, row/key counts, the hottest
+    key's share, and the p99/p50 per-key-count ratio (the number that
+    says 'salt this join' when it blows up). Each column costs one
+    groupBy to the per-key count table plus a 1-row re-aggregate of that
+    (already aggregate-sized) table; the three reports union. Shares and
+    quantile ratios are single double divisions, rounded once.
+    """
+    def profile(df: DataFrame, col: str, label: str) -> DataFrame:
+        counts = df.groupBy(F.col(col).alias("k")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        qs = F.percentile("c", F.array(F.lit(0.5), F.lit(0.99)))
+        return counts.agg(
+            F.lit(label).alias("key_col"),
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("c").cast("bigint").alias("top1_rows"),
+            F.round(F.max("c").cast("double") / F.sum("c"), 6).alias(
+                "top1_share"
+            ),
+            F.round(
+                F.element_at(qs, 2) / F.element_at(qs, 1), 6
+            ).alias("p99_over_p50"),
+        )
+
+    li = load(spark, sf_dir, "lineitem")
+    ev = load(spark, sf_dir, "events")
+    return (
+        profile(li, "l_partkey", "lineitem.l_partkey")
+        .unionByName(profile(li, "l_suppkey", "lineitem.l_suppkey"))
+        .unionByName(profile(ev, "user_id", "events.user_id"))
+    )
