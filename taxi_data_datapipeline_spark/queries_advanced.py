@@ -2853,3 +2853,66 @@ def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     counts = _copurchase_pair_counts(spark, sf_dir)
     return pagerank_units(counts, weight="support")
+
+
+@register(
+    "attribution_linear",
+    """
+WITH p AS (
+  SELECT event_id AS p_id, user_id, ts AS p_ts FROM events
+  WHERE event_type = 'purchase'),
+v AS (
+  SELECT event_id AS v_id, user_id, ts AS v_ts FROM events
+  WHERE event_type = 'view'),
+touch AS (
+  SELECT p.p_id, v.v_id, v.user_id
+  FROM p JOIN v ON p.user_id = v.user_id
+   AND v.v_ts <= p.p_ts AND v.v_ts > p.p_ts - INTERVAL 1 HOUR),
+per_p AS (
+  SELECT p_id, COUNT(*) AS n_touch FROM touch GROUP BY p_id)
+SELECT t.v_id, t.user_id,
+       COUNT(*) AS n_assists,
+       CAST(SUM(1000000000000 // pp.n_touch) AS BIGINT) AS credit_units
+FROM touch t JOIN per_p pp ON t.p_id = pp.p_id
+GROUP BY t.v_id, t.user_id
+""",
+)
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every view within the hour before
+    a purchase (same user) shares that purchase's credit equally — the
+    fractional-allocation pattern behind marketing attribution and
+    proportional fill. Credit is allocated in integer PICO-units
+    (10^12 // n_touch) so the per-view sums are exact and
+    order-independent — no float fold ambiguity in a quantity that gets
+    summed across purchases. The touch join is an equi-join on user_id
+    with a range predicate (never a cross join); per-purchase touch
+    counts re-aggregate the touch table and join back by purchase id —
+    both sides of that join are the (already shrunken) touch table, not
+    raw events.
+    """
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_id"),
+        "user_id",
+        F.col("ts").alias("v_ts"),
+    )
+    touch = p.join(v, "user_id").filter(
+        (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+    ).select("p_id", "v_id", "user_id")
+    per_p = touch.groupBy("p_id").agg(F.count(F.lit(1)).alias("n_touch"))
+    return (
+        touch.join(per_p, "p_id")
+        .groupBy("v_id", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_assists"),
+            F.sum(F.expr("1000000000000 div n_touch"))
+            .cast("bigint")
+            .alias("credit_units"),
+        )
+    )
