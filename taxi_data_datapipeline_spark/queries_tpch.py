@@ -767,3 +767,38 @@ def q_sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ["customer", "orders"]:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(ORACLES["sql_lateral_topk"])
+
+
+@register(
+    "sql_recursive_calendar",
+    """
+WITH RECURSIVE cal AS (
+  SELECT DATE '1995-01-01' AS day
+  UNION ALL
+  SELECT day + 1 FROM cal WHERE day < DATE '1995-03-31'
+),
+rev AS (
+  SELECT CAST(l_shipdate AS DATE) AS day,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate < TIMESTAMP '1995-04-01'
+  GROUP BY 1)
+SELECT c.day, COALESCE(r.revenue, 0.0e0) AS revenue
+FROM cal c LEFT JOIN rev r ON c.day = r.day
+""",
+)
+def q_sql_recursive_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE from pure SQL TEXT (Spark 4.1 WITH RECURSIVE,
+    UNION ALL + bounded predicate): generate a Q1'95 calendar
+    recursively and left-join daily revenue with zero fill — the
+    dense-calendar gap-fill expressed in the SQL-standard recursion
+    idiom, VERBATIM on both engines (the DataFrame tier does the same
+    with sequence()+explode in `gapfill_locf`). Recursion depth is
+    bounded by the date predicate, so the plan is a fixed 90-step
+    expansion, not an unbounded loop."""
+    from taxi_data_datapipeline_spark.queries import ORACLES
+
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(ORACLES["sql_recursive_calendar"])
