@@ -2460,3 +2460,51 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rk", F.row_number().over(w)).filter(
         F.col("rk") <= 3
     )
+
+
+@register(
+    "multimodal_resize",
+    """
+SELECT doc_id,
+       256 AS out_len,
+       CASE WHEN length(text) >= 256 THEN 0
+            ELSE 256 - length(text) END AS n_pad,
+       sha256(substr(text, 1, 256)) AS head_sha
+FROM documents
+""",
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize-stage plumbing under full verification: run the
+    Arrow-batched binary resize (operators/multimodal.py:
+    resize_payloads — truncate/zero-pad to 256 bytes, the deterministic
+    stand-in for decode+resample) and characterize its ACTUAL binary
+    output — total length, pad bytes added, sha256 of the content head —
+    so the mapInPandas path itself is what the oracle checks (the
+    oracle states the same facts from the char domain; payloads are
+    UTF-8 text bytes as in `multimodal_bytes`)."""
+    from taxi_data_datapipeline_spark.operators.multimodal import (
+        resize_payloads,
+    )
+
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    resized = resize_payloads(
+        d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")),
+        target_len=256,
+    )
+    src = d.select("doc_id", F.octet_length(F.col("text")).alias("n_b"))
+    return (
+        resized.join(src, "doc_id")
+        .select(
+            "doc_id",
+            F.octet_length("resized").alias("out_len"),
+            F.when(F.col("n_b") >= 256, 0)
+            .otherwise(256 - F.col("n_b"))
+            .alias("n_pad"),
+            F.sha2(
+                F.substring(F.col("resized"), 1, 256).substr(
+                    F.lit(1), F.least(F.col("n_b"), F.lit(256))
+                ),
+                256,
+            ).alias("head_sha"),
+        )
+    )
