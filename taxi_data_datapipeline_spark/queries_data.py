@@ -2508,3 +2508,138 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("head_sha"),
         )
     )
+
+
+def _pq_oracle(k: int = 4, sub_dims: int = 8, iters: int = 2) -> str:
+    steps = []
+    prev = "c0"
+    for t in range(1, iters + 1):
+        steps.append(
+            f"""d{t} AS (
+  SELECT d.vec_id, d.sub, c.cid,
+         SUM((d.xu - c.cu) * (d.xu - c.cu)) AS d2
+  FROM du d JOIN {prev} c ON d.sub = c.sub AND d.sdim = c.sdim
+  GROUP BY d.vec_id, d.sub, c.cid),
+a{t} AS (
+  SELECT vec_id, sub, cid AS code, d2 FROM (
+    SELECT vec_id, sub, cid, d2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                              ORDER BY d2, cid) AS rn
+    FROM d{t}) WHERE rn = 1),
+c{t} AS (
+  SELECT a.sub, a.code AS cid, d.sdim,
+         SUM(d.xu) // COUNT(*) AS cu
+  FROM a{t} a JOIN du d ON a.vec_id = d.vec_id AND a.sub = d.sub
+  GROUP BY a.sub, a.code, d.sdim)"""
+        )
+        prev = f"c{t}"
+    fin = iters + 1
+    steps.append(
+        f"""d{fin} AS (
+  SELECT d.vec_id, d.sub, c.cid,
+         SUM((d.xu - c.cu) * (d.xu - c.cu)) AS d2
+  FROM du d JOIN {prev} c ON d.sub = c.sub AND d.sdim = c.sdim
+  GROUP BY d.vec_id, d.sub, c.cid),
+a{fin} AS (
+  SELECT vec_id, sub, cid AS code, d2 FROM (
+    SELECT vec_id, sub, cid, d2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                              ORDER BY d2, cid) AS rn
+    FROM d{fin}) WHERE rn = 1)"""
+    )
+    steps_sql = ",\n".join(steps)
+    return f"""
+WITH xu AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(FLOOR(x * 1048576) AS BIGINT)) AS v
+  FROM embeddings),
+du AS (
+  SELECT vec_id,
+         (i.i - 1) // {sub_dims} AS sub,
+         (i.i - 1) % {sub_dims} AS sdim,
+         v[i.i] AS xu
+  FROM xu, LATERAL unnest(generate_series(1, len(v))) AS i(i)),
+c0 AS (
+  SELECT sub, vec_id AS cid, sdim, xu AS cu FROM du WHERE vec_id < {k}),
+{steps_sql}
+SELECT vec_id, sub, code, CAST(d2 AS BIGINT) AS recon_d2u
+FROM a{iters + 1}
+"""
+
+
+@register("pq_encode", _pq_oracle())
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (the ANN-index compression tier behind IVF-PQ,
+    Jegou/Douze/Schmid TPAMI 2011): split each embedding into 8-dim
+    subvectors, train a tiny per-subspace codebook with 2 fixed-point
+    Lloyd iterations (seeds = the first k vectors' subvectors), and
+    encode every vector as one code per subspace with its reconstruction
+    error. All arithmetic is BIGINT fixed-point (2^-20 units, truncating
+    centroid division), so the whole train+encode loop has a full
+    unrolled-CTE oracle — same discipline as `kmeans_units`, generalized
+    by carrying the subspace id through every join/group.
+
+    Scale shape: posexplode to (vec, subspace, dim) units is map-side;
+    each iteration is one shuffle to per-(subspace, code, dim) sums (the
+    codebook — k * subspaces * sub_dims rows, broadcasts back for the
+    next assignment); encoding output stays exploded (vec_id, sub,
+    code) — the PQ code matrix a 100 TB ANN index stores.
+    """
+    k, sub_dims, iters = 4, 8, 2
+    emb = load(spark, sf_dir, "embeddings", fan_out=True)
+    du = (
+        emb.select(
+            "vec_id", F.posexplode(F.col("embedding")).alias("pos", "x")
+        )
+        .select(
+            "vec_id",
+            (F.col("pos") / sub_dims).cast("int").alias("sub"),
+            F.pmod(F.col("pos"), F.lit(sub_dims)).alias("sdim"),
+            F.floor(F.col("x").cast("double") * F.lit(1048576.0)).alias("xu"),
+        )
+    )
+    cb = du.filter(F.col("vec_id") < k).select(
+        "sub", F.col("vec_id").alias("cid"), "sdim", F.col("xu").alias("cu")
+    )
+    for _ in range(iters):
+        d2 = (
+            du.join(F.broadcast(cb), ["sub", "sdim"])
+            .groupBy("vec_id", "sub", "cid")
+            .agg(
+                F.sum((F.col("xu") - F.col("cu")) * (F.col("xu") - F.col("cu")))
+                .cast("long")
+                .alias("d2")
+            )
+        )
+        w = Window.partitionBy("vec_id", "sub").orderBy("d2", "cid")
+        assign = (
+            d2.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "sub", F.col("cid").alias("code"), "d2")
+        )
+        cb = (
+            assign.join(du, ["vec_id", "sub"])
+            .groupBy("sub", F.col("code").alias("cid"), "sdim")
+            .agg(F.expr("SUM(xu) div COUNT(*)").alias("cu"))
+        )
+    d2f = (
+        du.join(F.broadcast(cb), ["sub", "sdim"])
+        .groupBy("vec_id", "sub", "cid")
+        .agg(
+                F.sum((F.col("xu") - F.col("cu")) * (F.col("xu") - F.col("cu")))
+                .cast("long")
+                .alias("d2")
+            )
+    )
+    wf = Window.partitionBy("vec_id", "sub").orderBy("d2", "cid")
+    return (
+        d2f.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "sub",
+            F.col("cid").alias("code"),
+            F.col("d2").alias("recon_d2u"),
+        )
+    )
