@@ -2643,3 +2643,51 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d2").alias("recon_d2u"),
         )
     )
+
+
+@register(
+    "langid_confusion",
+    f"""
+WITH v AS (SELECT doc_id, lang AS labeled_lang, {_lang_votes_sql()} FROM documents),
+pred AS (
+  SELECT labeled_lang,
+         CASE WHEN GREATEST(v_de, v_en, v_es, v_fr, v_zh) = 0 THEN 'en'
+              WHEN v_de = GREATEST(v_de, v_en, v_es, v_fr, v_zh) THEN 'de'
+              WHEN v_en = GREATEST(v_de, v_en, v_es, v_fr, v_zh) THEN 'en'
+              WHEN v_es = GREATEST(v_de, v_en, v_es, v_fr, v_zh) THEN 'es'
+              WHEN v_fr = GREATEST(v_de, v_en, v_es, v_fr, v_zh) THEN 'fr'
+              ELSE 'zh' END AS predicted_lang
+  FROM v),
+cells AS (
+  SELECT labeled_lang, predicted_lang, COUNT(*) AS n
+  FROM pred GROUP BY 1, 2),
+tot AS (SELECT labeled_lang, SUM(n) AS row_n FROM cells GROUP BY 1)
+SELECT c.labeled_lang, c.predicted_lang, c.n,
+       ROUND(CAST(c.n AS DOUBLE) / t.row_n, 6) AS row_share
+FROM cells c JOIN tot t ON c.labeled_lang = t.labeled_lang
+""",
+)
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation confusion matrix for the stopword-vote
+    language ID: (labeled, predicted) cell counts with row-normalized
+    shares — the model-eval aggregate every labeling pipeline reports.
+    One groupBy to the cell table; per-row totals re-aggregate the cells
+    and broadcast back. Shares are one double division, rounded once.
+    """
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    pred = d.select(
+        F.col("lang").alias("labeled_lang"),
+        lang_id(F.col("text")).alias("predicted_lang"),
+    )
+    cells = pred.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cells.groupBy("labeled_lang").agg(F.sum("n").alias("row_n"))
+    return cells.join(F.broadcast(tot), "labeled_lang").select(
+        "labeled_lang",
+        "predicted_lang",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("row_n"), 6).alias(
+            "row_share"
+        ),
+    )
