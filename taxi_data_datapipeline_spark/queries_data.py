@@ -2510,7 +2510,57 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_oracle(k: int = 4, sub_dims: int = 8, iters: int = 2) -> str:
+def _pq_train_encode(
+    spark: SparkSession, sf_dir: str, k: int = 4, sub_dims: int = 8, iters: int = 2
+):
+    """Shared PQ machinery: returns (du, final codebook, final assignment)
+    where du = (vec_id, sub, sdim, xu) fixed-point subvector units,
+    codebook = (sub, cid, sdim, cu), assignment = (vec_id, sub, code, d2)."""
+    emb = load(spark, sf_dir, "embeddings", fan_out=True)
+    du = (
+        emb.select(
+            "vec_id", F.posexplode(F.col("embedding")).alias("pos", "x")
+        )
+        .select(
+            "vec_id",
+            (F.col("pos") / sub_dims).cast("int").alias("sub"),
+            F.pmod(F.col("pos"), F.lit(sub_dims)).alias("sdim"),
+            F.floor(F.col("x").cast("double") * F.lit(1048576.0)).alias("xu"),
+        )
+    )
+    sq = F.sum(
+        (F.col("xu") - F.col("cu")) * (F.col("xu") - F.col("cu"))
+    ).cast("long")
+
+    def assign_to(codebook):
+        d2 = (
+            du.join(F.broadcast(codebook), ["sub", "sdim"])
+            .groupBy("vec_id", "sub", "cid")
+            .agg(sq.alias("d2"))
+        )
+        w = Window.partitionBy("vec_id", "sub").orderBy("d2", "cid")
+        return (
+            d2.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "sub", F.col("cid").alias("code"), "d2")
+        )
+
+    cb = du.filter(F.col("vec_id") < k).select(
+        "sub", F.col("vec_id").alias("cid"), "sdim", F.col("xu").alias("cu")
+    )
+    for _ in range(iters):
+        assign = assign_to(cb)
+        cb = (
+            assign.join(du, ["vec_id", "sub"])
+            .groupBy("sub", F.col("code").alias("cid"), "sdim")
+            .agg(F.expr("SUM(xu) div COUNT(*)").alias("cu"))
+        )
+    return du, cb, assign_to(cb)
+
+
+def _pq_oracle(
+    k: int = 4, sub_dims: int = 8, iters: int = 2, tail: str | None = None
+) -> str:
     steps = []
     prev = "c0"
     for t in range(1, iters + 1):
@@ -2548,6 +2598,10 @@ a{fin} AS (
     FROM d{fin}) WHERE rn = 1)"""
     )
     steps_sql = ",\n".join(steps)
+    tail_sql = tail or (
+        "SELECT vec_id, sub, code, CAST(d2 AS BIGINT) AS recon_d2u\n"
+        f"FROM a{iters + 1}"
+    )
     return f"""
 WITH xu AS (
   SELECT vec_id,
@@ -2563,8 +2617,7 @@ du AS (
 c0 AS (
   SELECT sub, vec_id AS cid, sdim, xu AS cu FROM du WHERE vec_id < {k}),
 {steps_sql}
-SELECT vec_id, sub, code, CAST(d2 AS BIGINT) AS recon_d2u
-FROM a{iters + 1}
+{tail_sql}
 """
 
 
@@ -2586,62 +2639,9 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     next assignment); encoding output stays exploded (vec_id, sub,
     code) — the PQ code matrix a 100 TB ANN index stores.
     """
-    k, sub_dims, iters = 4, 8, 2
-    emb = load(spark, sf_dir, "embeddings", fan_out=True)
-    du = (
-        emb.select(
-            "vec_id", F.posexplode(F.col("embedding")).alias("pos", "x")
-        )
-        .select(
-            "vec_id",
-            (F.col("pos") / sub_dims).cast("int").alias("sub"),
-            F.pmod(F.col("pos"), F.lit(sub_dims)).alias("sdim"),
-            F.floor(F.col("x").cast("double") * F.lit(1048576.0)).alias("xu"),
-        )
-    )
-    cb = du.filter(F.col("vec_id") < k).select(
-        "sub", F.col("vec_id").alias("cid"), "sdim", F.col("xu").alias("cu")
-    )
-    for _ in range(iters):
-        d2 = (
-            du.join(F.broadcast(cb), ["sub", "sdim"])
-            .groupBy("vec_id", "sub", "cid")
-            .agg(
-                F.sum((F.col("xu") - F.col("cu")) * (F.col("xu") - F.col("cu")))
-                .cast("long")
-                .alias("d2")
-            )
-        )
-        w = Window.partitionBy("vec_id", "sub").orderBy("d2", "cid")
-        assign = (
-            d2.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "sub", F.col("cid").alias("code"), "d2")
-        )
-        cb = (
-            assign.join(du, ["vec_id", "sub"])
-            .groupBy("sub", F.col("code").alias("cid"), "sdim")
-            .agg(F.expr("SUM(xu) div COUNT(*)").alias("cu"))
-        )
-    d2f = (
-        du.join(F.broadcast(cb), ["sub", "sdim"])
-        .groupBy("vec_id", "sub", "cid")
-        .agg(
-                F.sum((F.col("xu") - F.col("cu")) * (F.col("xu") - F.col("cu")))
-                .cast("long")
-                .alias("d2")
-            )
-    )
-    wf = Window.partitionBy("vec_id", "sub").orderBy("d2", "cid")
-    return (
-        d2f.withColumn("rn", F.row_number().over(wf))
-        .filter(F.col("rn") == 1)
-        .select(
-            "vec_id",
-            "sub",
-            F.col("cid").alias("code"),
-            F.col("d2").alias("recon_d2u"),
-        )
+    du, cb, assign = _pq_train_encode(spark, sf_dir)
+    return assign.select(
+        "vec_id", "sub", "code", F.col("d2").alias("recon_d2u")
     )
 
 
@@ -2690,4 +2690,56 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n").cast("double") / F.col("row_n"), 6).alias(
             "row_share"
         ),
+    )
+
+
+_ADC_TAIL = """q AS (
+  SELECT sub, sdim, xu AS qxu FROM du WHERE vec_id = 0),
+lut AS (
+  SELECT c.sub, c.cid, SUM((q.qxu - c.cu) * (q.qxu - c.cu)) AS d2
+  FROM c2 c JOIN q ON c.sub = q.sub AND c.sdim = q.sdim
+  GROUP BY c.sub, c.cid),
+score AS (
+  SELECT a.vec_id, SUM(l.d2) AS adc_d2u
+  FROM a3 a JOIN lut l ON a.sub = l.sub AND a.code = l.cid
+  WHERE a.vec_id != 0
+  GROUP BY a.vec_id)
+SELECT vec_id, CAST(adc_d2u AS BIGINT) AS adc_d2u
+FROM score ORDER BY adc_d2u, vec_id LIMIT 20"""
+
+
+@register("pq_adc_topk", _pq_oracle(tail=", " + _ADC_TAIL))
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes — the actual IVF-PQ
+    search step: the query vector builds a (subspace, code) -> distance
+    LOOKUP TABLE against the trained codebook (k * subspaces rows, all
+    integer), and every database vector is scored by summing 8 table
+    lookups over its codes instead of touching its 64 floats. The LUT
+    broadcasts; scoring is one join + groupBy over the code matrix; the
+    top-20 plans as TakeOrderedAndProject. Exact to the last bit, so the
+    full train -> encode -> search chain is value-hash oracle-checked.
+    """
+    du, cb, assign = _pq_train_encode(spark, sf_dir)
+    q = du.filter(F.col("vec_id") == 0).select(
+        "sub", "sdim", F.col("xu").alias("qxu")
+    )
+    lut = (
+        cb.join(F.broadcast(q), ["sub", "sdim"])
+        .groupBy("sub", "cid")
+        .agg(
+            F.sum((F.col("qxu") - F.col("cu")) * (F.col("qxu") - F.col("cu")))
+            .cast("long")
+            .alias("lut_d2")
+        )
+    )
+    return (
+        assign.filter(F.col("vec_id") != 0)
+        .join(
+            F.broadcast(lut),
+            (assign["sub"] == lut["sub"]) & (assign["code"] == lut["cid"]),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("lut_d2").cast("bigint").alias("adc_d2u"))
+        .orderBy("adc_d2u", "vec_id")
+        .limit(20)
     )
