@@ -2916,3 +2916,56 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("credit_units"),
         )
     )
+
+
+@register(
+    "streaming_twap",
+    """
+WITH seg AS (
+  SELECT user_id,
+         CAST(FLOOR(value * 1e6) AS BIGINT) AS vunits,
+         epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           - epoch_us(ts) AS dur_us
+  FROM events)
+SELECT user_id,
+       COUNT(*) AS n_intervals,
+       CAST(SUM(dur_us) AS BIGINT) AS total_dur_us,
+       ROUND(CAST(SUM(vunits * (dur_us // 1000)) AS DOUBLE)
+             / (1e3 * SUM(dur_us)), 6) AS twap
+FROM seg
+WHERE dur_us IS NOT NULL AND dur_us > 0
+GROUP BY user_id
+""",
+)
+def q_streaming_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TWAP computed INCREMENTALLY: a custom stateful operator
+    (applyInPandasWithState, streaming/twap.py) keeps each user's last
+    (ts, value) and emits closed holding segments as successor events
+    arrive — the stream cannot LEAD(), so state inverts the lookahead.
+    Drained AvailableNow, the segment set equals the batch LEAD
+    derivation, and the per-user aggregate shares `time_weighted_value`'s
+    oracle verbatim — custom stateful streaming under a full value-hash
+    check."""
+    from taxi_data_datapipeline_spark.streaming.twap import twap_segment_stream
+
+    raw = _stream_events(spark, sf_dir)
+    segments = twap_segment_stream(raw)
+    name = f"stream_twap_{next(_stream_counter)}"
+    q = (
+        segments.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    seg = spark.table(name).filter(F.col("dur_us") > 0)
+    return seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("dur_us").cast("bigint").alias("total_dur_us"),
+        F.round(
+            F.sum(F.col("vunits") * F.expr("dur_us div 1000")).cast("double")
+            / (F.lit(1e3) * F.sum("dur_us")),
+            6,
+        ).alias("twap"),
+    )
