@@ -2969,3 +2969,75 @@ def q_streaming_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("twap"),
     )
+
+
+@register(
+    "rolling_beta",
+    """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS xd,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc,
+         o_orderkey
+  FROM orders),
+w AS (
+  SELECT o_custkey, xd, o_orderkey,
+         COUNT(*) OVER win AS n,
+         SUM(xd) OVER win AS sx,
+         SUM(yc) OVER win AS sy,
+         SUM(xd * yc) OVER win AS sxy,
+         SUM(xd * xd) OVER win AS sxx
+  FROM o
+  WINDOW win AS (PARTITION BY o_custkey ORDER BY xd
+                 RANGE BETWEEN 89 PRECEDING AND CURRENT ROW))
+SELECT o_custkey, o_orderkey, n AS n_window,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE) / 100, 6)
+       END AS beta
+FROM w
+""",
+)
+def q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling regression (trailing-90-day OLS slope of order value vs
+    time, per customer) — the windowed-sufficient-statistics pattern:
+    the time-RANGE frame accumulates exact integer moments (day
+    ordinals, price cents, their products), and the slope assembles from
+    them per row with one double division. One shuffle on the customer
+    key serves all five window sums (one frame). A same-day-only window
+    has zero x-variance -> NULL beta, stated identically in both
+    engines.
+    """
+    o = load(spark, sf_dir, "orders")
+    xd = F.expr(
+        "CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000"
+        " AS BIGINT)"
+    )
+    yc = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    base = o.select(
+        "o_custkey", xd.alias("xd"), yc.alias("yc"), "o_orderkey"
+    )
+    win = (
+        Window.partitionBy("o_custkey")
+        .orderBy("xd")
+        .rangeBetween(-89, Window.currentRow)
+    )
+    w = base.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.sum("xd").over(win).alias("sx"),
+        F.sum("yc").over(win).alias("sy"),
+        F.sum(F.col("xd") * F.col("yc")).over(win).alias("sxy"),
+        F.sum(F.col("xd") * F.col("xd")).over(win).alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return w.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("n").alias("n_window"),
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(num.cast("double") / den.cast("double") / 100, 6))
+        .alias("beta"),
+    )
