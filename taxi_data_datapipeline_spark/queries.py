@@ -169,9 +169,11 @@ DRIVER_WINDOW: list[str] = [
     "triangle_count", "pagerank_copurchase",
     # Retrieval scoring (round 3)
     "bm25_rank",
-    # Structured Streaming analogs (AvailableNow-drained, oracle-checked)
+    # Structured Streaming analogs (AvailableNow-drained, oracle-checked);
+    # streaming_twap is the custom-stateful (applyInPandasWithState)
+    # representative
     "streaming_hourly_counts", "streaming_session_windows",
-    "streaming_cdc_compaction", "streaming_dim_enrichment",
+    "streaming_cdc_compaction", "streaming_twap",
     # Skew-aware shapes
     "skew_join_salted",
     # Iterative clustering with a full unrolled-CTE oracle (round 3)
