@@ -345,3 +345,45 @@ def bfs_depths(
         dist = dist.localCheckpoint(eager=True)
         done += step
     return dist
+
+
+def kcore_nodes(
+    edges: DataFrame, k: int, src: str = "a", dst: str = "b", rounds: int = 3
+) -> DataFrame:
+    """Bounded k-core peeling: ``rounds`` iterations of "drop nodes whose
+    degree within the surviving subgraph is < k", returning the surviving
+    (node, degree) set. A FIXED round count keeps the result a pure
+    function of the edge list (full unrolled-CTE oracle, like the other
+    fixed-round graph ops); graphs whose peeling converges within the
+    bound yield the true k-core.
+
+    Shape per round: degrees of the induced subgraph = one aggregate
+    over edges semi-joined against the surviving node set (two
+    node-sized semi-joins; the node set broadcasts while it fits). The
+    edge list is checkpointed once; the node set re-materializes per
+    round to keep lineage flat.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .localCheckpoint(eager=True)
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    nodes = deg.filter(F.col("d") >= k).select("u").localCheckpoint(eager=True)
+    for _ in range(rounds):
+        alive = (
+            sym.join(nodes, "u", "left_semi")
+            .join(nodes.withColumnRenamed("u", "v"), "v", "left_semi")
+        )
+        deg = alive.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        nodes = (
+            deg.filter(F.col("d") >= k).select("u").localCheckpoint(eager=True)
+        )
+    final = (
+        sym.join(nodes, "u", "left_semi")
+        .join(nodes.withColumnRenamed("u", "v"), "v", "left_semi")
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .withColumnRenamed("u", "node")
+    )
+    return final

@@ -3041,3 +3041,47 @@ def q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(num.cast("double") / den.cast("double") / 100, 6))
         .alias("beta"),
     )
+
+
+def _kcore_oracle(k: int = 4, rounds: int = 3) -> str:
+    prev = "n0"
+    steps = []
+    for r in range(1, rounds + 1):
+        steps.append(
+            f"""n{r} AS (
+  SELECT u FROM (
+    SELECT s.u, COUNT(*) AS d
+    FROM sym s
+    JOIN {prev} a ON s.u = a.u
+    JOIN {prev} b ON s.v = b.u
+    GROUP BY s.u)
+  WHERE d >= {k})"""
+        )
+        prev = f"n{r}"
+    steps_sql = ",\n".join(steps)
+    return f"""
+WITH {_EDGE_SUPPORT_CTE},
+sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+n0 AS (
+  SELECT u FROM (SELECT u, COUNT(*) AS d FROM sym GROUP BY u)
+  WHERE d >= {k}),
+{steps_sql}
+SELECT s.u AS node, COUNT(*) AS degree
+FROM sym s
+JOIN {prev} a ON s.u = a.u
+JOIN {prev} b ON s.v = b.u
+GROUP BY s.u
+"""
+
+
+@register("kcore_membership", _kcore_oracle())
+def q_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded 4-core peeling of the support->=2 co-purchase graph
+    (3 rounds of drop-degree-<k), reporting surviving nodes with their
+    induced-subgraph degrees — the density-tier decomposition used to
+    find cohesive product clusters. Fixed rounds keep the result
+    oracle-checkable via unrolled CTEs (operators/graphs.py:kcore_nodes
+    documents the per-round semi-join shape)."""
+    from taxi_data_datapipeline_spark.operators.graphs import kcore_nodes
+
+    return kcore_nodes(_copurchase_edges_support(spark, sf_dir), k=4)
