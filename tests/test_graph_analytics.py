@@ -108,3 +108,20 @@ def test_bfs_depths_branching(spark):
     d = {r.node: r.depth for r in bfs_depths(_edges_df(spark), 1, iters=2).collect()}
     # K4 neighbors at 1 hop, pendant 5 at 2 (via 4); 6/7 unreachable
     assert d == {1: 0, 2: 1, 3: 1, 4: 1, 5: 2}
+
+
+def test_kcore_peels_to_the_clique(spark):
+    from taxi_data_datapipeline_spark.operators.graphs import kcore_nodes
+
+    out = {
+        r.node: r.degree
+        for r in kcore_nodes(_edges_df(spark), k=3, rounds=3).collect()
+    }
+    # the 3-core of K4+pendant+isolated edge is exactly the K4
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_empty_when_k_exceeds_density(spark):
+    from taxi_data_datapipeline_spark.operators.graphs import kcore_nodes
+
+    assert kcore_nodes(_edges_df(spark), k=4, rounds=3).count() == 0
