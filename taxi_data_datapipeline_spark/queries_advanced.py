@@ -3085,3 +3085,43 @@ def q_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     from taxi_data_datapipeline_spark.operators.graphs import kcore_nodes
 
     return kcore_nodes(_copurchase_edges_support(spark, sf_dir), k=4)
+
+
+@register(
+    "rolling_active_users",
+    """
+WITH act AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+spine AS (
+  SELECT DISTINCT day FROM act)
+SELECT s.day,
+       COUNT(DISTINCT a.user_id) AS wau
+FROM spine s
+JOIN act a ON a.day BETWEEN s.day - 6 AND s.day
+GROUP BY s.day
+""",
+)
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day (rolling WAU) — the
+    sliding-window COUNT DISTINCT that window frames cannot express
+    (DISTINCT isn't frameable): dedup activity to (day, user) pairs
+    first (the corpus-sized shuffle), then range-join the (tiny,
+    broadcast) day spine against the pairs and count distinct per spine
+    day. The range join fans each pair out at most 7x — bounded by the
+    window length, never by the data.
+    """
+    ev = load(spark, sf_dir, "events")
+    act = ev.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    spine = act.select("day").distinct().withColumnRenamed("day", "sday")
+    return (
+        act.join(
+            F.broadcast(spine),
+            (F.col("day") <= F.col("sday"))
+            & (F.col("day") >= F.date_sub(F.col("sday"), 6)),
+        )
+        .groupBy("sday")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .withColumnRenamed("sday", "day")
+    )
