@@ -28,10 +28,12 @@ from check_oracle import frame_hash  # noqa: E402
 import __spark_entry__ as e  # noqa: E402
 from taxi_data_datapipeline_spark.session import get_spark  # noqa: E402
 
-# (shuffle partitions, scan split size): vary BOTH the reduce-side and
-# the map-side partitioning — a query whose answer survives these is
-# insensitive to cluster geometry on either end of the exchange.
-PARTITION_SETTINGS = (("32", "128m"), ("7", "1m"))
+# (shuffle partitions, scan split size, AQE): vary the reduce-side
+# partitioning, the map-side split geometry, AND whether adaptive
+# execution re-plans at runtime — a query whose answer survives all
+# three is insensitive to cluster geometry and to the optimizer's
+# runtime choices (coalescing, skew splits, join-strategy switches).
+PARTITION_SETTINGS = (("32", "128m", "true"), ("7", "1m", "false"))
 
 
 def main() -> None:
@@ -46,9 +48,10 @@ def main() -> None:
     for i, (name, fn) in enumerate(qs.items()):
         hashes = []
         try:
-            for parts, split in PARTITION_SETTINGS:
+            for parts, split, aqe in PARTITION_SETTINGS:
                 spark.conf.set("spark.sql.shuffle.partitions", parts)
                 spark.conf.set("spark.sql.files.maxPartitionBytes", split)
+                spark.conf.set("spark.sql.adaptive.enabled", aqe)
                 df = fn(spark, sf_dir)
                 hashes.append(
                     frame_hash(df.columns, [tuple(r) for r in df.collect()])
@@ -59,6 +62,7 @@ def main() -> None:
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", "32")
             spark.conf.set("spark.sql.files.maxPartitionBytes", "128m")
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
         if len(set(hashes)) != 1:
             bad.append((name, "hash unstable across partition counts"))
         if (i + 1) % 25 == 0:
