@@ -3125,3 +3125,88 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("wau"))
         .withColumnRenamed("sday", "day")
     )
+
+
+@register(
+    "basket_similarity_join",
+    """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+b AS (
+  SELECT l_orderkey, list_sort(list(l_partkey)) AS parts
+  FROM li GROUP BY l_orderkey),
+cand AS (
+  SELECT DISTINCT x.l_orderkey AS o1, y.l_orderkey AS o2
+  FROM li x JOIN li y
+    ON x.l_partkey = y.l_partkey AND x.l_orderkey < y.l_orderkey)
+SELECT c.o1, c.o2,
+       ROUND(CAST(len(list_intersect(b1.parts, b2.parts)) AS DOUBLE)
+             / len(list_distinct(list_concat(b1.parts, b2.parts))), 6)
+         AS jaccard
+FROM cand c
+JOIN b b1 ON c.o1 = b1.l_orderkey
+JOIN b b2 ON c.o2 = b2.l_orderkey
+WHERE CAST(len(list_intersect(b1.parts, b2.parts)) AS DOUBLE)
+      / len(list_distinct(list_concat(b1.parts, b2.parts))) >= 0.5e0
+""",
+)
+def q_basket_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity self-join (order baskets with Jaccard >= 0.5) via
+    PREFIX FILTERING (Bayardo/Ma/Srikant "Scaling Up All Pairs
+    Similarity Search", WWW'07): items are canonically ordered
+    rarest-first, and only each basket's first floor(n/2)+1 items
+    generate candidates — the prefix lemma guarantees any pair at
+    J >= 0.5 shares a prefix item, so rare-item prefixes slash the
+    candidate fanout that a join on ANY shared item (the oracle's
+    formulation) pays. Candidates verify with exact array
+    intersect/union; the two formulations agree exactly because the
+    prefix filter is lossless at the threshold.
+
+    Scale shape: one groupBy builds baskets, one explode+self-join on
+    prefix items generates candidates (skew = hot items, which
+    rarest-first ordering keeps OUT of prefixes), one hash join back to
+    baskets verifies. No all-pairs stage anywhere.
+    """
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    freq = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("f"))
+    ranked = li.join(freq, "l_partkey").select(
+        "l_orderkey", F.struct("f", "l_partkey").alias("rk")
+    )
+    baskets = ranked.groupBy("l_orderkey").agg(
+        F.expr("transform(sort_array(collect_list(rk)), s -> s.l_partkey)")
+        .alias("parts")
+    )
+    prefix = baskets.select(
+        "l_orderkey",
+        F.explode(
+            F.expr("slice(parts, 1, size(parts) - CAST(ceil(0.5 * size(parts)) AS INT) + 1)")
+        ).alias("item"),
+    )
+    cand = (
+        prefix.alias("x")
+        .join(prefix.alias("y"), "item")
+        .filter(F.col("x.l_orderkey") < F.col("y.l_orderkey"))
+        .select(
+            F.col("x.l_orderkey").alias("o1"),
+            F.col("y.l_orderkey").alias("o2"),
+        )
+        .distinct()
+    )
+    b1 = baskets.select(
+        F.col("l_orderkey").alias("o1"), F.col("parts").alias("p1")
+    )
+    b2 = baskets.select(
+        F.col("l_orderkey").alias("o2"), F.col("parts").alias("p2")
+    )
+    jac = F.size(F.array_intersect("p1", "p2")).cast("double") / F.size(
+        F.array_union("p1", "p2")
+    )
+    return (
+        cand.join(b1, "o1")
+        .join(b2, "o2")
+        .filter(jac >= 0.5)
+        .select("o1", "o2", F.round(jac, 6).alias("jaccard"))
+    )
