@@ -2743,3 +2743,49 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("adc_d2u", "vec_id")
         .limit(20)
     )
+
+
+@register(
+    "cdc_chunking",
+    """
+SELECT doc_id,
+       length(text) AS n_chars,
+       CASE WHEN length(text) >= 16
+            THEN len(list_filter(generate_series(1, length(text) - 15),
+                     i -> substr(md5(substr(text, i, 16)), 1, 1) = '0'))
+            ELSE 0 END + 1 AS n_chunks,
+       ROUND(CAST(length(text) AS DOUBLE) /
+             (CASE WHEN length(text) >= 16
+                   THEN len(list_filter(generate_series(1, length(text) - 15),
+                            i -> substr(md5(substr(text, i, 16)), 1, 1) = '0'))
+                   ELSE 0 END + 1), 6) AS avg_chunk_len
+FROM documents
+""",
+)
+def q_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the rolling-hash boundary detection
+    behind storage-level dedup, rsync, and FastCDC): a chunk boundary
+    falls wherever the hash of the 16-char window starting at a position
+    has a '0' first hex digit (p = 1/16 -> ~16-char expected chunks).
+    Content-defined boundaries survive insertions/deletions — unlike
+    fixed-size blocks, an edit only reshuffles its own chunk. Everything
+    is a map-side array expression inside the scan projection (no
+    shuffle until the implicit ordering of output); the oracle evaluates
+    the identical per-position window hash.
+    """
+    docs = load(spark, sf_dir, "documents", fan_out=True)
+    boundaries = F.expr(
+        "CASE WHEN length(text) >= 16 THEN "
+        "size(filter(sequence(1, length(text) - 15), "
+        "i -> substring(md5(substring(text, i, 16)), 1, 1) = '0')) "
+        "ELSE 0 END"
+    )
+    n_chunks = (boundaries + 1).alias("n_chunks")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_chunks,
+        F.round(
+            F.length("text").cast("double") / (boundaries + 1), 6
+        ).alias("avg_chunk_len"),
+    )
