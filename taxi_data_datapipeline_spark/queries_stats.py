@@ -473,3 +473,521 @@ def q_quality_rule_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(ok_len & ok_wl & ok_stop & ok_punct, 1).otherwise(0)
         ).alias("pass_all"),
     )
+
+
+# --- two-sample tests (shared per-value count machinery) ----------------------
+
+
+def _two_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-distinct-value counts of the purchase vs view `value` samples:
+    (value, c1, c2). One shuffle keyed on value — the high-cardinality
+    key, so no reducer owns a whole sample (the same skew argument as
+    distinct_users_twophase)."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    return ev.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("c2"),
+    )
+
+
+_N_KS_BUCKETS = 64
+
+
+def _cumulative_counts(s: DataFrame) -> DataFrame:
+    """Inclusive cumulative counts (f1, f2) over value order WITHOUT a
+    global window: values are range-bucketed (bounds from a broadcast
+    1-row min/max aggregate), cumulated inside each bucket with a
+    PARTITIONED window, and offset by per-bucket prefix totals computed
+    on the aggregate-sized bucket table. Bucketing only affects the
+    partitioning — the resulting cumulative counts are exactly the
+    global-order ones, so the DuckDB oracle can use a plain window."""
+    mm = s.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    b = (
+        F.when(F.col("vmax") == F.col("vmin"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("vmin"))
+                    * F.lit(float(_N_KS_BUCKETS))
+                    / (F.col("vmax") - F.col("vmin"))
+                ),
+                F.lit(_N_KS_BUCKETS - 1),
+            )
+        )
+        .cast("int")
+    )
+    sb = s.crossJoin(F.broadcast(mm)).withColumn("b", b)
+    wb = Window.partitionBy("b").orderBy("value")
+    cum = sb.select(
+        "b",
+        "value",
+        "c1",
+        "c2",
+        F.sum("c1").over(wb).alias("cum1"),
+        F.sum("c2").over(wb).alias("cum2"),
+    )
+    btot = sb.groupBy("b").agg(
+        F.sum("c1").alias("bc1"), F.sum("c2").alias("bc2")
+    )
+    lower = btot.select(
+        F.col("b").alias("b_lo"), F.col("bc1").alias("p1"), F.col("bc2").alias("p2")
+    )
+    prefix = (
+        btot.join(F.broadcast(lower), F.col("b_lo") < F.col("b"), "left")
+        .groupBy("b")
+        .agg(F.sum("p1").alias("pre1"), F.sum("p2").alias("pre2"))
+    )
+    return cum.join(F.broadcast(prefix), "b").select(
+        "value",
+        "c1",
+        "c2",
+        (F.coalesce(F.col("pre1"), F.lit(0)) + F.col("cum1")).alias("f1"),
+        (F.coalesce(F.col("pre2"), F.lit(0)) + F.col("cum2")).alias("f2"),
+    )
+
+
+_KS_COUNTS_CTE = """
+s AS (
+  SELECT value,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS c1,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS c2
+  FROM events WHERE event_type IN ('purchase', 'view') GROUP BY value),
+n AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM s)
+"""
+
+
+@register(
+    "ks_two_sample",
+    f"""
+WITH {_KS_COUNTS_CTE},
+cum AS (
+  SELECT value,
+         CAST(SUM(c1) OVER (ORDER BY value) AS BIGINT) AS f1,
+         CAST(SUM(c2) OVER (ORDER BY value) AS BIGINT) AS f2
+  FROM s)
+SELECT n.n1, n.n2, cum.value AS at_value,
+       ABS(cum.f1 * n.n2 - cum.f2 * n.n1) AS d_units,
+       ROUND(CAST(ABS(cum.f1 * n.n2 - cum.f2 * n.n1) AS DOUBLE)
+             / (n.n1 * n.n2), 6) AS ks
+FROM cum CROSS JOIN n
+ORDER BY d_units DESC, at_value
+LIMIT 1
+""",
+)
+def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the purchase
+    and view `value` distributions — the standard distribution-shift
+    screen between two cohorts.
+
+    The ECDF difference is held in integers by cross-multiplying:
+    D = max |f1*n2 - f2*n1| / (n1*n2), so the max and the argmax are
+    exact and the statistic is one final double division. The cumulative
+    counts come from the two-phase bucketed cumulation
+    (_cumulative_counts) — no global window anywhere; the only full-data
+    shuffle is the per-value count. TakeOrderedAndProject picks the
+    arg-max row."""
+    s = _two_sample_counts(spark, sf_dir)
+    n = s.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    cum = _cumulative_counts(s)
+    units = F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+    return (
+        cum.crossJoin(F.broadcast(n))
+        .select(
+            "n1",
+            "n2",
+            F.col("value").alias("at_value"),
+            units.alias("d_units"),
+            F.round(
+                units.cast("double") / (F.col("n1") * F.col("n2")), 6
+            ).alias("ks"),
+        )
+        .orderBy(F.col("d_units").desc(), "at_value")
+        .limit(1)
+    )
+
+
+@register(
+    "mann_whitney_u",
+    f"""
+WITH {_KS_COUNTS_CTE},
+cum AS (
+  SELECT value, c1, c2,
+         CAST(SUM(c2) OVER (ORDER BY value) - c2 AS BIGINT) AS less2
+  FROM s),
+u AS (SELECT CAST(SUM(c1 * (2 * less2 + c2)) AS BIGINT) AS u1_x2 FROM cum)
+SELECT n.n1, n.n2, u.u1_x2,
+       ROUND(u.u1_x2 / (2.0 * n.n1 * n.n2), 6) AS auc
+FROM u CROSS JOIN n
+""",
+)
+def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U between the purchase and view value samples, with
+    ties handled by the half-credit convention — reported as 2*U (an
+    exact integer: each (x, y) pair contributes 2, 1, or 0) plus the
+    probability-of-superiority AUC = U / (n1*n2). Shares the per-value
+    count + two-phase cumulation machinery with ks_two_sample; the U sum
+    needs only the STRICTLY-below cumulative, so the whole statistic is
+    integer arithmetic with one double division at the end."""
+    s = _two_sample_counts(spark, sf_dir)
+    n = s.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    cum = _cumulative_counts(s).withColumn("less2", F.col("f2") - F.col("c2"))
+    u = cum.agg(
+        F.sum(
+            F.col("c1") * (F.lit(2) * F.col("less2") + F.col("c2"))
+        ).alias("u1_x2")
+    )
+    return u.crossJoin(F.broadcast(n)).select(
+        "n1",
+        "n2",
+        "u1_x2",
+        F.round(
+            F.col("u1_x2") / (F.lit(2.0) * F.col("n1") * F.col("n2")), 6
+        ).alias("auc"),
+    )
+
+
+# --- robust trend: Theil-Sen estimator ----------------------------------------
+
+
+_SQL_CENTS = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+@register(
+    "theil_sen_slope",
+    f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM({_SQL_CENTS}) AS BIGINT) AS y
+  FROM orders GROUP BY 1),
+pts AS (
+  SELECT datediff('day', DATE '1992-01-01', day) AS d, y FROM daily),
+pairs AS (
+  SELECT a.d AS d1, b.d AS d2,
+         CAST(b.y - a.y AS DOUBLE) / (b.d - a.d) AS slope
+  FROM pts a JOIN pts b ON b.d > a.d),
+st AS (SELECT COUNT(*) AS n_pairs FROM pairs),
+nd AS (SELECT COUNT(*) AS n_days FROM pts)
+SELECT nd.n_days, st.n_pairs, ROUND(p.slope, 6) AS median_slope
+FROM pairs p CROSS JOIN st CROSS JOIN nd
+QUALIFY ROW_NUMBER() OVER (ORDER BY p.slope, p.d1, p.d2)
+        = (st.n_pairs + 1) // 2
+""",
+)
+def q_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily order revenue: the (lower) median
+    of all pairwise slopes — the outlier-resistant alternative to OLS
+    (Sen 1968). The series collapses to one row per day FIRST, so the
+    O(days^2) pair set is bounded by the calendar, not the data (366
+    days -> 67k pairs). Median selection avoids a global window: count
+    the pairs (one scalar driver sync, same pattern as the kmeans
+    centroid collect), take the first (n+1)//2 in (slope, d1, d2) order
+    via TakeOrderedAndProject's per-partition heaps, and reduce with a
+    lexicographic struct max. Slopes are exact-integer differences with
+    one double division each, so both engines rank them identically."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+        ).alias("y")
+    )
+    pts = daily.select(
+        F.datediff("day", F.lit("1992-01-01").cast("date")).alias("d"), "y"
+    )
+    a = pts.select(F.col("d").alias("d1"), F.col("y").alias("y1"))
+    b = pts.select(F.col("d").alias("d2"), F.col("y").alias("y2"))
+    pairs = a.join(F.broadcast(b), F.col("d2") > F.col("d1")).select(
+        "d1",
+        "d2",
+        (
+            (F.col("y2") - F.col("y1")).cast("double")
+            / (F.col("d2") - F.col("d1"))
+        ).alias("slope"),
+    )
+    n_days = pts.count()
+    n_pairs = n_days * (n_days - 1) // 2
+    k = (n_pairs + 1) // 2
+    med = (
+        pairs.orderBy("slope", "d1", "d2")
+        .limit(k)
+        .agg(F.max(F.struct("slope", "d1", "d2")).alias("m"))
+    )
+    return med.select(
+        F.lit(n_days).cast("bigint").alias("n_days"),
+        F.lit(n_pairs).cast("bigint").alias("n_pairs"),
+        F.round(F.col("m.slope"), 6).alias("median_slope"),
+    )
+
+
+# --- Bollinger bands ----------------------------------------------------------
+
+
+@register(
+    "bollinger_bands",
+    f"""
+WITH daily AS (
+  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM({_SQL_CENTS}) AS BIGINT) AS sc
+  FROM orders GROUP BY 1, 2),
+w AS (
+  SELECT o_orderpriority, day, sc,
+         COUNT(*) OVER win AS n_days,
+         CAST(SUM(sc) OVER win AS BIGINT) AS s,
+         CAST(SUM(sc * sc) OVER win AS BIGINT) AS ss
+  FROM daily
+  WINDOW win AS (PARTITION BY o_orderpriority ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+SELECT o_orderpriority, day, sc, n_days,
+       CAST(FLOOR((CAST(s AS DOUBLE) / n_days) * 1048576.0) AS BIGINT)
+         AS mean_units,
+       CAST(FLOOR(SQRT(CAST(n_days * ss - s * s AS DOUBLE)
+                       / (n_days * n_days)) * 1048576.0) AS BIGINT)
+         AS std_units,
+       CAST(FLOOR((CAST(s AS DOUBLE) / n_days
+                   + 2.0 * SQRT(CAST(n_days * ss - s * s AS DOUBLE)
+                                / (n_days * n_days))) * 1048576.0) AS BIGINT)
+         AS upper_units,
+       CAST(FLOOR((CAST(s AS DOUBLE) / n_days
+                   - 2.0 * SQRT(CAST(n_days * ss - s * s AS DOUBLE)
+                                / (n_days * n_days))) * 1048576.0) AS BIGINT)
+         AS lower_units
+FROM w
+""",
+)
+def q_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands (trailing-7-row mean +/- 2 population stddev) over
+    daily revenue per order priority — the volatility envelope of
+    technical analysis, and the same rolling mean/variance decomposition
+    any monitoring pipeline uses for adaptive thresholds.
+
+    The rolling sum and sum-of-squares are EXACT bigint window sums over
+    cents; mean, variance ((n*ss - s^2) / n^2) and the correctly-rounded
+    IEEE sqrt are then computed from identical integers in both engines.
+    The derived columns are emitted as FLOOR(x * 2^20) fixed-point units
+    rather than ROUND(x, 6): the doubles themselves are bit-identical,
+    but DuckDB's ROUND scales by 1e6 internally (inexact) while Spark
+    rounds the exact decimal expansion, and mean + 2*std lands on enough
+    near-half boundaries to diverge — multiplying by a power of two is
+    exact in IEEE, so FLOOR cannot disagree (the embedding_quantize
+    trick). Windows are partitioned per priority; at larger daily
+    magnitudes the sum-of-squares guard is a DECIMAL(38) widening."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        "o_orderpriority", F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+        ).alias("sc")
+    )
+    win = (
+        Window.partitionBy("o_orderpriority").orderBy("day").rowsBetween(-6, 0)
+    )
+    w = daily.select(
+        "o_orderpriority",
+        "day",
+        "sc",
+        F.count(F.lit(1)).over(win).alias("n_days"),
+        F.sum("sc").over(win).alias("s"),
+        F.sum(F.col("sc") * F.col("sc")).over(win).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n_days")
+    std = F.sqrt(
+        (F.col("n_days") * F.col("ss") - F.col("s") * F.col("s")).cast("double")
+        / (F.col("n_days") * F.col("n_days"))
+    )
+    units = lambda x: F.floor(x * F.lit(1048576.0)).cast("bigint")  # noqa: E731
+    return w.select(
+        "o_orderpriority",
+        "day",
+        "sc",
+        "n_days",
+        units(mean).alias("mean_units"),
+        units(std).alias("std_units"),
+        units(mean + F.lit(2.0) * std).alias("upper_units"),
+        units(mean - F.lit(2.0) * std).alias("lower_units"),
+    )
+
+
+# --- Benford first-digit audit ------------------------------------------------
+
+
+_BENFORD_P = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829992,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+
+@register(
+    "benford_first_digit",
+    f"""
+WITH d AS (
+  SELECT substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+           AS digit
+  FROM orders),
+c AS (SELECT digit, COUNT(*) AS cnt FROM d GROUP BY digit),
+t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c),
+exp(digit, expected_p) AS (
+  VALUES {", ".join(f"('{d}', {p!r})" for d, p in _BENFORD_P.items())})
+SELECT e.digit, COALESCE(c.cnt, 0) AS cnt, e.expected_p,
+       ROUND(CAST(COALESCE(c.cnt, 0) AS DOUBLE) / t.total - e.expected_p, 6)
+         AS deviation
+FROM exp e LEFT JOIN c USING (digit) CROSS JOIN t
+""",
+)
+def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fraud/synthetic-data screen. The first digit comes from the STRING
+    form of the floored integer amount (log10-free: libm log10 may differ
+    in the last ulp across engines, string conversion of a bigint cannot).
+    Expected proportions are baked in as full-precision double literals
+    shared by both engines, so the deviation is count/total (one exact
+    division) minus an identical constant. One shuffle on a 9-row key."""
+    o = load(spark, sf_dir, "orders")
+    c = (
+        o.select(
+            F.substring(
+                F.floor(F.col("o_totalprice")).cast("bigint").cast("string"),
+                1,
+                2 - 1,
+            ).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    t = c.agg(F.sum("cnt").alias("total"))
+    exp = spark.createDataFrame(
+        [(str(d), p) for d, p in _BENFORD_P.items()], "digit string, expected_p double"
+    )
+    return (
+        F.broadcast(exp)
+        .join(c, "digit", "left")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+            "expected_p",
+            F.round(
+                F.coalesce(F.col("cnt"), F.lit(0)).cast("double") / F.col("total")
+                - F.col("expected_p"),
+                6,
+            ).alias("deviation"),
+        )
+    )
+
+
+# --- community modularity -----------------------------------------------------
+
+
+def _modularity_oracle() -> str:
+    from taxi_data_datapipeline_spark.queries_advanced import (
+        _EDGE_SUPPORT_CTE,
+        _label_prop_oracle,
+    )
+
+    # Reuse the unrolled label-propagation CTE chain, then score it.
+    lp = _label_prop_oracle()
+    body = lp.split("WITH", 1)[1].rsplit("SELECT node, label AS community", 1)[0]
+    return f"""
+WITH {body.strip()},
+com AS (SELECT node, label AS community FROM l5),
+m AS (SELECT COUNT(*) AS m FROM e),
+deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u),
+dc AS (
+  SELECT c.community, COUNT(*) AS n_nodes,
+         CAST(SUM(d.d) AS BIGINT) AS deg_sum
+  FROM com c JOIN deg d ON c.node = d.u GROUP BY 1),
+ec AS (
+  SELECT ca.community, COUNT(*) AS intra
+  FROM e
+  JOIN com ca ON e.a = ca.node
+  JOIN com cb ON e.b = cb.node AND ca.community = cb.community
+  GROUP BY 1)
+SELECT dc.community, dc.n_nodes, dc.deg_sum,
+       COALESCE(ec.intra, 0) AS intra_edges,
+       ROUND(CAST(4 * m.m * COALESCE(ec.intra, 0)
+                  - dc.deg_sum * dc.deg_sum AS DOUBLE)
+             / (4.0 * m.m * m.m), 6) + 0.0 AS contribution
+FROM dc LEFT JOIN ec USING (community) CROSS JOIN m
+"""
+
+
+@register("modularity_communities", _modularity_oracle())
+def q_modularity_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity decomposition of the label-propagation
+    communities on the support-pruned co-purchase graph: per community,
+    its node count, degree mass, intra-community edge count, and its
+    modularity contribution (4m*e_c - D_c^2) / (4m^2) — the quality
+    score any community-detection run reports next to its labels.
+
+    The algebra stays integer until one double division: Q_c =
+    e_c/m - (D_c/2m)^2 is rewritten over the common denominator 4m^2.
+    Edges and labels reuse the memoized pair-count table and the same
+    fixed-round label propagation as the label_propagation query, so the
+    two can never disagree; the oracle splices the modularity scoring on
+    top of the SAME unrolled CTE chain. D_c^2 needs a DECIMAL widening
+    once degree mass passes ~3e9 — noted, not hit, at any TPC-H scale."""
+    from taxi_data_datapipeline_spark.operators.graphs import min_label_rounds
+    from taxi_data_datapipeline_spark.queries_advanced import (
+        _copurchase_edges_support,
+    )
+
+    e = _copurchase_edges_support(spark, sf_dir)
+    labels = min_label_rounds(e).select(
+        "node", F.col("label").alias("community")
+    )
+    m = e.agg(F.count(F.lit(1)).alias("m"))
+    deg = (
+        e.select(F.col("a").alias("u"))
+        .unionAll(e.select(F.col("b").alias("u")))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    dc = (
+        labels.join(deg, labels.node == deg.u)
+        .groupBy("community")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("d").alias("deg_sum"),
+        )
+    )
+    ca = labels.select(F.col("node").alias("a"), F.col("community").alias("c_a"))
+    cb = labels.select(F.col("node").alias("b"), F.col("community").alias("c_b"))
+    ec = (
+        e.join(F.broadcast(ca), "a")
+        .join(F.broadcast(cb), "b")
+        .filter(F.col("c_a") == F.col("c_b"))
+        .groupBy(F.col("c_a").alias("community"))
+        .agg(F.count(F.lit(1)).alias("intra"))
+    )
+    intra = F.coalesce(F.col("intra"), F.lit(0))
+    return (
+        dc.join(ec, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            "n_nodes",
+            "deg_sum",
+            intra.alias("intra_edges"),
+            # + 0.0 collapses IEEE negative zero (a tiny negative
+            # contribution ROUNDs to -0.0 in one engine, 0.0 in the other)
+            (
+                F.round(
+                    (
+                        F.lit(4) * F.col("m") * intra
+                        - F.col("deg_sum") * F.col("deg_sum")
+                    ).cast("double")
+                    / (F.lit(4.0) * F.col("m") * F.col("m")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("contribution"),
+        )
+    )
