@@ -991,3 +991,220 @@ def q_modularity_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("contribution"),
         )
     )
+
+
+# --- geospatial: geohash rollup and cell-bucketed nearest neighbor ------------
+
+
+def _geohash_rollup_oracle() -> str:
+    from taxi_data_datapipeline_spark.functions.geo import geohash_sql_parts
+
+    x, y, inter, concat = geohash_sql_parts(
+        "value * 0.01 + 40.0", "value * -0.02 - 73.0", precision=5
+    )
+    return f"""
+WITH g1 AS (SELECT user_id, value, {x} AS gx, {y} AS gy FROM events),
+g2 AS (SELECT user_id, value, ({inter}) AS gi FROM g1),
+g3 AS (SELECT user_id, value, {concat} AS cell FROM g2),
+s1 AS (SELECT cell, user_id, COUNT(*) AS c FROM g3 GROUP BY cell, user_id)
+SELECT cell, CAST(SUM(c) AS BIGINT) AS n_events, COUNT(*) AS n_users
+FROM s1 GROUP BY cell
+"""
+
+
+@register("geohash_rollup", _geohash_rollup_oracle())
+def q_geohash_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-geohash5 cell event and distinct-user counts over the
+    synthesized lat/lon stream (same value->coordinate mapping as the
+    reference place key, queries_reference.py:latlon_place_key).
+
+    The geohash encoder (functions/geo.py) is unrolled shift/mask
+    arithmetic — fully inside whole-stage codegen, verified bit-identical
+    to the DuckDB construction on published test vectors. The distinct
+    count uses the two-phase (cell, user) pre-dedup so no reducer owns a
+    hot cell's whole user set — the skew shape matches city-center
+    hotspots in real taxi data. Geohash prefixes make this ONE rollup
+    servable at every coarser zoom by prefix aggregation."""
+    from taxi_data_datapipeline_spark.functions.geo import geohash_col
+
+    ev = load(spark, sf_dir, "events")
+    lat = F.col("value") * 0.01 + 40.0
+    lon = F.col("value") * -0.02 - 73.0
+    cells = ev.select(
+        geohash_col(lat, lon, precision=5).alias("cell"), "user_id"
+    )
+    s1 = cells.groupBy("cell", "user_id").agg(F.count(F.lit(1)).alias("c"))
+    return s1.groupBy("cell").agg(
+        F.sum("c").alias("n_events"), F.count(F.lit(1)).alias("n_users")
+    )
+
+
+_GEO_CELL_DEG = 0.01
+
+
+@register(
+    "geo_radius_nn",
+    f"""
+WITH pts AS (
+  SELECT value, COUNT(*) AS n,
+         value * 0.01 + 40.0 AS lat, value * -0.02 - 73.0 AS lon
+  FROM events GROUP BY value),
+cells AS (
+  SELECT *,
+         CAST(FLOOR(lat / {_GEO_CELL_DEG}) AS BIGINT) AS cy,
+         CAST(FLOOR(lon / {_GEO_CELL_DEG}) AS BIGINT) AS cx
+  FROM pts),
+offs AS (SELECT dx, dy FROM (VALUES (-1), (0), (1)) a(dx),
+                            (VALUES (-1), (0), (1)) b(dy)),
+cand AS (
+  SELECT p.value, p.n, q.value AS nn_value,
+         CAST(FLOOR(((p.lat - q.lat) * (p.lat - q.lat)
+                     + (p.lon - q.lon) * (p.lon - q.lon))
+                    * 1099511627776.0) AS BIGINT) AS d2_units
+  FROM cells p
+  JOIN offs o ON true
+  JOIN cells q ON q.cx = p.cx + o.dx AND q.cy = p.cy + o.dy
+              AND q.value != p.value),
+best AS (
+  SELECT value, n, nn_value, d2_units,
+         ROW_NUMBER() OVER (PARTITION BY value
+                            ORDER BY d2_units, nn_value) AS rk
+  FROM cand)
+SELECT p.value, p.n, b.nn_value, b.d2_units
+FROM pts p LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (value)
+""",
+)
+def q_geo_radius_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest neighboring LOCATION within one grid cell's radius
+    (0.01 deg), for every distinct point of the synthesized coordinate
+    stream — the cell-bucketed spatial self-join every geo pipeline uses
+    instead of a quadratic all-pairs pass. Points with no neighbor in
+    the 3x3 neighborhood report NULL (radius semantics, documented).
+
+    Scale shape: dedup to distinct locations first (point count bounded
+    by the coordinate grid, not the event count), then each point joins
+    only its 9 cells — candidate volume is O(points x occupancy), and a
+    hot cell sharded by AQE. Distances compare as FLOOR(d^2 * 2^40)
+    fixed-point units of identical IEEE doubles, so the argmin and the
+    tie-break (smaller neighbor value) are engine-exact."""
+    ev = load(spark, sf_dir, "events")
+    pts = (
+        ev.groupBy("value")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "value",
+            "n",
+            (F.col("value") * 0.01 + 40.0).alias("lat"),
+            (F.col("value") * -0.02 - 73.0).alias("lon"),
+        )
+    )
+    cells = pts.select(
+        "*",
+        F.floor(F.col("lat") / _GEO_CELL_DEG).alias("cy"),
+        F.floor(F.col("lon") / _GEO_CELL_DEG).alias("cx"),
+    )
+    offs = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx long, dy long"
+    )
+    p = cells.select(
+        F.col("value"),
+        "n",
+        F.col("lat").alias("plat"),
+        F.col("lon").alias("plon"),
+        "cx",
+        "cy",
+    ).crossJoin(F.broadcast(offs))
+    q = cells.select(
+        F.col("value").alias("nn_value"),
+        F.col("lat").alias("qlat"),
+        F.col("lon").alias("qlon"),
+        F.col("cx").alias("qcx"),
+        F.col("cy").alias("qcy"),
+    )
+    d2 = (F.col("plat") - F.col("qlat")) * (F.col("plat") - F.col("qlat")) + (
+        F.col("plon") - F.col("qlon")
+    ) * (F.col("plon") - F.col("qlon"))
+    cand = p.join(
+        q,
+        (F.col("qcx") == F.col("cx") + F.col("dx"))
+        & (F.col("qcy") == F.col("cy") + F.col("dy"))
+        & (F.col("nn_value") != F.col("value")),
+    ).select(
+        "value",
+        "n",
+        "nn_value",
+        F.floor(d2 * F.lit(1099511627776.0)).cast("bigint").alias("d2_units"),
+    )
+    wk = Window.partitionBy("value").orderBy("d2_units", "nn_value")
+    best = (
+        cand.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") == 1)
+        .select("value", "nn_value", "d2_units")
+    )
+    return pts.select("value", "n").join(best, "value", "left")
+
+
+# --- Gini concentration -------------------------------------------------------
+
+
+@register(
+    "gini_revenue",
+    f"""
+WITH rev AS (
+  SELECT o_custkey, CAST(SUM({_SQL_CENTS}) AS BIGINT) AS y
+  FROM orders GROUP BY 1),
+grp AS (SELECT y, COUNT(*) AS c FROM rev GROUP BY y),
+cum AS (
+  SELECT y, c, CAST(SUM(c) OVER (ORDER BY y) AS BIGINT) AS f FROM grp),
+st AS (SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(y * c) AS BIGINT) AS s
+       FROM grp),
+t2 AS (SELECT CAST(SUM(y * c * (2 * f - c + 1)) AS BIGINT) AS t2 FROM cum)
+SELECT st.n AS n_customers, st.s AS total_cents,
+       ROUND(CAST(t2.t2 AS DOUBLE) / CAST(st.n * st.s AS DOUBLE)
+             - CAST(st.n + 1 AS DOUBLE) / st.n, 6) AS gini
+FROM st CROSS JOIN t2
+""",
+)
+def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue — the concentration
+    metric behind "top x% of customers drive y% of revenue" analyses.
+
+    Uses the grouped form of G = (2*sum(i*x_i))/(n*S) - (n+1)/n: for each
+    DISTINCT revenue value its members' rank-sum is c*(2f - c + 1)/2, so
+    the whole statistic needs only the inclusive cumulative count f over
+    distinct values — produced by the same bucketed two-phase cumulation
+    as ks_two_sample (no global window; the high-cardinality shuffle key
+    is the revenue value itself). Everything is exact bigint until two
+    final double divisions performed identically by both engines."""
+    o = load(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+        ).alias("y")
+    )
+    grp = rev.groupBy("y").agg(F.count(F.lit(1)).alias("c"))
+    cum = (
+        _cumulative_counts(
+            grp.select(F.col("y").alias("value"), F.col("c").alias("c1"),
+                       F.lit(0).alias("c2"))
+        )
+        .select(F.col("value").alias("y"), F.col("c1").alias("c"),
+                F.col("f1").alias("f"))
+    )
+    st = grp.agg(
+        F.sum("c").alias("n"), F.sum(F.col("y") * F.col("c")).alias("s")
+    )
+    t2 = cum.agg(
+        F.sum(
+            F.col("y") * F.col("c") * (F.lit(2) * F.col("f") - F.col("c") + 1)
+        ).alias("t2")
+    )
+    return t2.crossJoin(F.broadcast(st)).select(
+        F.col("n").alias("n_customers"),
+        F.col("s").alias("total_cents"),
+        F.round(
+            F.col("t2").cast("double") / (F.col("n") * F.col("s")).cast("double")
+            - (F.col("n") + 1).cast("double") / F.col("n"),
+            6,
+        ).alias("gini"),
+    )
