@@ -74,6 +74,7 @@ def main() -> None:
     graph_late = [
         "triangle_count", "label_propagation", "bfs_hops",
         "assoc_rules", "pagerank_weighted",
+        "neighbor_jaccard", "modularity_communities",
     ]
 
     times: dict[str, float] = {}

@@ -311,48 +311,36 @@ def q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (|N(a) n N(b)| / |N(a) u N(b)|) — the link-prediction / taxonomy
     feature computed from the shared memoized pair-count table.
 
-    The common-neighbor count is the wedge join sa.u=a, sb.u=b matched on
-    the far endpoint — the same work profile as the triangle census
-    (operators/graphs.py): bounded by sum-of-degree-squared, and the
-    degree-orientation trick applies verbatim if a hub node ever
-    dominates. Jaccard is one double division of exact integers; ordering
-    is on the rounded value with an (a, b) tiebreak, so the limit cut is
-    engine-independent. ``TakeOrderedAndProject`` keeps the top-50 a
-    per-partition heap, not a global sort."""
+    Common neighbors come from sorted-adjacency ``array_intersect`` on
+    the two endpoints (the triangle_stats formulation,
+    operators/graphs.py:95): the join moves EDGE-count rows, never
+    wedge-count rows — a wedge self-join on this dense co-occurrence
+    graph shuffles ~30x more rows and benched 40 s vs ~8 s for this
+    plan at sf0.1. Degrees fall out of the same arrays for free (da =
+    size(nbrs)). A celebrity node's array is the hub hazard; the
+    degree-oriented O(sqrt(m))-bounded variant is the escape hatch if
+    one appears. Jaccard is one double division of exact integers;
+    ordering is on the rounded value with an (a, b) tiebreak, so the
+    limit cut is engine-independent and ``TakeOrderedAndProject`` keeps
+    the top-50 a per-partition heap, not a global sort."""
     from taxi_data_datapipeline_spark.queries_advanced import _copurchase_edges
 
     e = _copurchase_edges(spark, sf_dir)
     sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         e.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
-    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
-    sa = sym.select(F.col("u").alias("sa_u"), F.col("v").alias("sa_v"))
-    sb = sym.select(F.col("u").alias("sb_u"), F.col("v").alias("sb_v"))
-    common = (
-        e.join(sa, F.col("sa_u") == F.col("a"))
-        .join(sb, (F.col("sb_u") == F.col("b")) & (F.col("sb_v") == F.col("sa_v")))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    c = F.coalesce(F.col("c"), F.lit(0))
+    adj = sym.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
+    c = F.size(F.array_intersect(F.col("na"), F.col("nb")))
+    da, db = F.size(F.col("na")), F.size(F.col("nb"))
     return (
-        e.join(
-            F.broadcast(deg.select(F.col("u").alias("a"), F.col("d").alias("da"))),
-            "a",
-        )
-        .join(
-            F.broadcast(deg.select(F.col("u").alias("b"), F.col("d").alias("db"))),
-            "b",
-        )
-        .join(common, ["a", "b"], "left")
+        e.join(adj.select(F.col("u").alias("a"), F.col("nbrs").alias("na")), "a")
+        .join(adj.select(F.col("u").alias("b"), F.col("nbrs").alias("nb")), "b")
         .select(
             "a",
             "b",
-            c.alias("common_neighbors"),
-            (F.col("da") + F.col("db") - c).alias("union_neighbors"),
-            F.round(
-                c.cast("double") / (F.col("da") + F.col("db") - c), 6
-            ).alias("jaccard"),
+            c.cast("bigint").alias("common_neighbors"),
+            (da + db - c).cast("bigint").alias("union_neighbors"),
+            F.round(c.cast("double") / (da + db - c), 6).alias("jaccard"),
         )
         .orderBy(F.col("jaccard").desc(), "a", "b")
         .limit(50)
@@ -664,28 +652,32 @@ WITH daily AS (
 pts AS (
   SELECT datediff('day', DATE '1992-01-01', day) AS d, y FROM daily),
 pairs AS (
-  SELECT a.d AS d1, b.d AS d2,
-         CAST(b.y - a.y AS DOUBLE) / (b.d - a.d) AS slope
+  SELECT CAST(b.y - a.y AS DOUBLE) / (b.d - a.d) AS slope
   FROM pts a JOIN pts b ON b.d > a.d),
-st AS (SELECT COUNT(*) AS n_pairs FROM pairs),
+grp AS (SELECT slope, COUNT(*) AS c FROM pairs GROUP BY slope),
+cum AS (SELECT slope, c, CAST(SUM(c) OVER (ORDER BY slope) AS BIGINT) AS f
+        FROM grp),
+st AS (SELECT CAST(SUM(c) AS BIGINT) AS n_pairs FROM grp),
 nd AS (SELECT COUNT(*) AS n_days FROM pts)
-SELECT nd.n_days, st.n_pairs, ROUND(p.slope, 6) AS median_slope
-FROM pairs p CROSS JOIN st CROSS JOIN nd
-QUALIFY ROW_NUMBER() OVER (ORDER BY p.slope, p.d1, p.d2)
-        = (st.n_pairs + 1) // 2
+SELECT nd.n_days, st.n_pairs, ROUND(cum.slope, 6) AS median_slope
+FROM cum CROSS JOIN st CROSS JOIN nd
+WHERE cum.f - cum.c < (st.n_pairs + 1) // 2
+  AND (st.n_pairs + 1) // 2 <= cum.f
 """,
 )
 def q_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil-Sen robust trend of daily order revenue: the (lower) median
     of all pairwise slopes — the outlier-resistant alternative to OLS
     (Sen 1968). The series collapses to one row per day FIRST, so the
-    O(days^2) pair set is bounded by the calendar, not the data (366
-    days -> 67k pairs). Median selection avoids a global window: count
-    the pairs (one scalar driver sync, same pattern as the kmeans
-    centroid collect), take the first (n+1)//2 in (slope, d1, d2) order
-    via TakeOrderedAndProject's per-partition heaps, and reduce with a
-    lexicographic struct max. Slopes are exact-integer differences with
-    one double division each, so both engines rank them identically."""
+    O(days^2) pair set is bounded by the calendar, not the data (2,400
+    TPC-H days -> ~2.9M pairs). Median selection is RANK-BY-CUMULATION:
+    group pairs by exact slope value, build the inclusive cumulative
+    count with the bucketed two-phase machinery (_cumulative_counts),
+    and keep the row whose cumulative range brackets (n+1)//2 — no
+    global window, no million-row TakeOrdered heap (the first cut of
+    this query heaped k~n/2 rows and benched 21 s; this plan is pure
+    hash aggregation). Slopes are exact-integer differences with one
+    double division each, so both engines group and rank identically."""
     o = load(spark, sf_dir, "orders")
     daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
         F.sum(
@@ -698,25 +690,31 @@ def q_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = pts.select(F.col("d").alias("d1"), F.col("y").alias("y1"))
     b = pts.select(F.col("d").alias("d2"), F.col("y").alias("y2"))
     pairs = a.join(F.broadcast(b), F.col("d2") > F.col("d1")).select(
-        "d1",
-        "d2",
         (
             (F.col("y2") - F.col("y1")).cast("double")
             / (F.col("d2") - F.col("d1"))
         ).alias("slope"),
     )
-    n_days = pts.count()
-    n_pairs = n_days * (n_days - 1) // 2
-    k = (n_pairs + 1) // 2
-    med = (
-        pairs.orderBy("slope", "d1", "d2")
-        .limit(k)
-        .agg(F.max(F.struct("slope", "d1", "d2")).alias("m"))
-    )
-    return med.select(
-        F.lit(n_days).cast("bigint").alias("n_days"),
-        F.lit(n_pairs).cast("bigint").alias("n_pairs"),
-        F.round(F.col("m.slope"), 6).alias("median_slope"),
+    grp = pairs.groupBy("slope").agg(F.count(F.lit(1)).alias("c"))
+    cum = _cumulative_counts(
+        grp.select(
+            F.col("slope").alias("value"), F.col("c").alias("c1"),
+            F.lit(0).alias("c2"),
+        )
+    ).select(F.col("value").alias("slope"), F.col("c1").alias("c"),
+             F.col("f1").alias("f"))
+    st = grp.agg(F.sum("c").alias("n_pairs"))
+    nd = pts.agg(F.count(F.lit(1)).alias("n_days"))
+    k = F.expr("(n_pairs + 1) DIV 2")
+    return (
+        cum.crossJoin(F.broadcast(st))
+        .crossJoin(F.broadcast(nd))
+        .filter((F.col("f") - F.col("c") < k) & (k <= F.col("f")))
+        .select(
+            "n_days",
+            "n_pairs",
+            F.round(F.col("slope"), 6).alias("median_slope"),
+        )
     )
 
 
@@ -734,22 +732,23 @@ w AS (
   SELECT o_orderpriority, day, sc,
          COUNT(*) OVER win AS n_days,
          CAST(SUM(sc) OVER win AS BIGINT) AS s,
-         CAST(SUM(sc * sc) OVER win AS BIGINT) AS ss
+         CAST(SUM(CAST(sc AS DECIMAL(38,0)) * sc) OVER win AS DECIMAL(38,0))
+           AS ss
   FROM daily
   WINDOW win AS (PARTITION BY o_orderpriority ORDER BY day
                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
 SELECT o_orderpriority, day, sc, n_days,
        CAST(FLOOR((CAST(s AS DOUBLE) / n_days) * 1048576.0) AS BIGINT)
          AS mean_units,
-       CAST(FLOOR(SQRT(CAST(n_days * ss - s * s AS DOUBLE)
+       CAST(FLOOR(SQRT(CAST(n_days * ss - CAST(s AS DECIMAL(38,0)) * s AS DOUBLE)
                        / (n_days * n_days)) * 1048576.0) AS BIGINT)
          AS std_units,
        CAST(FLOOR((CAST(s AS DOUBLE) / n_days
-                   + 2.0 * SQRT(CAST(n_days * ss - s * s AS DOUBLE)
+                   + 2.0 * SQRT(CAST(n_days * ss - CAST(s AS DECIMAL(38,0)) * s AS DOUBLE)
                                 / (n_days * n_days))) * 1048576.0) AS BIGINT)
          AS upper_units,
        CAST(FLOOR((CAST(s AS DOUBLE) / n_days
-                   - 2.0 * SQRT(CAST(n_days * ss - s * s AS DOUBLE)
+                   - 2.0 * SQRT(CAST(n_days * ss - CAST(s AS DECIMAL(38,0)) * s AS DOUBLE)
                                 / (n_days * n_days))) * 1048576.0) AS BIGINT)
          AS lower_units
 FROM w
@@ -761,9 +760,13 @@ def q_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     technical analysis, and the same rolling mean/variance decomposition
     any monitoring pipeline uses for adaptive thresholds.
 
-    The rolling sum and sum-of-squares are EXACT bigint window sums over
-    cents; mean, variance ((n*ss - s^2) / n^2) and the correctly-rounded
-    IEEE sqrt are then computed from identical integers in both engines.
+    The rolling sum is an exact bigint window sum over cents; the
+    sum-of-squares and s^2 are widened to DECIMAL(38,0) BEFORE
+    multiplying (a daily total of ~8e8 cents squares past int64 once
+    summed over 7 days — sf0.1 actually overflowed the first bigint
+    cut), so mean, variance ((n*ss - s^2) / n^2) and the
+    correctly-rounded IEEE sqrt are computed from identical exact
+    integers in both engines.
     The derived columns are emitted as FLOOR(x * 2^20) fixed-point units
     rather than ROUND(x, 6): the doubles themselves are bit-identical,
     but DuckDB's ROUND scales by 1e6 internally (inexact) while Spark
@@ -789,11 +792,17 @@ def q_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sc",
         F.count(F.lit(1)).over(win).alias("n_days"),
         F.sum("sc").over(win).alias("s"),
-        F.sum(F.col("sc") * F.col("sc")).over(win).alias("ss"),
+        F.sum(F.col("sc").cast("decimal(38,0)") * F.col("sc"))
+        .over(win)
+        .cast("decimal(38,0)")
+        .alias("ss"),
     )
     mean = F.col("s").cast("double") / F.col("n_days")
     std = F.sqrt(
-        (F.col("n_days") * F.col("ss") - F.col("s") * F.col("s")).cast("double")
+        (
+            F.col("n_days") * F.col("ss")
+            - F.col("s").cast("decimal(38,0)") * F.col("s")
+        ).cast("double")
         / (F.col("n_days") * F.col("n_days"))
     )
     units = lambda x: F.floor(x * F.lit(1048576.0)).cast("bigint")  # noqa: E731

@@ -1,0 +1,95 @@
+"""CSV / ORC / text source round-trips, corrupt capture, and plan checks."""
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from taxi_data_datapipeline_spark.sources.formats import (
+    CORRUPT_COL,
+    read_csv,
+    read_orc,
+    read_text,
+    write_csv,
+    write_orc,
+)
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+
+SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def _events(spark):
+    return (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+        .limit(500)
+    )
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    src = _events(spark)
+    path = str(tmp_path / "ev_csv")
+    write_csv(src, path)
+    back = read_csv(spark, path, SCHEMA).drop(CORRUPT_COL)
+    assert back.count() == 500
+    a = src.agg(F.sum("event_id"), F.sum("user_id")).collect()[0]
+    b = back.agg(F.sum("event_id"), F.sum("user_id")).collect()[0]
+    assert tuple(a) == tuple(b)
+
+
+def test_csv_corrupt_quarantine(spark, tmp_path):
+    p = tmp_path / "bad"
+    p.mkdir()
+    (p / "part.csv").write_text(
+        "event_id,user_id,event_type,value\n"
+        "1,10,click,0.5\n"
+        "not,a,number,row,extra\n"
+        "2,20,view,1.5\n"
+    )
+    df = read_csv(spark, str(p), SCHEMA)
+    good = df.filter(F.col(CORRUPT_COL).isNull())
+    bad = df.filter(F.col(CORRUPT_COL).isNotNull())
+    assert good.count() == 2
+    assert bad.count() == 1
+    assert "not,a,number" in bad.collect()[0][CORRUPT_COL]
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    src = _events(spark)
+    path = str(tmp_path / "ev_orc")
+    write_orc(src, path)
+    back = read_orc(spark, path)
+    assert back.count() == 500
+    # Column pruning + predicate pushdown reach the ORC scan.
+    q = back.filter(F.col("event_type") == "click").select("event_id")
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters: [IsNotNull(event_type)" in plan
+    assert "ReadSchema" in plan and "value" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_text_source_lines(spark, tmp_path):
+    p = tmp_path / "txt"
+    p.mkdir()
+    (p / "a.txt").write_text("alpha\nbeta\n")
+    (p / "b.txt").write_text("gamma\n")
+    df = read_text(spark, str(p))
+    assert sorted(r.value for r in df.collect()) == ["alpha", "beta", "gamma"]
+    whole = read_text(spark, str(p), whole=True)
+    assert whole.count() == 2
