@@ -86,4 +86,4 @@ def read_text(spark: SparkSession, path: str, whole: bool = False) -> DataFrame:
     """Raw line source (column ``value: string``) — the substrate for
     custom parsers. ``whole=True`` yields one row per FILE, which is the
     unsplittable mode: only for small sidecar files, never the corpus."""
-    return spark.read.option("wholetext", str(whole).lower()).text(path)
+    return spark.read.text(path, wholetext=whole)
