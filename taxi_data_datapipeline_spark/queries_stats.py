@@ -1217,3 +1217,207 @@ def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# --- Spearman rank correlation ------------------------------------------------
+
+
+@register(
+    "spearman_price_qty",
+    f"""
+WITH it AS (
+  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+         CAST(l_quantity AS BIGINT) AS y
+  FROM lineitem),
+gx AS (SELECT x, COUNT(*) AS c FROM it GROUP BY x),
+cx AS (SELECT x, 2 * CAST(SUM(c) OVER (ORDER BY x) AS BIGINT) - c + 1 AS rx2
+       FROM gx),
+gy AS (SELECT y, COUNT(*) AS c FROM it GROUP BY y),
+cy AS (SELECT y, 2 * CAST(SUM(c) OVER (ORDER BY y) AS BIGINT) - c + 1 AS ry2
+       FROM gy),
+rk AS (
+  SELECT CAST(cx.rx2 AS DECIMAL(38,0)) AS rx,
+         CAST(cy.ry2 AS DECIMAL(38,0)) AS ry
+  FROM it JOIN cx USING (x) JOIN cy USING (y)),
+s AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(rx) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(ry) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(rx * rx) AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(ry * ry) AS DECIMAL(38,0)) AS syy,
+         CAST(SUM(rx * ry) AS DECIMAL(38,0)) AS sxy
+  FROM rk)
+SELECT n,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS spearman
+FROM s
+""",
+)
+def q_spearman_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between line price and quantity —
+    Pearson over tie-averaged ranks, the monotonic-association screen
+    that survives outliers and nonlinearity.
+
+    Exactness end-to-end: a value's tie-averaged rank doubles to the
+    INTEGER 2f - c + 1 (f = inclusive cumulative count, c = tie size),
+    computed per DISTINCT value with the bucketed two-phase cumulation
+    and joined back — the rank map is vocabulary-sized, the only
+    data-sized shuffles are the two value rollups and the rank joins.
+    All Pearson sums run in DECIMAL(38,0) (n * sum(rank^2) passes int64
+    around sf1) and the coefficient is one double division over exact
+    integers. Constant inputs yield NULL (0/0), identically in both
+    engines."""
+    li = load(spark, sf_dir, "lineitem")
+    it = li.select(
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("x"),
+        F.col("l_quantity").cast("bigint").alias("y"),
+    )
+
+    def rank2_map(col: str) -> DataFrame:
+        grp = it.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        cum = _cumulative_counts(
+            grp.select(
+                F.col(col).alias("value"),
+                F.col("c").alias("c1"),
+                F.lit(0).alias("c2"),
+            )
+        )
+        return cum.select(
+            F.col("value").alias(col),
+            (F.lit(2) * F.col("f1") - F.col("c1") + 1).alias(f"r{col}2"),
+        )
+
+    rk = (
+        it.join(rank2_map("x"), "x")
+        .join(rank2_map("y"), "y")
+        .select(
+            F.col("rx2").cast("decimal(38,0)").alias("rx"),
+            F.col("ry2").cast("decimal(38,0)").alias("ry"),
+        )
+    )
+    s = rk.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").cast("decimal(38,0)").alias("sx"),
+        F.sum("ry").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("decimal(38,0)").alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("decimal(38,0)").alias("sxy"),
+    )
+    return s.select(
+        "n",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                )
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                    "double"
+                )
+            ),
+            6,
+        ).alias("spearman"),
+    )
+
+
+# --- rolling exact median -----------------------------------------------------
+
+
+@register(
+    "rolling_median_revenue",
+    f"""
+WITH daily AS (
+  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM({_SQL_CENTS}) AS BIGINT) AS sc
+  FROM orders GROUP BY 1, 2),
+l AS (
+  SELECT o_orderpriority, day, sc,
+         ROW_NUMBER() OVER w AS rn,
+         LAG(sc, 1) OVER w AS p1, LAG(sc, 2) OVER w AS p2,
+         LAG(sc, 3) OVER w AS p3, LAG(sc, 4) OVER w AS p4,
+         LAG(sc, 5) OVER w AS p5, LAG(sc, 6) OVER w AS p6
+  FROM daily
+  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day))
+SELECT o_orderpriority, day, sc,
+       list_sort([sc, p1, p2, p3, p4, p5, p6])[4] AS med7
+FROM l WHERE rn >= 7
+""",
+)
+def q_rolling_median_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day EXACT median of daily revenue per priority — the
+    robust rolling center that percentile_approx can't guarantee and a
+    global sort would overpay for. The 7-element window materializes as
+    an array (6 lags + current), sorts in-expression, and picks the
+    middle — integer cents end-to-end, zero floating point, one
+    partitioned window. Rows before a full 7-day history are excluded
+    (rn >= 7) so the median is always of exactly 7 values; constant
+    memory per row, any number of groups."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        "o_orderpriority", F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+        ).alias("sc")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("day")
+    lags = [F.lag("sc", k).over(w) for k in range(1, 7)]
+    arr = F.array_sort(F.array(F.col("sc"), *lags))
+    return (
+        daily.select(
+            "o_orderpriority",
+            "day",
+            "sc",
+            F.row_number().over(w).alias("rn"),
+            F.element_at(arr, 4).alias("med7"),
+        )
+        .filter(F.col("rn") >= 7)
+        .drop("rn")
+    )
+
+
+# --- deterministic shard assignment -------------------------------------------
+
+
+_N_SHARDS = 16
+
+
+@register(
+    "shard_assignment",
+    f"""
+WITH h AS (SELECT doc_id, md5(text) AS hh FROM documents),
+s AS (
+  SELECT doc_id, hh,
+         strpos('0123456789abcdef', substr(hh, 1, 1)) - 1 AS shard
+  FROM h)
+SELECT doc_id, shard,
+       ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hh, doc_id) AS pos
+FROM s
+""",
+)
+def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training-data sharding: every
+    document gets a shard (first md5 nibble -> {_N_SHARDS} shards) and a
+    position inside it (md5 order, doc_id tiebreak). Content-hash
+    ordering is the standard reproducible corpus shuffle — independent
+    of input file layout, stable across reruns and engines (md5 is
+    bit-identical everywhere, unlike engine-native hash functions).
+    One shuffle on the shard key; each shard sorts independently
+    (partitioned window), which is exactly how shards write in
+    parallel at scale."""
+    docs = load(spark, sf_dir, "documents", fan_out=True)
+    h = docs.select("doc_id", F.md5(F.col("text")).alias("hh"))
+    s = h.select(
+        "doc_id",
+        "hh",
+        (
+            F.instr(F.lit("0123456789abcdef"), F.substring("hh", 1, 1)) - 1
+        ).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("hh", "doc_id")
+    return s.select(
+        "doc_id", "shard", F.row_number().over(w).alias("pos")
+    )
