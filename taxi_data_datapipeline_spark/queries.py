@@ -154,18 +154,20 @@ DRIVER_WINDOW: list[str] = [
     "array_agg_nations", "variant_shred", "multimodal_features",
     # TPC-H shapes previously outside the window (hardest representatives)
     "q2_min_cost_source", "q8_market_share", "q9_product_profit",
-    "q13_customer_distribution", "q15_top_supplier", "q18_large_volume",
+    "q13_customer_distribution", "q18_large_volume",
     "q21_waiting_supplier", "q22_dormant_customers",
     # Corpus statistics / curation
     "zipf_fit", "funnel_conversion", "curation_pipeline",
     # Window-function family
     "percentile_prices", "grouping_sets_agg", "range_window_revenue",
     "window_navigation", "unpivot_roundtrip",
+    # Statistical diagnostics / geospatial (round 3, session 4)
+    "spearman_price_qty", "geohash_rollup",
     # As-of joins / sessionization / change-data-capture
     "asof_nearest_purchase", "sessionize_events",
     "session_window_native", "cdc_log_compaction",
-    # Time-series: gap-filling and bars
-    "ohlc_bars", "gapfill_interp",
+    # Time-series: bars (gapfill_* stay under the local gate)
+    "ohlc_bars",
     # Graph analytics (round 3): degree-oriented triangles, fixed-point PageRank
     "triangle_count", "pagerank_copurchase",
     # Retrieval scoring (round 3)
