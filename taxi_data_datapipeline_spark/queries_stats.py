@@ -1421,3 +1421,264 @@ def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "doc_id", "shard", F.row_number().over(w).alias("pos")
     )
+
+
+# --- two-factor OLS -----------------------------------------------------------
+
+
+@register(
+    "ols_two_factor",
+    """
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity * 100 AS DECIMAL(38,0))) AS DOUBLE) / 100 AS s1,
+         CAST(SUM(CAST(l_discount * 100 AS DECIMAL(38,0))) AS DOUBLE) / 100 AS s2,
+         CAST(SUM(CAST(l_extendedprice * 100 AS DECIMAL(38,0))) AS DOUBLE) / 100 AS sy,
+         CAST(SUM(CAST(l_quantity * l_quantity * 10000 AS DECIMAL(38,0))) AS DOUBLE)
+           / 10000 AS s11,
+         CAST(SUM(CAST(l_discount * l_discount * 10000 AS DECIMAL(38,0))) AS DOUBLE)
+           / 10000 AS s22,
+         CAST(SUM(CAST(l_quantity * l_discount * 10000 AS DECIMAL(38,0))) AS DOUBLE)
+           / 10000 AS s12,
+         CAST(SUM(CAST(l_quantity * l_extendedprice * 10000 AS DECIMAL(38,0))) AS DOUBLE)
+           / 10000 AS s1y,
+         CAST(SUM(CAST(l_discount * l_extendedprice * 10000 AS DECIMAL(38,0))) AS DOUBLE)
+           / 10000 AS s2y,
+         CAST(SUM(CAST(l_extendedprice * l_extendedprice * 10000 AS DECIMAL(38,0))) AS DOUBLE)
+           / 10000 AS syy
+  FROM lineitem GROUP BY l_returnflag),
+c AS (
+  SELECT l_returnflag, n,
+         n * s11 - s1 * s1 AS c11,
+         n * s22 - s2 * s2 AS c22,
+         n * s12 - s1 * s2 AS c12,
+         n * s1y - s1 * sy AS c1y,
+         n * s2y - s2 * sy AS c2y,
+         n * syy - sy * sy AS cyy,
+         s1, s2, sy
+  FROM s)
+SELECT l_returnflag, n,
+       ROUND((c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12), 6) AS beta_qty,
+       ROUND((c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12), 6) AS beta_disc,
+       ROUND((sy - (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) * s1
+                 - (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) * s2)
+             / n, 6) AS intercept,
+       ROUND(((c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) * c1y
+              + (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) * c2y)
+             / cyy, 6) AS r2
+FROM c
+""",
+)
+def q_ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-regressor OLS (extendedprice ~ quantity + discount) per return
+    flag, solved in closed form from exact sufficient statistics — the
+    multi-factor extension of regr_fit. The ten moment sums accumulate as
+    scale-0 DECIMALs (inputs have <= 2 decimals, so scaled products are
+    integers), making the reduction order-independent; the 2x2 normal
+    equations solve by Cramer's rule in doubles computed identically by
+    both engines, and R^2 = (b1*S1y + b2*S2y)/Syy over the centered sums.
+    One aggregation with map-side partials, three output rows, no second
+    pass at any scale."""
+    li = load(spark, sf_dir, "lineitem", fan_out=True)
+    x1, x2, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+
+    def mom(expr, scale: int):
+        return F.sum((expr * scale).cast("decimal(38,0)")).cast(
+            "double"
+        ) / F.lit(float(scale))
+
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        mom(x1, 100).alias("s1"),
+        mom(x2, 100).alias("s2"),
+        mom(y, 100).alias("sy"),
+        mom(x1 * x1, 10000).alias("s11"),
+        mom(x2 * x2, 10000).alias("s22"),
+        mom(x1 * x2, 10000).alias("s12"),
+        mom(x1 * y, 10000).alias("s1y"),
+        mom(x2 * y, 10000).alias("s2y"),
+        mom(y * y, 10000).alias("syy"),
+    )
+    n = F.col("n")
+    c11 = n * F.col("s11") - F.col("s1") * F.col("s1")
+    c22 = n * F.col("s22") - F.col("s2") * F.col("s2")
+    c12 = n * F.col("s12") - F.col("s1") * F.col("s2")
+    c1y = n * F.col("s1y") - F.col("s1") * F.col("sy")
+    c2y = n * F.col("s2y") - F.col("s2") * F.col("sy")
+    cyy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    det = c11 * c22 - c12 * c12
+    b1 = (c22 * c1y - c12 * c2y) / det
+    b2 = (c11 * c2y - c12 * c1y) / det
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(b1, 6).alias("beta_qty"),
+        F.round(b2, 6).alias("beta_disc"),
+        F.round(
+            (F.col("sy") - b1 * F.col("s1") - b2 * F.col("s2")) / n, 6
+        ).alias("intercept"),
+        F.round((b1 * c1y + b2 * c2y) / cyy, 6).alias("r2"),
+    )
+
+
+# --- survival: discrete hazard curve ------------------------------------------
+
+
+@register(
+    "hazard_curve",
+    """
+WITH ld AS (
+  SELECT user_id, MAX(CAST(ts AS DATE)) AS last_day FROM events GROUP BY 1),
+fin AS (SELECT MAX(last_day) AS end_day, COUNT(*) AS n_users FROM ld),
+grp AS (SELECT last_day, COUNT(*) AS c FROM ld GROUP BY 1),
+cum AS (
+  SELECT last_day, c, CAST(SUM(c) OVER (ORDER BY last_day) AS BIGINT) AS f
+  FROM grp)
+SELECT cum.last_day AS day, cum.c AS churned,
+       fin.n_users - (cum.f - cum.c) AS at_risk,
+       ROUND(CAST(cum.c AS DOUBLE) / (fin.n_users - (cum.f - cum.c)), 6)
+         AS hazard
+FROM cum CROSS JOIN fin
+WHERE cum.last_day < fin.end_day
+""",
+)
+def q_hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time churn hazard: for each day, the fraction of
+    still-active users whose LAST-ever event lands on it (the
+    Kaplan-Meier hazard component; users last seen on the final observed
+    day are censored, not churned). At-risk counts need the cumulative
+    churn total over the day axis — supplied by the bucketed two-phase
+    cumulation over the aggregate-sized per-day churn table, so the only
+    data-sized shuffle is the per-user MAX. Hazard is one exact-integer
+    division. The survival CURVE (product of 1 - hazard) is deliberately
+    left to the consumer: a cumulative float product is the one step
+    that cannot be made engine-exact."""
+    ev = load(spark, sf_dir, "events")
+    ld = ev.groupBy("user_id").agg(F.max(F.col("ts").cast("date")).alias("last_day"))
+    fin = ld.agg(
+        F.max("last_day").alias("end_day"), F.count(F.lit(1)).alias("n_users")
+    )
+    grp = ld.groupBy("last_day").agg(F.count(F.lit(1)).alias("c"))
+    epoch = F.lit("1970-01-01").cast("date")
+    # The bucketed cumulation needs a numeric axis: cumulate over the
+    # epoch-day index and convert back to DATE for the output row.
+    cum = _cumulative_counts(
+        grp.select(
+            F.datediff("last_day", epoch).alias("value"),
+            F.col("c").alias("c1"),
+            F.lit(0).alias("c2"),
+        )
+    )
+    at_risk = F.col("n_users") - (F.col("f1") - F.col("c1"))
+    return (
+        cum.crossJoin(F.broadcast(fin))
+        .filter(F.col("value") < F.datediff("end_day", epoch))
+        .select(
+            F.date_add(epoch, F.col("value").cast("int")).alias("day"),
+            F.col("c1").alias("churned"),
+            at_risk.alias("at_risk"),
+            F.round(F.col("c1").cast("double") / at_risk, 6).alias("hazard"),
+        )
+    )
+
+
+# --- two-proportion A/B test --------------------------------------------------
+
+
+@register(
+    "ab_test_proportions",
+    """
+WITH u AS (
+  SELECT user_id,
+         (strpos('0123456789abcdef',
+                 substr(md5(CAST(user_id AS VARCHAR)), 32, 1)) - 1) % 2
+           AS grp,
+         CASE WHEN COUNT(*) FILTER (WHERE event_type = 'purchase') >= 14
+              THEN 1 ELSE 0 END AS conv
+  FROM events GROUP BY user_id),
+g AS (
+  SELECT grp, COUNT(*) AS n, CAST(SUM(conv) AS BIGINT) AS c
+  FROM u GROUP BY grp),
+w AS (
+  SELECT MAX(CASE WHEN grp = 0 THEN n END) AS n1,
+         MAX(CASE WHEN grp = 0 THEN c END) AS c1,
+         MAX(CASE WHEN grp = 1 THEN n END) AS n2,
+         MAX(CASE WHEN grp = 1 THEN c END) AS c2
+  FROM g)
+SELECT n1, c1, n2, c2,
+       ROUND(CAST(c1 AS DOUBLE) / n1, 6) AS p1,
+       ROUND(CAST(c2 AS DOUBLE) / n2, 6) AS p2,
+       ROUND((CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2)
+             / SQRT((CAST(c1 + c2 AS DOUBLE) / (n1 + n2))
+                    * (1.0 - CAST(c1 + c2 AS DOUBLE) / (n1 + n2))
+                    * (1.0 / n1 + 1.0 / n2)), 6) AS z_score
+FROM w
+""",
+)
+def q_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between md5-split user cohorts on
+    heavy-purchaser conversion (>= 14 purchases; the synthetic stream
+    gives EVERY user at least one of each event type, so an any-purchase
+    definition saturates at p = 1 and zeroes the pooled variance) — the
+    experiment-analysis primitive, with the cohort
+    split itself content-hashed (last md5 nibble parity) so assignment
+    is reproducible across engines and reruns, never tied to row order.
+    Per-user conversion collapses in the same shuffle as the cohort
+    split; the z-score is pure arithmetic on four integers, performed
+    identically by both engines. One data-sized shuffle total."""
+    ev = load(spark, sf_dir, "events")
+    grp_col = (
+        (
+            F.instr(
+                F.lit("0123456789abcdef"),
+                F.substring(F.md5(F.col("user_id").cast("string")), 32, 1),
+            )
+            - 1
+        )
+        % 2
+    )
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.when(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                )
+                >= 14,
+                1,
+            )
+            .otherwise(0)
+            .alias("conv")
+        )
+        .select(grp_col.alias("grp"), "conv")
+    )
+    g = u.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("c")
+    )
+    w = g.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("grp") == 0, F.col("c"))).alias("c1"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("grp") == 1, F.col("c"))).alias("c2"),
+    )
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    p2 = F.col("c2").cast("double") / F.col("n2")
+    pp = (F.col("c1") + F.col("c2")).cast("double") / (F.col("n1") + F.col("n2"))
+    return w.select(
+        "n1",
+        "c1",
+        "n2",
+        "c2",
+        F.round(p1, 6).alias("p1"),
+        F.round(p2, 6).alias("p2"),
+        F.round(
+            (p1 - p2)
+            / F.sqrt(
+                pp
+                * (F.lit(1.0) - pp)
+                * (F.lit(1.0) / F.col("n1") + F.lit(1.0) / F.col("n2"))
+            ),
+            6,
+        ).alias("z_score"),
+    )
