@@ -1682,3 +1682,123 @@ def q_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_score"),
     )
+
+
+# --- BPE merge learning (iterative) -------------------------------------------
+
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_oracle(rounds: int = _BPE_ROUNDS) -> str:
+    steps = []
+    for k in range(1, rounds + 1):
+        prev = f"w{k - 1}"
+        steps.append(
+            f"""r{k}p AS (
+  SELECT s.syms[i.i] AS x, s.syms[i.i + 1] AS y, s.wc
+  FROM (SELECT list_filter(string_split(rep, '|'), t -> t != '') AS syms, wc
+        FROM {prev}) s,
+       LATERAL unnest(generate_series(1, len(s.syms) - 1)) AS i(i)),
+b{k} AS (
+  SELECT x, y, CAST(SUM(wc) AS BIGINT) AS cnt
+  FROM r{k}p GROUP BY x, y
+  ORDER BY cnt DESC, x, y LIMIT 1),
+w{k} AS (
+  SELECT replace({prev}.rep, '|' || b{k}.x || '|' || b{k}.y || '|',
+                 '|' || b{k}.x || b{k}.y || '|') AS rep, wc
+  FROM {prev} CROSS JOIN b{k})"""
+        )
+    steps_sql = ",\n".join(steps)
+    outs = " UNION ALL ".join(
+        f"SELECT {k} AS merge_rank, x, y, cnt FROM b{k}"
+        for k in range(1, rounds + 1)
+    )
+    return f"""
+WITH toks AS (SELECT unnest({_SQL_SUBTOKS}) AS word FROM documents),
+w0 AS (
+  SELECT '|' || regexp_replace(word, '(.)', '\\1|', 'g') AS rep,
+         COUNT(*) AS wc
+  FROM toks GROUP BY word),
+{steps_sql}
+{outs}
+"""
+
+
+@register("bpe_learn_merges", _bpe_oracle())
+def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING, first 3 merges (Sennrich et al., ACL
+    2016): iteratively count adjacent symbol pairs over the weighted
+    vocabulary, adopt the most frequent pair (ties broken
+    lexicographically), and merge every occurrence — the algorithm
+    behind every modern subword tokenizer, run as a Spark plan.
+
+    Representation: each word is a '|'-separated symbol string
+    ('|a|b|c|'); tokens are letters/digits only so the separator cannot
+    collide. A merge is then ONE string replace of '|x|y|' with '|xy|'
+    — replace() is left-to-right non-overlapping in both engines, which
+    IS the greedy BPE merge semantics (the boundary separators make
+    partial-symbol matches impossible). The corpus collapses to its
+    vocabulary before round 1, so each round is pair-explode +
+    hash-agg + argmax + map-side replace over an aggregate-sized table;
+    the vocab is localCheckpointed per round so the k-th round's plan
+    does not re-execute rounds 1..k-1 per consumer (ROUND_NOTES
+    landmine 18). The DuckDB oracle unrolls the same rounds as chained
+    CTEs and must produce the identical merge table."""
+    docs = load(spark, sf_dir, "documents", fan_out=True)
+    words = (
+        docs.select(F.explode(bpe_ish_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    cur = words.select(
+        F.concat(
+            F.lit("|"), F.regexp_replace(F.col("word"), "(.)", "$1|")
+        ).alias("rep"),
+        "wc",
+    ).localCheckpoint(eager=False)
+    merges = []
+    for k in range(1, _BPE_ROUNDS + 1):
+        syms = F.filter(F.split(F.col("rep"), r"\|"), lambda t: t != "")
+        pairs = (
+            cur.select(syms.alias("syms"), "wc")
+            .filter(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), i -> "
+                        "struct(element_at(syms, i) AS x, "
+                        "element_at(syms, i + 1) AS y))"
+                    )
+                ).alias("p"),
+                "wc",
+            )
+            .select("p.x", "p.y", "wc")
+        )
+        best = (
+            pairs.groupBy("x", "y")
+            .agg(F.sum("wc").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "x", "y")
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        merges.append(
+            best.select(
+                F.lit(k).alias("merge_rank"), "x", "y", "cnt"
+            )
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(best))
+            .select(
+                F.expr(
+                    "replace(rep, concat('|', x, '|', y, '|'),"
+                    " concat('|', x, y, '|'))"
+                ).alias("rep"),
+                "wc",
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out
