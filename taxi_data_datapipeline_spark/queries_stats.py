@@ -1802,3 +1802,240 @@ def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in merges[1:]:
         out = out.unionAll(m)
     return out
+
+
+# --- streaming geohash rollup -------------------------------------------------
+
+
+def _geohash_stream_oracle() -> str:
+    from taxi_data_datapipeline_spark.functions.geo import geohash_sql_parts
+
+    x, y, inter, concat = geohash_sql_parts(
+        "value * 0.01 + 40.0", "value * -0.02 - 73.0", precision=5
+    )
+    return f"""
+WITH g1 AS (SELECT value, {x} AS gx, {y} AS gy FROM events),
+g2 AS (SELECT value, ({inter}) AS gi FROM g1),
+g3 AS (SELECT value, {concat} AS cell FROM g2)
+SELECT cell, COUNT(*) AS n_events FROM g3 GROUP BY cell
+"""
+
+
+@register("streaming_geohash_counts", _geohash_stream_oracle())
+def q_streaming_geohash_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The geohash cell rollup executed through Structured Streaming:
+    parquet file stream -> geohash5 encode (the SAME codegen expression
+    tree as the batch geohash_rollup — functions are engine-wide, not
+    tier-specific) -> complete-mode count, drained with
+    Trigger.AvailableNow. Over static input the result equals the batch
+    GROUP BY, which is the oracle. Spatial hot cells are the canonical
+    streaming skew case; the state store keys on the cell string exactly
+    as a batch shuffle would."""
+    import itertools as _it
+
+    from taxi_data_datapipeline_spark.functions.geo import geohash_col
+    from taxi_data_datapipeline_spark.queries_advanced import (
+        _stream_counter,
+        _stream_events,
+    )
+
+    raw = _stream_events(spark, sf_dir)
+    lat = F.col("value") * 0.01 + 40.0
+    lon = F.col("value") * -0.02 - 73.0
+    agg = (
+        raw.select(geohash_col(lat, lon, precision=5).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    name = f"stream_geohash_{next(_stream_counter)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# --- cohort lifetime value ----------------------------------------------------
+
+
+@register(
+    "cohort_ltv",
+    """
+WITH um AS (
+  SELECT user_id, event_type,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS wkey,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events),
+first_w AS (SELECT user_id, MIN(wkey) AS cohort FROM um GROUP BY 1),
+rev AS (
+  SELECT f.cohort, um.wkey - f.cohort AS age_weeks,
+         CAST(SUM(CASE WHEN um.event_type = 'purchase' THEN um.cents
+                       ELSE 0 END) AS BIGINT) AS rev_cents,
+         COUNT(DISTINCT um.user_id) AS active_users
+  FROM um JOIN first_w f USING (user_id)
+  GROUP BY 1, 2)
+SELECT cohort, age_weeks, active_users, rev_cents,
+       CAST(SUM(rev_cents) OVER (PARTITION BY cohort ORDER BY age_weeks
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS ltv_cents
+FROM rev
+""",
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users grouped by first-seen week,
+    purchase revenue accumulated over cohort age — the
+    retention-economics companion to retention_cohorts. The week key is
+    the INTEGER epoch-day // 7 (weeks because the synthetic stream spans
+    ~a month; months_between floats were rejected anyway for cross-
+    engine day-handling drift). Revenue stays integer cents; the LTV
+    running sum is a per-cohort partitioned window over the
+    aggregate-sized cohort x age table. Two data-sized shuffles
+    (first-week rollup, cohort-age rollup with the distinct-user
+    count's own pre-dedup handled by Spark's planner)."""
+    ev = load(spark, sf_dir, "events")
+    um = ev.select(
+        "user_id",
+        "event_type",
+        (
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+            / 7
+        ).cast("int").alias("wkey"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    first_w = um.groupBy("user_id").agg(F.min("wkey").alias("cohort"))
+    rev = (
+        um.join(first_w, "user_id")
+        .groupBy(
+            "cohort", (F.col("wkey") - F.col("cohort")).alias("age_weeks")
+        )
+        .agg(
+            F.count_distinct("user_id").alias("active_users"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("cents"))
+                .otherwise(0)
+            ).alias("rev_cents"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return rev.select(
+        "cohort",
+        "age_weeks",
+        "active_users",
+        "rev_cents",
+        F.sum("rev_cents").over(w).alias("ltv_cents"),
+    )
+
+
+# --- grid DBSCAN --------------------------------------------------------------
+
+
+_DBSCAN_MINPTS = 10
+
+
+def _grid_dbscan_oracle(iters: int = 5) -> str:
+    prev = "l0"
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""l{k} AS (
+  SELECT s.v AS node, MIN(l.label) AS label
+  FROM symx s JOIN {prev} l ON l.node = s.u
+  GROUP BY s.v)"""
+        )
+        prev = f"l{k}"
+    steps_sql = ",\n".join(steps)
+    return f"""
+WITH pts AS (SELECT value, COUNT(*) AS n FROM events GROUP BY value),
+cells AS (
+  SELECT CAST(FLOOR((value * 0.01 + 40.0) / 0.01) AS BIGINT) AS cy,
+         CAST(FLOOR((value * -0.02 - 73.0) / 0.01) AS BIGINT) AS cx,
+         n
+  FROM pts),
+cc AS (
+  SELECT cx, cy, COUNT(*) AS n_locs, CAST(SUM(n) AS BIGINT) AS n_events
+  FROM cells GROUP BY cx, cy),
+core AS (
+  SELECT cx, cy, (cx + 20000) * 100000 + (cy + 20000) AS id, n_locs, n_events
+  FROM cc WHERE n_locs >= {_DBSCAN_MINPTS}),
+adj AS (
+  SELECT a.id AS u, b.id AS v
+  FROM core a JOIN core b
+    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1 AND a.id < b.id),
+symx AS (
+  SELECT u, v FROM adj
+  UNION SELECT v, u FROM adj
+  UNION SELECT id, id FROM core),
+l0 AS (SELECT id AS node, id AS label FROM core),
+{steps_sql}
+SELECT l.label AS cluster, COUNT(*) AS n_cells,
+       CAST(SUM(core.n_locs) AS BIGINT) AS n_locations,
+       CAST(SUM(core.n_events) AS BIGINT) AS n_events
+FROM {prev} l JOIN core ON core.id = l.node
+GROUP BY l.label
+"""
+
+
+@register("grid_dbscan", _grid_dbscan_oracle())
+def q_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-DBSCAN spatial clustering: dense cells (>= 10 distinct
+    locations) are core; 8-adjacent core cells connect; connected groups
+    of core cells are the clusters — the cell-quantized DBSCAN
+    approximation that replaces the quadratic epsilon-neighborhood
+    query, composed ENTIRELY from existing engine operators (the
+    geo_radius_nn cell grid + the fixed-round min-label propagation of
+    label_propagation). Singleton core cells survive via their
+    self-loop. Fixed 5 rounds keep the result a deterministic function
+    of the grid so the oracle unrolls them as chained CTEs; per-round
+    cost is one node-keyed join + min-aggregate over the CELL table,
+    which is occupancy-bounded, not data-bounded."""
+    from taxi_data_datapipeline_spark.operators.graphs import min_label_rounds
+
+    ev = load(spark, sf_dir, "events")
+    pts = ev.groupBy("value").agg(F.count(F.lit(1)).alias("n"))
+    cells = pts.select(
+        F.floor((F.col("value") * 0.01 + 40.0) / 0.01).alias("cy"),
+        F.floor((F.col("value") * -0.02 - 73.0) / 0.01).alias("cx"),
+        "n",
+    )
+    cc = cells.groupBy("cx", "cy").agg(
+        F.count(F.lit(1)).alias("n_locs"), F.sum("n").alias("n_events")
+    )
+    core = cc.filter(F.col("n_locs") >= _DBSCAN_MINPTS).withColumn(
+        "id", (F.col("cx") + 20000) * 100000 + (F.col("cy") + 20000)
+    )
+    offs = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx long, dy long"
+    )
+    left = core.select("cx", "cy", F.col("id").alias("u")).crossJoin(
+        F.broadcast(offs)
+    )
+    right = core.select(
+        F.col("cx").alias("qcx"), F.col("cy").alias("qcy"), F.col("id").alias("v")
+    )
+    adj = left.join(
+        right,
+        (F.col("qcx") == F.col("cx") + F.col("dx"))
+        & (F.col("qcy") == F.col("cy") + F.col("dy"))
+        & (F.col("u") < F.col("v")),
+    ).select(F.col("u").alias("a"), F.col("v").alias("b"))
+    selfe = core.select(F.col("id").alias("a"), F.col("id").alias("b"))
+    labels = min_label_rounds(adj.unionAll(selfe))
+    return (
+        labels.join(core, labels.node == core.id)
+        .groupBy(F.col("label").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("n_locs").alias("n_locations"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
