@@ -2039,3 +2039,146 @@ def q_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_events").alias("n_events"),
         )
     )
+
+
+# --- one-way ANOVA ------------------------------------------------------------
+
+
+@register(
+    "anova_oneway",
+    """
+WITH v AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+  FROM events),
+g AS (
+  SELECT event_type, COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) AS DECIMAL(38,0)) AS ss
+  FROM v GROUP BY event_type),
+t AS (
+  SELECT COUNT(*) AS k, CAST(SUM(n) AS BIGINT) AS n,
+         CAST(SUM(s) AS BIGINT) AS s,
+         CAST(SUM(ss) AS DECIMAL(38,0)) AS ss,
+         CAST(SUM(CAST(FLOOR(CAST(s AS DOUBLE) * s / n * 10.0) AS BIGINT))
+              AS BIGINT) AS sb_units
+  FROM g)
+SELECT k, n,
+       ROUND((sb_units / 10.0 - CAST(s AS DOUBLE) * s / n) / (k - 1)
+             / ((CAST(ss AS DOUBLE) - sb_units / 10.0) / (n - k)), 6)
+         AS f_stat
+FROM t
+""",
+)
+def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-statistic across event types on the value column —
+    the k-group generalization of the two-sample mean test. Sufficient
+    statistics per group (n, sum, sum-of-squares as exact DECIMAL(38,0)
+    over cents) reduce in one aggregation; the between-group term
+    sum(s_g^2/n_g) is a per-group RATIONAL — its double is computed from
+    exact integers identically in both engines, floor-scaled to 0.1
+    units, and summed as exact bigints (the chi2 pattern; decimal
+    DIVISION was rejected because result-scale rounding rules differ
+    across engines). The F ratio is then closed-form
+    double arithmetic performed identically by both engines. Two
+    aggregate-sized stages, no window, no second pass."""
+    ev = load(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("c"),
+    )
+    g = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+        .cast("decimal(38,0)")
+        .alias("ss"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("n"),
+        F.sum("s").alias("s"),
+        F.sum("ss").cast("decimal(38,0)").alias("ss"),
+        F.sum(
+            F.floor(
+                F.col("s").cast("double") * F.col("s") / F.col("n") * F.lit(10.0)
+            ).cast("bigint")
+        ).alias("sb_units"),
+    )
+    sb = F.col("sb_units") / F.lit(10.0)
+    ssb = sb - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ssw = F.col("ss").cast("double") - sb
+    return t.select(
+        "k",
+        "n",
+        F.round(
+            (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))), 6
+        ).alias("f_stat"),
+    )
+
+
+# --- naive-forecast evaluation ------------------------------------------------
+
+
+@register(
+    "forecast_eval_naive",
+    """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+l AS (
+  SELECT event_type, day, n,
+         LAG(n, 7) OVER (PARTITION BY event_type ORDER BY day) AS pred
+  FROM daily),
+e AS (
+  SELECT event_type, n, pred, ABS(n - pred) AS ae,
+         CAST(n - pred AS BIGINT) * (n - pred) AS se,
+         CAST(FLOOR(CAST(ABS(n - pred) AS DOUBLE) / n * 1000000000.0)
+              AS BIGINT) AS ape_units
+  FROM l WHERE pred IS NOT NULL)
+SELECT event_type, COUNT(*) AS n_days,
+       ROUND(CAST(SUM(ae) AS DOUBLE) / COUNT(*), 6) AS mae,
+       ROUND(SQRT(CAST(SUM(se) AS DOUBLE) / COUNT(*)), 6) AS rmse,
+       ROUND(CAST(SUM(ape_units) AS BIGINT) / (COUNT(*) * 1000000000.0), 6)
+         AS mape
+FROM e GROUP BY event_type
+""",
+)
+def q_forecast_eval_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-accuracy scorecard (MAE / RMSE / MAPE) of the seasonal
+    naive lag-7 predictor over daily event counts per type — the
+    baseline every forecasting pipeline must beat, and the same
+    evaluation harness any model's backtest uses. Absolute and squared
+    errors are exact integers; MAPE's per-row rational |e|/n is
+    floor-scaled to 1e-9 units BEFORE summing so the aggregate never
+    becomes an order-dependent float fold. One shuffle for the daily
+    rollup; the lag runs in a per-type partitioned window."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    l = daily.withColumn("pred", F.lag("n", 7).over(w)).filter(
+        F.col("pred").isNotNull()
+    )
+    err = F.col("n") - F.col("pred")
+    e = l.select(
+        "event_type",
+        "n",
+        F.abs(err).alias("ae"),
+        (err.cast("bigint") * err).alias("se"),
+        F.floor(
+            F.abs(err).cast("double") / F.col("n") * F.lit(1000000000.0)
+        )
+        .cast("bigint")
+        .alias("ape_units"),
+    )
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.sum("ae").cast("double") / F.count(F.lit(1)), 6).alias("mae"),
+        F.round(
+            F.sqrt(F.sum("se").cast("double") / F.count(F.lit(1))), 6
+        ).alias("rmse"),
+        F.round(
+            F.sum("ape_units") / (F.count(F.lit(1)) * F.lit(1000000000.0)), 6
+        ).alias("mape"),
+    )
