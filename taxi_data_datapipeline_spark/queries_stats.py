@@ -2182,3 +2182,189 @@ def q_forecast_eval_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ape_units") / (F.count(F.lit(1)) * F.lit(1000000000.0)), 6
         ).alias("mape"),
     )
+
+
+# --- item-item collaborative filtering ----------------------------------------
+
+
+@register(
+    "item_cf_scores",
+    """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+freq AS (SELECT l_partkey AS item, COUNT(*) AS f FROM li GROUP BY 1),
+pairs AS (
+  SELECT x.l_partkey AS a, y.l_partkey AS b, COUNT(*) AS support
+  FROM li x JOIN li y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY 1, 2)
+SELECT p.a, p.b, p.support,
+       ROUND(CAST(p.support AS DOUBLE) / SQRT(CAST(fa.f AS DOUBLE) * fb.f), 6)
+         AS cosine
+FROM pairs p
+JOIN freq fa ON p.a = fa.item
+JOIN freq fb ON p.b = fb.item
+ORDER BY cosine DESC, p.a, p.b
+LIMIT 100
+""",
+)
+def q_item_cf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering scores over the order-basket
+    matrix: cosine similarity of binary item vectors reduces to
+    support / sqrt(freq_a * freq_b) — the classic co-occurrence
+    recommender (Sarwar et al., WWW 2001). The support table is the
+    SAME memoized co-purchase pair-count build shared by the whole
+    graph family (zero extra shuffles beyond two broadcast frequency
+    joins), which is exactly how a production recommender amortizes its
+    co-occurrence pass. Top-100 through TakeOrderedAndProject; one
+    double expression from exact integers, rounded once."""
+    from taxi_data_datapipeline_spark.queries_advanced import (
+        _copurchase_pair_counts,
+    )
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    freq = li.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count(F.lit(1)).alias("f")
+    )
+    pairs = _copurchase_pair_counts(spark, sf_dir)
+    fa = freq.select(F.col("item").alias("a"), F.col("f").alias("fa"))
+    fb = freq.select(F.col("item").alias("b"), F.col("f").alias("fb"))
+    return (
+        pairs.join(F.broadcast(fa), "a")
+        .join(F.broadcast(fb), "b")
+        .select(
+            "a",
+            "b",
+            "support",
+            F.round(
+                F.col("support").cast("double")
+                / F.sqrt(F.col("fa").cast("double") * F.col("fb")),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "a", "b")
+        .limit(100)
+    )
+
+
+# --- smoothed target encoding -------------------------------------------------
+
+
+_TE_ALPHA = 10
+
+
+@register(
+    "target_encoding",
+    f"""
+WITH v AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+  FROM events),
+g AS (SELECT event_type, COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS s
+      FROM v GROUP BY 1),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(s) AS BIGINT) AS ts FROM g)
+SELECT g.event_type, g.n,
+       ROUND(CAST(g.s AS DOUBLE) / g.n, 6) AS raw_mean_cents,
+       ROUND((CAST(g.s AS DOUBLE) + {_TE_ALPHA}.0
+              * (CAST(t.ts AS DOUBLE) / t.tn))
+             / (g.n + {_TE_ALPHA}), 6) AS encoded_cents
+FROM g CROSS JOIN t
+""",
+)
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding of event_type against the value target
+    (Micci-Barreca 2001): category mean shrunk toward the global mean
+    with pseudo-count alpha=10 — the feature-engineering primitive for
+    high-cardinality categoricals in tabular ML. Both means are single
+    divisions of exact integer sums and the shrinkage is one shared
+    arithmetic expression, so the encodings match bit-for-bit. The
+    global statistics re-aggregate the (tiny) category table and
+    broadcast back — two aggregate-sized stages after the one data
+    shuffle."""
+    ev = load(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("c"),
+    )
+    g = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("s")
+    )
+    t = g.agg(F.sum("n").alias("tn"), F.sum("s").alias("ts"))
+    return g.crossJoin(F.broadcast(t)).select(
+        "event_type",
+        "n",
+        F.round(F.col("s").cast("double") / F.col("n"), 6).alias(
+            "raw_mean_cents"
+        ),
+        F.round(
+            (
+                F.col("s").cast("double")
+                + F.lit(float(_TE_ALPHA))
+                * (F.col("ts").cast("double") / F.col("tn"))
+            )
+            / (F.col("n") + _TE_ALPHA),
+            6,
+        ).alias("encoded_cents"),
+    )
+
+
+# --- argmax without a window --------------------------------------------------
+
+
+@register(
+    "brand_top_part",
+    """
+WITH r AS (
+  SELECT p.p_brand, p.p_partkey,
+         CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2),
+m AS (
+  SELECT p_brand,
+         MAX({'v1': rev_cents, 'v2': -p_partkey}) AS best
+  FROM r GROUP BY 1)
+SELECT p_brand,
+       -(best).v2 AS top_partkey,
+       (best).v1 AS rev_cents
+FROM m
+""",
+)
+def q_brand_top_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highest-revenue part per brand WITHOUT a rank window: the argmax
+    rides a single aggregation as a lexicographic struct MAX of
+    (revenue, -partkey) — ties break toward the SMALLER partkey, made
+    explicit by negating the key inside the struct (max_by's tie choice
+    is engine-arbitrary and was rejected). One shuffle for the
+    per-(brand, part) rollup, one aggregate-sized argmax pass; the
+    window-free shape is what you want when groups are numerous and a
+    per-group sort would dominate."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    r = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+                    "bigint"
+                )
+            ).alias("rev_cents")
+        )
+    )
+    m = r.groupBy("p_brand").agg(
+        F.max(
+            F.struct(
+                F.col("rev_cents").alias("v1"),
+                (-F.col("p_partkey")).alias("v2"),
+            )
+        ).alias("best")
+    )
+    return m.select(
+        "p_brand",
+        (-F.col("best.v2")).alias("top_partkey"),
+        F.col("best.v1").alias("rev_cents"),
+    )
