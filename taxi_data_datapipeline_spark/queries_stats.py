@@ -2368,3 +2368,56 @@ def q_brand_top_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("best.v2")).alias("top_partkey"),
         F.col("best.v1").alias("rev_cents"),
     )
+
+
+# --- streaming record-high detection ------------------------------------------
+
+
+@register(
+    "streaming_record_highs",
+    """
+WITH v AS (
+  SELECT user_id, event_id, ts,
+         CAST(FLOOR(value * 1e6) AS BIGINT) AS vunits
+  FROM events),
+m AS (
+  SELECT user_id, event_id, vunits,
+         MAX(vunits) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS prevmax
+  FROM v)
+SELECT user_id, event_id, vunits
+FROM m WHERE prevmax IS NULL OR vunits > prevmax
+""",
+)
+def q_streaming_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user record-high (high-water-mark) detection as a CUSTOM
+    stateful streaming operator (applyInPandasWithState,
+    streaming/records.py): one bigint of state per user, emitting each
+    event that beats the running max. The batch oracle is the windowed
+    strictly-previous MAX in (ts, event_id) order; over a drained
+    AvailableNow run on time-ordered input the two are row-identical —
+    the second custom-stateful operator verified under a full
+    value-hash check (with streaming_twap). Values compare in exact
+    fixed-point micro-units so the stream and the batch plan cannot
+    disagree in the last float ulp."""
+    from taxi_data_datapipeline_spark.queries_advanced import (
+        _stream_counter,
+        _stream_events,
+    )
+    from taxi_data_datapipeline_spark.streaming.records import (
+        record_high_stream,
+    )
+
+    raw = _stream_events(spark, sf_dir)
+    highs = record_high_stream(raw)
+    name = f"stream_highs_{next(_stream_counter)}"
+    q = (
+        highs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
