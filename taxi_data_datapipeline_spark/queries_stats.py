@@ -2421,3 +2421,132 @@ def q_streaming_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# --- PCA by fixed-point power iteration ---------------------------------------
+
+
+_PCA_ITERS = 4
+_PCA_UNITS = 1048576  # 2^20
+
+
+def _pca_oracle(iters: int = _PCA_ITERS) -> str:
+    steps = []
+    prev = "v0"
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""av{k} AS (
+  SELECT c.i, CAST(SUM(c.cij * {prev}.vu) AS DECIMAL(38,0)) AS av
+  FROM c JOIN {prev} ON c.j = {prev}.j GROUP BY c.i),
+sc{k} AS (SELECT MAX(ABS(av)) AS m FROM av{k}),
+v{k} AS (
+  SELECT av{k}.i AS j,
+         CAST(FLOOR(CAST(av AS DOUBLE) / CAST(m AS DOUBLE) * {_PCA_UNITS}.0)
+              AS BIGINT) AS vu
+  FROM av{k} CROSS JOIN sc{k})"""
+        )
+        prev = f"v{k}"
+    steps_sql = ",\n".join(steps)
+    return f"""
+WITH x AS (
+  SELECT vec_id, i.i AS i,
+         CAST(FLOOR(CAST(embedding[i.i] AS DOUBLE) * {_PCA_UNITS}.0)
+              AS BIGINT) AS xu
+  FROM embeddings,
+       LATERAL unnest(generate_series(1, len(embedding))) AS i(i)),
+st AS (SELECT COUNT(*) AS n FROM embeddings),
+s AS (SELECT i, CAST(SUM(xu) AS BIGINT) AS si FROM x GROUP BY i),
+dev AS (
+  SELECT x.vec_id, x.i, st.n * x.xu - s.si AS d
+  FROM x JOIN s USING (i) CROSS JOIN st),
+c AS (
+  SELECT a.i AS i, b.i AS j,
+         CAST(SUM(CAST(a.d AS DECIMAL(38,0)) * b.d) AS DECIMAL(38,0)) AS cij
+  FROM dev a JOIN dev b ON a.vec_id = b.vec_id
+  GROUP BY 1, 2),
+v0 AS (SELECT unnest(generate_series(1, 64)) AS j,
+              CAST({_PCA_UNITS} AS BIGINT) AS vu),
+{steps_sql}
+SELECT j AS dim, vu AS eigvec_units FROM {prev}
+"""
+
+
+@register("pca_power_iteration", _pca_oracle())
+def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading principal component of the embedding covariance by 4
+    fixed-point power iterations — distributed PCA with NO float folds
+    anywhere: coordinates quantize to 2^20 units (exact IEEE scaling),
+    deviations cross-multiply to integers (n*x - s, the ACF trick), the
+    64x64 covariance accumulates in DECIMAL(38,0), and each iteration
+    is an exact integer matrix-vector product renormalized by
+    max|component| (one decimal->double division + FLOOR, identical in
+    both engines). Seeded at the all-ones vector; a FIXED iteration
+    count keeps the result a deterministic function of the data, so the
+    oracle unrolls the iterations as chained CTEs.
+
+    Scale shape: the O(N d^2) covariance pass is the one data-sized
+    stage (explode d per row, self-join within vec_id — the standard
+    Gram pattern; tree-aggregate or sampling replaces it when d grows);
+    everything after runs on the d^2-row matrix. Eigenvector SIGN is
+    pinned by the deterministic seed."""
+    e = load(spark, sf_dir, "embeddings", fan_out=True)
+    x = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "xv")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("i"),
+        F.floor(F.col("xv").cast("double") * F.lit(float(_PCA_UNITS)))
+        .cast("bigint")
+        .alias("xu"),
+    )
+    st = e.agg(F.count(F.lit(1)).alias("n"))
+    s = x.groupBy("i").agg(F.sum("xu").alias("si"))
+    dev = (
+        x.join(F.broadcast(s), "i")
+        .crossJoin(F.broadcast(st))
+        .select(
+            "vec_id", "i", (F.col("n") * F.col("xu") - F.col("si")).alias("d")
+        )
+    )
+    a = dev.select("vec_id", F.col("i"), F.col("d").alias("da"))
+    b = dev.select(
+        F.col("vec_id").alias("vid2"), F.col("i").alias("j"), F.col("d").alias("db")
+    )
+    c = (
+        a.join(b, a.vec_id == b.vid2)
+        .groupBy("i", "j")
+        .agg(
+            F.sum(F.col("da").cast("decimal(38,0)") * F.col("db"))
+            .cast("decimal(38,0)")
+            .alias("cij")
+        )
+        .localCheckpoint(eager=False)
+    )
+    v = spark.range(1, 65).select(
+        F.col("id").alias("j"), F.lit(_PCA_UNITS).cast("bigint").alias("vu")
+    )
+    for _ in range(_PCA_ITERS):
+        av = (
+            c.join(F.broadcast(v), "j")
+            .groupBy("i")
+            .agg(
+                F.sum(F.col("cij") * F.col("vu"))
+                .cast("decimal(38,0)")
+                .alias("av")
+            )
+        )
+        sc = av.agg(F.max(F.abs(F.col("av"))).alias("m"))
+        v = (
+            av.crossJoin(F.broadcast(sc))
+            .select(
+                F.col("i").alias("j"),
+                F.floor(
+                    F.col("av").cast("double")
+                    / F.col("m").cast("double")
+                    * F.lit(float(_PCA_UNITS))
+                )
+                .cast("bigint")
+                .alias("vu"),
+            )
+        )
+    return v.select(F.col("j").alias("dim"), F.col("vu").alias("eigvec_units"))
