@@ -2550,3 +2550,216 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return v.select(F.col("j").alias("dim"), F.col("vu").alias("eigvec_units"))
+
+
+# --- Kendall tau on the daily series ------------------------------------------
+
+
+@register(
+    "kendall_tau_daily",
+    """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x,
+         CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS y
+  FROM events GROUP BY 1),
+pr AS (
+  SELECT (b.x - a.x) AS dx, (b.y - a.y) AS dy
+  FROM daily a JOIN daily b ON b.day > a.day),
+s AS (
+  SELECT COUNT(*) AS n_pairs,
+         CAST(SUM(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         CAST(SUM(CASE WHEN dx = 0 AND dy != 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS tx,
+         CAST(SUM(CASE WHEN dy = 0 AND dx != 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS ty
+  FROM pr)
+SELECT n_pairs, c, d, tx, ty,
+       ROUND(CAST(c - d AS DOUBLE)
+             / SQRT(CAST(n_pairs - tx AS DOUBLE) * (n_pairs - ty)), 6)
+         AS tau_b
+FROM s
+""",
+)
+def q_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between daily event volume and daily revenue — the
+    concordance test that complements Spearman (rank-linear) with pure
+    pair-ordering agreement. The series collapses to one row per day
+    first, so the O(days^2) pair set is calendar-bounded (the Theil-Sen
+    argument); concordant / discordant / tie counts are exact integers
+    and tau-b is one closed-form double expression over them. At
+    data-sized n the exact pair formulation gives way to the
+    merge-sort inversion count — noted, not needed for an
+    aggregate-sized series."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("x"),
+        F.sum(F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("y"),
+    )
+    a = daily.select(
+        F.col("day").alias("d1"), F.col("x").alias("x1"), F.col("y").alias("y1")
+    )
+    b = daily.select(
+        F.col("day").alias("d2"), F.col("x").alias("x2"), F.col("y").alias("y2")
+    )
+    pr = a.join(F.broadcast(b), F.col("d2") > F.col("d1")).select(
+        (F.col("x2") - F.col("x1")).alias("dx"),
+        (F.col("y2") - F.col("y1")).alias("dy"),
+    )
+    prod = F.col("dx") * F.col("dy")
+    s = pr.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(prod > 0, 1).otherwise(0)).alias("c"),
+        F.sum(F.when(prod < 0, 1).otherwise(0)).alias("d"),
+        F.sum(
+            F.when((F.col("dx") == 0) & (F.col("dy") != 0), 1).otherwise(0)
+        ).alias("tx"),
+        F.sum(
+            F.when((F.col("dy") == 0) & (F.col("dx") != 0), 1).otherwise(0)
+        ).alias("ty"),
+    )
+    return s.select(
+        "n_pairs",
+        "c",
+        "d",
+        "tx",
+        "ty",
+        F.round(
+            (F.col("c") - F.col("d")).cast("double")
+            / F.sqrt(
+                (F.col("n_pairs") - F.col("tx")).cast("double")
+                * (F.col("n_pairs") - F.col("ty"))
+            ),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+# --- per-group ntile ----------------------------------------------------------
+
+
+@register(
+    "ntile_quartiles",
+    """
+WITH q AS (
+  SELECT event_type, value, event_id,
+         NTILE(4) OVER (PARTITION BY event_type
+                        ORDER BY value, event_id) AS quartile
+  FROM events)
+SELECT event_type, quartile, COUNT(*) AS n,
+       MIN(value) AS lo, MAX(value) AS hi
+FROM q GROUP BY 1, 2
+""",
+)
+def q_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type quartile assignment via NTILE(4) with a fully
+    tie-broken ordering (value, event_id) — without the unique
+    tiebreaker, rows with equal values straddle bucket boundaries in
+    engine-arbitrary order and the bucket populations differ per run
+    (both engines use the same floor-based NTILE distribution, so a
+    TOTAL order makes them identical). Partitioned by event_type — the
+    per-group quantile-bucketing shape; the global variant would use
+    the broadcast percentile edges of equidepth_buckets instead of a
+    window."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select(
+            "event_type", "value", "event_id", F.ntile(4).over(w).alias("quartile")
+        )
+        .groupBy("event_type", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
+
+
+# --- complex-event sequence matching ------------------------------------------
+
+
+@register(
+    "cep_view_click_purchase",
+    """
+WITH p AS (SELECT user_id, event_id, ts FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'),
+pc AS (
+  SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+         MAX({'t': c.ts, 'e': c.event_id}) AS bc
+  FROM p JOIN c ON c.user_id = p.user_id
+       AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 48 HOUR
+  GROUP BY 1, 2, 3),
+pcv AS (
+  SELECT pc.user_id, pc.purchase_id, pc.purchase_ts,
+         (pc.bc).e AS click_id,
+         MAX({'t': v.ts, 'e': v.event_id}) AS bv
+  FROM pc JOIN v ON v.user_id = pc.user_id
+       AND v.ts <= (pc.bc).t AND v.ts >= (pc.bc).t - INTERVAL 48 HOUR
+  GROUP BY 1, 2, 3, 4)
+SELECT user_id, purchase_id, purchase_ts, click_id, (bv).e AS view_id
+FROM pcv
+""",
+)
+def q_cep_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event sequence match (MATCH_RECOGNIZE-lite): for each
+    purchase, the latest click within 48 hours before it, and for
+    that click the latest view within 48 hours before IT (the synthetic
+    stream averages ~11 h between events per user, so a minutes-scale
+    window matches nothing) — the
+    view -> click -> purchase attribution path, composed from TWO
+    chained as-of joins with tolerance (operators/asof.py — the
+    union-marker single-shuffle plan, not a range-join blowup; the
+    oracle uses the equivalent bounded range join + struct-max, which
+    is fine at oracle scale but quadratic in hot users). Ties at equal
+    timestamps resolve to the larger event_id in both formulations
+    (the as-of join's struct-wise max IS the SQL MAX(STRUCT(ts, id))).
+    Purchases without a qualifying chain drop out (inner semantics)."""
+    from taxi_data_datapipeline_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+
+    def typed(t: str, id_alias: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == t).select(
+            "user_id", F.col("event_id").alias(id_alias), "ts"
+        )
+
+    p = typed("purchase", "purchase_id").withColumnRenamed("ts", "purchase_ts")
+    c = typed("click", "click_id")
+    v = typed("view", "view_id")
+    pc = asof_join(
+        p,
+        c,
+        on=["user_id"],
+        left_ts="purchase_ts",
+        right_ts="ts",
+        right_cols=["click_id"],
+        tolerance="48 hours",
+    ).filter(F.col("ts_asof").isNotNull())
+    pc = pc.select(
+        "user_id",
+        "purchase_id",
+        "purchase_ts",
+        F.col("click_id_asof").alias("click_id"),
+        F.col("ts_asof").alias("click_ts"),
+    )
+    pcv = asof_join(
+        pc,
+        v,
+        on=["user_id"],
+        left_ts="click_ts",
+        right_ts="ts",
+        right_cols=["view_id"],
+        tolerance="48 hours",
+    ).filter(F.col("ts_asof").isNotNull())
+    return pcv.select(
+        "user_id",
+        "purchase_id",
+        "purchase_ts",
+        "click_id",
+        F.col("view_id_asof").alias("view_id"),
+    )
