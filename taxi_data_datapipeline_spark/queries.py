@@ -182,9 +182,11 @@ DRIVER_WINDOW: list[str] = [
     # Iterative clustering with a full unrolled-CTE oracle (round 3)
     "kmeans_units",
     # Deduplication tiers
-    "dedup_groups_cc", "minhash_lsh_dedup", "ngram_jaccard_blocked",
-    # Embedding similarity
-    "embedding_near_dup", "embedding_quantize",
+    "dedup_groups_cc", "minhash_lsh_dedup",
+    # Tokenizer training / exact linear algebra (round 3, session 4)
+    "bpe_learn_merges", "pca_power_iteration",
+    # Embedding similarity (quantize/jaccard variants stay local-gated)
+    "embedding_near_dup",
     # Text analysis
     "tfidf_top_terms",
     # Market-basket association rules (round 3)
