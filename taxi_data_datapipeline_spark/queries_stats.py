@@ -2763,3 +2763,120 @@ def q_cep_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         F.col("view_id_asof").alias("view_id"),
     )
+
+
+# --- RAKE keyword extraction --------------------------------------------------
+
+
+_RAKE_STOPS = ("the", "and", "of", "to", "a", "in", "is", "it")
+_RAKE_UNITS = 10**9
+
+
+@register(
+    "rake_keywords",
+    f"""
+WITH toks AS (
+  SELECT doc_id, i.i AS pos, w.ws[i.i] AS word
+  FROM (SELECT doc_id, {_SQL_SUBTOKS} AS ws FROM documents) w,
+       LATERAL unnest(generate_series(1, len(w.ws))) AS i(i)),
+marked AS (
+  SELECT doc_id, pos, word,
+         CASE WHEN word IN {repr(tuple(_RAKE_STOPS))} THEN 1 ELSE 0 END
+           AS brk
+  FROM toks),
+ph AS (
+  SELECT doc_id, pos, word, brk,
+         CAST(SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS phrase_id
+  FROM marked),
+member AS (SELECT doc_id, phrase_id, pos, word FROM ph WHERE brk = 0),
+plen AS (
+  SELECT doc_id, phrase_id, COUNT(*) AS l
+  FROM member GROUP BY doc_id, phrase_id),
+wstat AS (
+  SELECT m.word, COUNT(*) AS freq, CAST(SUM(p.l) AS BIGINT) AS degree
+  FROM member m JOIN plen p USING (doc_id, phrase_id)
+  GROUP BY m.word),
+wscore AS (
+  SELECT word, (degree * {_RAKE_UNITS}) // freq AS score_units FROM wstat),
+pscore AS (
+  SELECT m.doc_id, m.phrase_id,
+         string_agg(m.word, ' ' ORDER BY m.pos) AS phrase,
+         CAST(SUM(s.score_units) AS BIGINT) AS score_units
+  FROM member m JOIN wscore s USING (word)
+  GROUP BY m.doc_id, m.phrase_id)
+SELECT doc_id, phrase, score_units FROM (
+  SELECT doc_id, phrase, score_units,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score_units DESC, phrase, phrase_id)
+           AS rk
+  FROM pscore)
+WHERE rk <= 3
+""",
+)
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    maximal stopword-free token runs; each word scores degree/frequency
+    (degree = total length of phrases containing it) and a phrase scores
+    the sum of its member word scores; top-3 phrases per document.
+
+    Exactness: word scores are TRUNCATING integer divisions scaled to
+    1e9 units (degree*1e9 // freq — no doubles at all), so the phrase
+    score is an exact bigint sum and the per-document ranking (score,
+    phrase, phrase_id) is engine-identical. Plan shape: one posexplode
+    pass, phrase ids from a per-document running sum (partitioned
+    window), the word-statistics table is vocabulary-sized and joins
+    back broadcast-style, and the top-3 is a per-document rank window —
+    every window keyed, nothing global."""
+    docs = load(spark, sf_dir, "documents", fan_out=True)
+    toks = docs.select(
+        "doc_id", F.posexplode(bpe_ish_tokens(F.col("text"))).alias("pos0", "word")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    marked = toks.withColumn(
+        "brk", F.when(F.col("word").isin(*_RAKE_STOPS), 1).otherwise(0)
+    )
+    wdoc = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ph = marked.withColumn("phrase_id", F.sum("brk").over(wdoc))
+    member = ph.filter(F.col("brk") == 0).select(
+        "doc_id", "phrase_id", "pos", "word"
+    )
+    plen = member.groupBy("doc_id", "phrase_id").agg(
+        F.count(F.lit(1)).alias("l")
+    )
+    wstat = (
+        member.join(plen, ["doc_id", "phrase_id"])
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"), F.sum("l").alias("degree"))
+    )
+    wscore = wstat.select(
+        "word",
+        F.expr(f"(degree * {_RAKE_UNITS}) DIV freq").alias("score_units"),
+    )
+    pscore = (
+        member.join(wscore, "word")
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "word"))
+                    ),
+                    lambda s: s["word"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.sum("score_units").alias("score_units"),
+        )
+    )
+    wk = Window.partitionBy("doc_id").orderBy(
+        F.col("score_units").desc(), "phrase", "phrase_id"
+    )
+    return (
+        pscore.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "phrase", "score_units")
+    )
