@@ -2880,3 +2880,58 @@ def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", "phrase", "score_units")
     )
+
+
+# --- Lorenz curve of user activity --------------------------------------------
+
+
+@register(
+    "lorenz_user_activity",
+    """
+WITH ua AS (SELECT user_id, COUNT(*) AS a FROM events GROUP BY 1),
+grp AS (SELECT a, COUNT(*) AS c FROM ua GROUP BY a),
+cum AS (
+  SELECT a, c,
+         CAST(SUM(c) OVER (ORDER BY a) AS BIGINT) AS fu,
+         CAST(SUM(a * c) OVER (ORDER BY a) AS BIGINT) AS fe
+  FROM grp),
+t AS (SELECT CAST(SUM(c) AS BIGINT) AS nu, CAST(SUM(a * c) AS BIGINT) AS ne
+      FROM grp)
+SELECT cum.a AS activity, cum.c AS users, cum.fu AS cum_users,
+       cum.fe AS cum_events,
+       ROUND(CAST(cum.fu AS DOUBLE) / t.nu, 6) AS user_share,
+       ROUND(CAST(cum.fe AS DOUBLE) / t.ne, 6) AS event_share
+FROM cum CROSS JOIN t
+""",
+)
+def q_lorenz_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of user activity — "the bottom x% of users produce
+    y% of events", the concentration curve behind the Gini coefficient
+    (gini_revenue computes the summary scalar; this emits the curve).
+    Users group by their exact event count, cumulative user and event
+    mass come from the bucketed two-phase cumulation over the
+    aggregate-sized activity histogram, and the shares are single exact
+    divisions. One data-sized shuffle (per-user count)."""
+    ev = load(spark, sf_dir, "events")
+    ua = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("a"))
+    grp = ua.groupBy("a").agg(F.count(F.lit(1)).alias("c"))
+    cum = _cumulative_counts(
+        grp.select(
+            F.col("a").alias("value"),
+            F.col("c").alias("c1"),
+            (F.col("a") * F.col("c")).alias("c2"),
+        )
+    )
+    t = grp.agg(
+        F.sum("c").alias("nu"), F.sum(F.col("a") * F.col("c")).alias("ne")
+    )
+    return cum.crossJoin(F.broadcast(t)).select(
+        F.col("value").alias("activity"),
+        F.col("c1").alias("users"),
+        F.col("f1").alias("cum_users"),
+        F.col("f2").alias("cum_events"),
+        F.round(F.col("f1").cast("double") / F.col("nu"), 6).alias("user_share"),
+        F.round(F.col("f2").cast("double") / F.col("ne"), 6).alias(
+            "event_share"
+        ),
+    )
