@@ -65,6 +65,8 @@ def main() -> None:
     slow_first = [
         "pagerank_copurchase",
         "dedup_groups_cc", "kmeans_iterate", "table_profile",
+        "theil_sen_slope", "spearman_price_qty", "pca_power_iteration",
+        "rake_keywords",
         "simhash_pairs", "contamination_check", "minhash_lsh_dedup",
         "kmeans_units", "simhash_pairs_checked", "embedding_ivf_topk",
         "multimodal_features_checked", "zipf_fit",
@@ -74,7 +76,7 @@ def main() -> None:
     graph_late = [
         "triangle_count", "label_propagation", "bfs_hops",
         "assoc_rules", "pagerank_weighted",
-        "neighbor_jaccard", "modularity_communities",
+        "neighbor_jaccard", "modularity_communities", "item_cf_scores",
     ]
 
     times: dict[str, float] = {}

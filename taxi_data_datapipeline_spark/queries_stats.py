@@ -2935,3 +2935,124 @@ def q_lorenz_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_share"
         ),
     )
+
+
+# --- privacy tier: k-anonymity audit and seeded DP noise ----------------------
+
+
+_KANON_K = 5
+
+
+@register(
+    "k_anonymity_report",
+    f"""
+WITH q AS (
+  SELECT event_type,
+         dayofweek(CAST(ts AS DATE)) AS dw,
+         CAST(FLOOR(value / 50.0) AS BIGINT) AS value_band,
+         user_id
+  FROM events),
+g AS (
+  SELECT event_type, dw, value_band,
+         COUNT(*) AS n_rows, COUNT(DISTINCT user_id) AS n_users
+  FROM q GROUP BY 1, 2, 3)
+SELECT COUNT(*) AS n_classes,
+       CAST(SUM(CASE WHEN n_users < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS unsafe_classes,
+       CAST(SUM(CASE WHEN n_users < {_KANON_K} THEN n_rows ELSE 0 END)
+            AS BIGINT) AS unsafe_rows,
+       CAST(MIN(n_users) AS BIGINT) AS min_class_users,
+       ROUND(CAST(SUM(CASE WHEN n_users < {_KANON_K} THEN n_rows ELSE 0 END)
+                  AS DOUBLE) / SUM(n_rows), 6) AS unsafe_row_share
+FROM g
+""",
+)
+def q_k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k=5) over the quasi-identifier tuple
+    (event_type, day-of-week, 50-unit value band): how many equivalence
+    classes have fewer than k distinct users, and what fraction of rows
+    sit in them — the release-gate check a privacy review runs before
+    publishing event-level data (Sweeney 2002). Class membership counts
+    are exact integers; one shuffle on the quasi-identifier key with the
+    distinct-user count pre-deduped by the planner. The remediation
+    (generalize bands / suppress classes) follows from this report."""
+    ev = load(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        F.dayofweek(F.col("ts").cast("date")).alias("dw"),
+        F.floor(F.col("value") / 50.0).alias("value_band"),
+        "user_id",
+    )
+    g = q.groupBy("event_type", "dw", "value_band").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+    unsafe = F.col("n_users") < _KANON_K
+    return g.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(F.when(unsafe, 1).otherwise(0)).alias("unsafe_classes"),
+        F.sum(F.when(unsafe, F.col("n_rows")).otherwise(0)).alias(
+            "unsafe_rows"
+        ),
+        F.min("n_users").alias("min_class_users"),
+        F.round(
+            F.sum(F.when(unsafe, F.col("n_rows")).otherwise(0)).cast("double")
+            / F.sum("n_rows"),
+            6,
+        ).alias("unsafe_row_share"),
+    )
+
+
+_DP_EPS_INV = 1.0  # Laplace scale b = sensitivity/epsilon = 1/1
+
+
+@register(
+    "dp_noisy_counts",
+    f"""
+WITH g AS (
+  SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
+u AS (
+  SELECT event_type, n,
+         (CAST(strpos('0123456789abcdef', substr(md5(event_type), 1, 1)) - 1
+               AS DOUBLE) * 16 * 16 * 16
+          + CAST(strpos('0123456789abcdef', substr(md5(event_type), 2, 1)) - 1
+                 AS DOUBLE) * 16 * 16
+          + CAST(strpos('0123456789abcdef', substr(md5(event_type), 3, 1)) - 1
+                 AS DOUBLE) * 16
+          + CAST(strpos('0123456789abcdef', substr(md5(event_type), 4, 1)) - 1
+                 AS DOUBLE) + 0.5) / 65536.0 AS uu
+  FROM g)
+SELECT event_type, n,
+       ROUND(n + CASE WHEN uu < 0.5
+                      THEN {_DP_EPS_INV!r} * LN(2.0 * uu)
+                      ELSE -{_DP_EPS_INV!r} * LN(2.0 * (1.0 - uu)) END,
+             6) AS noisy_n
+FROM u
+""",
+)
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private event-type counts via the Laplace
+    mechanism (Dwork 2006), with the noise draw DERANDOMIZED for
+    reproducibility: the uniform comes from the first 4 md5 nibbles of
+    the group key (the engine's seeded-coin convention, same as
+    weighted_sample), pushed through the inverse-CDF transform. A
+    per-release salt concatenated into the hash is how production runs
+    vary draws between releases — content-keyed noise is deliberate
+    here so the oracle can check the arithmetic end-to-end. LN parity
+    across engines holds on this platform (token_entropy precedent);
+    the uniform is offset by half a step so u is never 0 or 1."""
+    ev = load(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    h = F.md5(F.col("event_type"))
+    nib = lambda i: (  # noqa: E731
+        F.instr(F.lit("0123456789abcdef"), F.substring(h, i, 1)) - 1
+    ).cast("double")
+    uu = (
+        nib(1) * 16 * 16 * 16 + nib(2) * 16 * 16 + nib(3) * 16 + nib(4) + 0.5
+    ) / F.lit(65536.0)
+    noise = F.when(
+        uu < 0.5, F.lit(_DP_EPS_INV) * F.log(F.lit(2.0) * uu)
+    ).otherwise(-F.lit(_DP_EPS_INV) * F.log(F.lit(2.0) * (F.lit(1.0) - uu)))
+    return g.select(
+        "event_type", "n", F.round(F.col("n") + noise, 6).alias("noisy_n")
+    )
