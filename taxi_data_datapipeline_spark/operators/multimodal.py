@@ -217,3 +217,49 @@ def attach_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             F.lit(None).cast("long").alias("duration_ms"),
         ),
     )
+
+
+def bytes_meta_arrow(df: "DataFrame") -> "DataFrame":
+    """Arrow-native twin of the built-in bytes-metadata projection:
+    ``mapInArrow`` streams RecordBatches through pyarrow directly — no
+    pandas materialization, no per-column Series construction — which is
+    the lowest-overhead Python hop Spark offers and the right API tier
+    when the Python side is a thin vectorized transform over big binary
+    payloads. Byte lengths and the size class come from vectorized
+    pyarrow.compute kernels; the content hash is hashlib per row
+    (hashing is per-element CPU work under any API). Emits exactly the
+    schema of the built-in multimodal_bytes projection so the two tiers
+    share one oracle."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out_schema = (
+        "doc_id long, n_bytes int, content_sha string, size_class string"
+    )
+
+    def batches(it):
+        for batch in it:
+            doc_id = batch.column(batch.schema.get_field_index("doc_id"))
+            text = batch.column(batch.schema.get_field_index("text"))
+            blob = pc.cast(text, pa.binary())
+            n_bytes = pc.cast(pc.binary_length(blob), pa.int32())
+            shas = pa.array(
+                [
+                    None if v is None else hashlib.sha256(v).hexdigest()
+                    for v in blob.to_pylist()
+                ],
+                type=pa.string(),
+            )
+            size_class = pc.if_else(
+                pc.greater_equal(n_bytes, 256),
+                pa.scalar("large"),
+                pa.scalar("small"),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [doc_id, n_bytes, shas, size_class],
+                ["doc_id", "n_bytes", "content_sha", "size_class"],
+            )
+
+    return df.select("doc_id", "text").mapInArrow(batches, out_schema)

@@ -3056,3 +3056,32 @@ def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "event_type", "n", F.round(F.col("n") + noise, 6).alias("noisy_n")
     )
+
+
+# --- Arrow-native multimodal bytes tier ---------------------------------------
+
+
+@register(
+    "multimodal_bytes_arrow",
+    """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS content_sha,
+       CASE WHEN octet_length(encode(text)) >= 256 THEN 'large' ELSE 'small'
+            END AS size_class
+FROM documents
+""",
+)
+def q_multimodal_bytes_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal bytes-metadata projection through ``mapInArrow`` —
+    the Arrow-RecordBatch API tier below mapInPandas (no pandas
+    materialization), demonstrated against the SAME oracle as the
+    built-in-expression multimodal_bytes so all three tiers (codegen
+    built-ins, pandas batches, raw Arrow batches) are proven
+    result-identical. See operators/multimodal.py:bytes_meta_arrow for
+    when this tier is the right choice."""
+    from taxi_data_datapipeline_spark.operators.multimodal import (
+        bytes_meta_arrow,
+    )
+
+    return bytes_meta_arrow(load(spark, sf_dir, "documents", fan_out=True))
