@@ -3085,3 +3085,95 @@ def q_multimodal_bytes_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return bytes_meta_arrow(load(spark, sf_dir, "documents", fan_out=True))
+
+
+# --- bitmap-word exact distinct -----------------------------------------------
+
+
+@register(
+    "bitmap_distinct_users",
+    """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+""",
+)
+def q_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counting via BITMAP WORDS (the roaring-bitmap /
+    bitmap-index technique): pack user ids into 64-bit words
+    (word = id DIV 64, bit = id MOD 64), OR the bits per
+    (key, word) in one aggregation, then popcount-sum the words. The
+    oracle is plain COUNT(DISTINCT) — this query PROVES the bitmap
+    formulation exact.
+
+    Why it matters at scale: per-(key, word) state is one bigint no
+    matter how many of its 64 ids appear, so dense id spaces compress
+    64x against the (key, user) pre-dedup pair shuffle
+    (distinct_users_twophase) while keeping the same skew-safety — the
+    shuffle key carries the word index. Two aggregations, both
+    map-side-combinable; popcount (bit_count) is a codegen intrinsic in
+    both engines."""
+    ev = load(spark, sf_dir, "events")
+    words = ev.select(
+        "event_type",
+        F.expr("user_id DIV 64").alias("word_ix"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))").alias(
+            "bit"
+        ),
+    )
+    packed = words.groupBy("event_type", "word_ix").agg(
+        F.expr("bit_or(bit)").alias("word")
+    )
+    return packed.groupBy("event_type").agg(
+        F.sum(F.expr("bit_count(word)")).alias("n_users")
+    )
+
+
+# --- multi-aggregate hourly pivot ---------------------------------------------
+
+
+def _pivot_multi_oracle() -> str:
+    cols = []
+    for h in range(24):
+        cols.append(
+            f"CAST(SUM(CASE WHEN hour(ts) = {h} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n_{h}"
+        )
+        cols.append(
+            f"CAST(SUM(CASE WHEN hour(ts) = {h} THEN"
+            f" CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            f" ELSE 0 END) AS BIGINT) AS cents_{h}"
+        )
+    cols_sql = ",\n       ".join(cols)
+    return f"""
+SELECT event_type, CAST(ts AS DATE) AS day,
+       {cols_sql}
+FROM events
+GROUP BY event_type, CAST(ts AS DATE)
+"""
+
+
+@register("hourly_pivot_multi", _pivot_multi_oracle())
+def q_hourly_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship pivot shape widened to MULTIPLE measures per bucket:
+    for each (event_type, day), 24 hourly event counts AND 24 hourly
+    revenue totals (exact integer cents) — 48 output measures from ONE
+    shuffle. Same fixed-domain conditional-aggregation strategy as the
+    reference pivot (operators/pivot.py): the explicit 0-23 hour domain
+    means no second pass to discover pivot values and the whole row
+    stays a single map-side-combinable aggregate, which is why adding a
+    second measure costs zero extra shuffles (a naive two-pivot-joins
+    formulation would pay two more)."""
+    ev = load(spark, sf_dir, "events")
+    h = F.hour("ts")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    aggs = []
+    for hh in range(24):
+        aggs.append(
+            F.sum(F.when(h == hh, 1).otherwise(0)).alias(f"n_{hh}")
+        )
+        aggs.append(
+            F.sum(F.when(h == hh, cents).otherwise(0)).alias(f"cents_{hh}")
+        )
+    return ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(*aggs)
