@@ -3177,3 +3177,100 @@ def q_hourly_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
     ).agg(*aggs)
+
+
+# --- deterministic random walks -----------------------------------------------
+
+
+_WALK_STEPS = 3
+
+
+def _walks_oracle(steps: int = _WALK_STEPS) -> str:
+    hops = []
+    prev = "w0"
+    for k in range(1, steps + 1):
+        hops.append(
+            f"""w{k} AS (
+  SELECT w.start_node, w.path, w.cur,
+         a.nbrs[1 + CAST(
+             (strpos('0123456789abcdef',
+                     substr(md5(CAST(w.cur AS VARCHAR) || ':{k}'), 1, 1)) - 1)
+             * 16
+             + strpos('0123456789abcdef',
+                      substr(md5(CAST(w.cur AS VARCHAR) || ':{k}'), 2, 1)) - 1
+             AS BIGINT) % len(a.nbrs)] AS nxt
+  FROM {prev} w JOIN adj a ON a.u = w.cur),
+w{k}x AS (
+  SELECT start_node, path || '->' || CAST(nxt AS VARCHAR) AS path, nxt AS cur
+  FROM w{k})"""
+        )
+        prev = f"w{k}x"
+    hops_sql = ",\n".join(hops)
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT x.l_partkey AS a, y.l_partkey AS b
+  FROM li x JOIN li y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY x.l_partkey, y.l_partkey
+  HAVING COUNT(*) >= 2),
+sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+adj AS (SELECT u, list_sort(list(v)) AS nbrs FROM sym GROUP BY u),
+w0 AS (SELECT u AS start_node, CAST(u AS VARCHAR) AS path, u AS cur FROM adj),
+{hops_sql}
+SELECT start_node, path FROM {prev}
+"""
+
+
+@register("hash_random_walks", _walks_oracle())
+def q_hash_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk-style random walks (Perozzi 2014) over the
+    support-pruned co-purchase graph, DERANDOMIZED: at step k from node
+    c the next hop is sorted-neighbor index md5(c ':' k) % degree — the
+    engine's content-hash coin, so the walk corpus is a reproducible
+    function of the graph (the property that lets embeddings train
+    identically on reruns, and lets a SQL oracle replay every walk).
+    One walk of 3 steps per node; each step is a join of the frontier
+    against the node-sized sorted-adjacency table — the standard
+    distributed walk shape, O(walks) rows per step with the hub-array
+    caveat of neighbor_jaccard. Emits the '->'-joined path string."""
+    from taxi_data_datapipeline_spark.queries_advanced import (
+        _copurchase_edges_support,
+    )
+
+    e = _copurchase_edges_support(spark, sf_dir)
+    sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    adj = sym.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
+    w = adj.select(
+        F.col("u").alias("start_node"),
+        F.col("u").cast("string").alias("path"),
+        F.col("u").alias("cur"),
+    )
+    hexs = "0123456789abcdef"
+    for k in range(1, _WALK_STEPS + 1):
+        h = F.md5(F.concat(F.col("cur").cast("string"), F.lit(f":{k}")))
+        idx = (
+            (F.instr(F.lit(hexs), F.substring(h, 1, 1)) - 1) * 16
+            + (F.instr(F.lit(hexs), F.substring(h, 2, 1)) - 1)
+        ).cast("bigint")
+        w = (
+            w.join(adj, w.cur == adj.u)
+            .select(
+                "start_node",
+                F.concat(
+                    F.col("path"),
+                    F.lit("->"),
+                    F.element_at(
+                        F.col("nbrs"),
+                        (F.lit(1) + idx % F.size("nbrs")).cast("int"),
+                    ).cast("string"),
+                ).alias("path"),
+                F.element_at(
+                    F.col("nbrs"),
+                    (F.lit(1) + idx % F.size("nbrs")).cast("int"),
+                ).alias("cur"),
+            )
+        )
+    return w.select("start_node", "path")
