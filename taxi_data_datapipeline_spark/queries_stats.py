@@ -3274,3 +3274,81 @@ def q_hash_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return w.select("start_node", "path")
+
+
+# --- quantile normalization across sources ------------------------------------
+
+
+@register(
+    "quantile_normalize_lengths",
+    """
+WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+pooledg AS (SELECT n_chars AS v, COUNT(*) AS c FROM d GROUP BY 1),
+pooled AS (
+  SELECT v, c, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS f FROM pooledg),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+ranked AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS r,
+         COUNT(*) OVER (PARTITION BY source) AS m
+  FROM d)
+SELECT rk.doc_id, rk.source, rk.n_chars,
+       p.v AS normalized_len
+FROM ranked rk
+CROSS JOIN nn
+JOIN pooled p
+  ON p.f - p.c < (rk.r * nn.n + rk.m - 1) // rk.m
+ AND (rk.r * nn.n + rk.m - 1) // rk.m <= p.f
+""",
+)
+def q_quantile_normalize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of document lengths across sources (the
+    batch-effect correction used when corpus slices must share a
+    distribution before mixing): a document at within-source rank r of
+    m maps to the pooled distribution's value at position
+    ceil(r*N/m). Ranks come from per-source windows (keyed, never
+    global); the pooled CDF is the bucketed two-phase cumulation over
+    the aggregate-sized length histogram, and the position lookup is a
+    bracketing range join (f-c < p <= f — the theil_sen median
+    selection idiom) against that BROADCAST-sized table. All integer
+    arithmetic; ceil is (r*N + m - 1) DIV m with positive operands, so
+    both engines truncate identically."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    pooledg = d.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    pooled = _cumulative_counts(
+        pooledg.select(
+            F.col("v").cast("double").alias("value"),
+            F.col("c").alias("c1"),
+            F.lit(0).alias("c2"),
+        )
+    ).select(
+        F.col("value").cast("bigint").alias("v"),
+        F.col("c1").alias("c"),
+        F.col("f1").alias("f"),
+    )
+    nn = d.agg(F.count(F.lit(1)).alias("n"))
+    wsrc = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(wsrc).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("m"),
+    )
+    p = F.expr("(r * n + m - 1) DIV m")
+    return (
+        ranked.crossJoin(F.broadcast(nn))
+        .join(
+            F.broadcast(pooled),
+            (F.col("f") - F.col("c") < p) & (p <= F.col("f")),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.col("v").alias("normalized_len"),
+        )
+    )
