@@ -3352,3 +3352,58 @@ def q_quantile_normalize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").alias("normalized_len"),
         )
     )
+
+
+# --- skip-gram pairs from walks -----------------------------------------------
+
+
+def _skipgram_oracle() -> str:
+    walks = _walks_oracle()
+    body = walks.split("WITH", 1)[1].rsplit("SELECT start_node, path", 1)[0]
+    last = f"w{_WALK_STEPS}x"
+    return f"""
+WITH {body.strip().rstrip(',')},
+seq AS (
+  SELECT start_node, string_split(path, '->') AS nodes FROM {last}),
+pos AS (
+  SELECT CAST(s.nodes[i.i] AS BIGINT) AS center,
+         CAST(s.nodes[j.j] AS BIGINT) AS context
+  FROM seq s,
+       LATERAL unnest(generate_series(1, len(s.nodes))) AS i(i),
+       LATERAL unnest(generate_series(1, len(s.nodes))) AS j(j)
+  WHERE i.i != j.j AND abs(i.i - j.j) <= 2)
+SELECT center, context, COUNT(*) AS cnt
+FROM pos GROUP BY center, context
+"""
+
+
+@register("walk_skipgram_pairs", _skipgram_oracle())
+def q_walk_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) training pairs from the deterministic
+    walk corpus — the exact data-prep step between random walks and a
+    word2vec-style embedding fit (DeepWalk's contribution). Window size
+    2 over each 4-node path; pair extraction is a double position
+    explode over the walk table (walk-count-sized, not corpus-sized)
+    followed by one count aggregation. Shares hash_random_walks' walk
+    generation verbatim, so the two queries can never disagree about
+    the corpus."""
+    walks = q_hash_random_walks(spark, sf_dir)
+    seq = walks.select(F.split("path", "->").alias("nodes"))
+    pos = (
+        seq.select(
+            F.posexplode("nodes").alias("i", "center"), F.col("nodes")
+        )
+        .select(
+            "i",
+            F.col("center").cast("bigint").alias("center"),
+            F.posexplode("nodes").alias("j", "context"),
+        )
+        .filter(
+            (F.col("i") != F.col("j"))
+            & (F.abs(F.col("i") - F.col("j")) <= 2)
+        )
+        .select("center", F.col("context").cast("bigint").alias("context"))
+    )
+    return pos.groupBy("center", "context").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
