@@ -3407,3 +3407,110 @@ def q_walk_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pos.groupBy("center", "context").agg(
         F.count(F.lit(1)).alias("cnt")
     )
+
+
+# --- cross-source duplication matrix ------------------------------------------
+
+
+def _source_overlap_oracle() -> str:
+    from taxi_data_datapipeline_spark.queries_data import _SQL_GRAMS
+
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT unnest({_SQL_GRAMS}) AS g, source FROM documents),
+p AS (
+  SELECT a.g, a.source AS source_a, b.source AS source_b
+  FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source)
+SELECT source_a, source_b, COUNT(*) AS shared_shingles
+FROM p GROUP BY source_a, source_b
+"""
+
+
+@register("source_overlap_matrix", _source_overlap_oracle())
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content-overlap matrix: for every source pair, how
+    many distinct word 3-gram shingles appear in BOTH — the provenance /
+    mirror-detection screen that runs before per-document dedup (the
+    synthetic corpus has zero exact cross-source duplicates, so the
+    shingle tier is the one that carries signal; same shapes as
+    contamination_check). One shuffle keyed on the shingle; per-shingle
+    source sets are bounded by the source count, so the self-join
+    fanout is sources-per-shingle squared, never corpus-sized."""
+    from taxi_data_datapipeline_spark.functions.text import ngram_shingles
+
+    docs = load(spark, sf_dir, "documents", fan_out=True)
+    sh = docs.select(
+        F.explode(ngram_shingles(F.col("text"), 3)).alias("g"), "source"
+    ).distinct()
+    a = sh.select("g", F.col("source").alias("source_a"))
+    b = sh.select(F.col("g").alias("g2"), F.col("source").alias("source_b"))
+    return (
+        a.join(
+            b,
+            (F.col("g") == F.col("g2"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+    )
+
+
+# --- sentence statistics ------------------------------------------------------
+
+
+@register(
+    "sentence_stats",
+    r"""
+WITH s AS (
+  SELECT doc_id, source,
+         list_filter(
+           list_transform(string_split_regex(text, '[.!?]+'), t -> trim(t)),
+           t -> t != '') AS sents
+  FROM documents),
+f AS (
+  SELECT doc_id, source, len(sents) AS n_sents,
+         CAST(list_sum(list_transform(sents, t -> length(t))) AS BIGINT)
+           AS sent_chars
+  FROM s)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_sents) AS BIGINT) AS total_sents,
+       ROUND(CAST(SUM(n_sents) AS DOUBLE) / COUNT(*), 6)
+         AS sents_per_doc,
+       ROUND(CAST(SUM(sent_chars) AS DOUBLE) / SUM(n_sents), 6)
+         AS chars_per_sent
+FROM f GROUP BY source
+""",
+)
+def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation statistics per source (sentences per
+    document, characters per sentence) — the readability/prose-shape
+    profile a curation run reports next to token stats. Segmentation is
+    the regex [.!?]+ split with trimmed empties, computed identically by
+    both engines; counts and character sums stay integers, divided once.
+    Single scan, one source-keyed rollup — the whole sentence pass is
+    map-side array work inside codegen."""
+    docs = load(spark, sf_dir, "documents", fan_out=True)
+    sents = F.filter(
+        F.transform(F.split(F.col("text"), r"[.!?]+"), lambda t: F.trim(t)),
+        lambda t: t != "",
+    )
+    f = docs.select(
+        "source",
+        F.size(sents).alias("n_sents"),
+        F.aggregate(
+            F.transform(sents, lambda t: F.length(t).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("sent_chars"),
+    )
+    return f.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_sents").alias("total_sents"),
+        F.round(
+            F.sum("n_sents").cast("double") / F.count(F.lit(1)), 6
+        ).alias("sents_per_doc"),
+        F.round(
+            F.sum("sent_chars").cast("double") / F.sum("n_sents"), 6
+        ).alias("chars_per_sent"),
+    )
