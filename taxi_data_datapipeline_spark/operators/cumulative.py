@@ -1,0 +1,84 @@
+"""Global order statistics without global windows: the bucketed
+two-phase cumulation.
+
+Rank, ECDF, quantile-bracketing, and Gini/Lorenz statistics all need an
+inclusive cumulative sum over a value ordering. The naive plan —
+``SUM() OVER (ORDER BY v)`` with no partition — executes in ONE
+partition ("Moving all data to a single partition"), the scale-killer
+class the plan audit bans (tests/test_plan_shapes.py).
+
+This operator replaces it with three keyed stages:
+
+1. range-bucket the distinct values, bounds from a broadcast 1-row
+   min/max aggregate;
+2. cumulate INSIDE each bucket with a partitioned window;
+3. offset by per-bucket prefix totals from the aggregate-sized bucket
+   table (a B x B broadcast self-join — no window at all).
+
+Bucketing is only a partitioning choice: the result equals the
+global-window cumsum on every prefix (property-tested in
+tests/test_stats.py), which is also why every consumer's DuckDB oracle
+can use a plain ``SUM() OVER (ORDER BY v)``.
+
+Consumers: ks_two_sample, mann_whitney_u (ECDFs), spearman_price_qty
+(tie-averaged ranks), theil_sen_slope (median bracketing), gini_revenue
+/ lorenz_user_activity (rank mass), hazard_curve (at-risk counts),
+quantile_normalize_lengths (pooled CDF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+N_BUCKETS = 64
+
+
+def cumulative_counts(s: DataFrame, n_buckets: int = N_BUCKETS) -> DataFrame:
+    """``s`` has columns (value, c1, c2) with DISTINCT numeric values;
+    returns (value, c1, c2, f1, f2) where fX is the inclusive cumulative
+    sum of cX in ascending value order. The second channel is free — use
+    it for a weighted mass (lorenz_user_activity) or pass zeros."""
+    mm = s.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    b = (
+        F.when(F.col("vmax") == F.col("vmin"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("vmin"))
+                    * F.lit(float(n_buckets))
+                    / (F.col("vmax") - F.col("vmin"))
+                ),
+                F.lit(n_buckets - 1),
+            )
+        )
+        .cast("int")
+    )
+    sb = s.crossJoin(F.broadcast(mm)).withColumn("b", b)
+    wb = Window.partitionBy("b").orderBy("value")
+    cum = sb.select(
+        "b",
+        "value",
+        "c1",
+        "c2",
+        F.sum("c1").over(wb).alias("cum1"),
+        F.sum("c2").over(wb).alias("cum2"),
+    )
+    btot = sb.groupBy("b").agg(
+        F.sum("c1").alias("bc1"), F.sum("c2").alias("bc2")
+    )
+    lower = btot.select(
+        F.col("b").alias("b_lo"), F.col("bc1").alias("p1"), F.col("bc2").alias("p2")
+    )
+    prefix = (
+        btot.join(F.broadcast(lower), F.col("b_lo") < F.col("b"), "left")
+        .groupBy("b")
+        .agg(F.sum("p1").alias("pre1"), F.sum("p2").alias("pre2"))
+    )
+    return cum.join(F.broadcast(prefix), "b").select(
+        "value",
+        "c1",
+        "c2",
+        (F.coalesce(F.col("pre1"), F.lit(0)) + F.col("cum1")).alias("f1"),
+        (F.coalesce(F.col("pre2"), F.lit(0)) + F.col("cum2")).alias("f2"),
+    )

@@ -480,60 +480,12 @@ def _two_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_N_KS_BUCKETS = 64
-
-
-def _cumulative_counts(s: DataFrame) -> DataFrame:
-    """Inclusive cumulative counts (f1, f2) over value order WITHOUT a
-    global window: values are range-bucketed (bounds from a broadcast
-    1-row min/max aggregate), cumulated inside each bucket with a
-    PARTITIONED window, and offset by per-bucket prefix totals computed
-    on the aggregate-sized bucket table. Bucketing only affects the
-    partitioning — the resulting cumulative counts are exactly the
-    global-order ones, so the DuckDB oracle can use a plain window."""
-    mm = s.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
-    b = (
-        F.when(F.col("vmax") == F.col("vmin"), F.lit(0))
-        .otherwise(
-            F.least(
-                F.floor(
-                    (F.col("value") - F.col("vmin"))
-                    * F.lit(float(_N_KS_BUCKETS))
-                    / (F.col("vmax") - F.col("vmin"))
-                ),
-                F.lit(_N_KS_BUCKETS - 1),
-            )
-        )
-        .cast("int")
-    )
-    sb = s.crossJoin(F.broadcast(mm)).withColumn("b", b)
-    wb = Window.partitionBy("b").orderBy("value")
-    cum = sb.select(
-        "b",
-        "value",
-        "c1",
-        "c2",
-        F.sum("c1").over(wb).alias("cum1"),
-        F.sum("c2").over(wb).alias("cum2"),
-    )
-    btot = sb.groupBy("b").agg(
-        F.sum("c1").alias("bc1"), F.sum("c2").alias("bc2")
-    )
-    lower = btot.select(
-        F.col("b").alias("b_lo"), F.col("bc1").alias("p1"), F.col("bc2").alias("p2")
-    )
-    prefix = (
-        btot.join(F.broadcast(lower), F.col("b_lo") < F.col("b"), "left")
-        .groupBy("b")
-        .agg(F.sum("p1").alias("pre1"), F.sum("p2").alias("pre2"))
-    )
-    return cum.join(F.broadcast(prefix), "b").select(
-        "value",
-        "c1",
-        "c2",
-        (F.coalesce(F.col("pre1"), F.lit(0)) + F.col("cum1")).alias("f1"),
-        (F.coalesce(F.col("pre2"), F.lit(0)) + F.col("cum2")).alias("f2"),
-    )
+# The bucketed two-phase cumulation now lives in operators/cumulative.py
+# (promoted once ten query families depended on it); this alias keeps the
+# module-internal call sites and tests stable.
+from taxi_data_datapipeline_spark.operators.cumulative import (  # noqa: E402
+    cumulative_counts as _cumulative_counts,
+)
 
 
 _KS_COUNTS_CTE = """
