@@ -3466,3 +3466,96 @@ def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sent_chars").cast("double") / F.sum("n_sents"), 6
         ).alias("chars_per_sent"),
     )
+
+
+# --- Count-Min Sketch heavy hitters -------------------------------------------
+
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 64
+
+
+def _cms_hash_sql(row: int) -> str:
+    # Two md5 nibbles of (user_id ':' row) -> bucket in [0, width)
+    return (
+        f"((strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)"
+        f" || ':{row}'), 1, 1)) - 1) * 16"
+        f" + strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)"
+        f" || ':{row}'), 2, 1)) - 1) % {_CMS_WIDTH}"
+    )
+
+
+def _cms_oracle() -> str:
+    rows_union = " UNION ALL ".join(
+        f"SELECT {r} AS r, {_cms_hash_sql(r)} AS w, user_id FROM events"
+        for r in range(_CMS_DEPTH)
+    )
+    est_joins = "\n".join(
+        f"JOIN cms c{r} ON c{r}.r = {r} AND c{r}.w = {_cms_hash_sql(r)}"
+        for r in range(_CMS_DEPTH)
+    )
+    least = ", ".join(f"c{r}.cnt" for r in range(_CMS_DEPTH))
+    return f"""
+WITH cells AS ({rows_union}),
+cms AS (SELECT r, w, COUNT(*) AS cnt FROM cells GROUP BY r, w),
+truth AS (SELECT user_id, COUNT(*) AS true_cnt FROM events GROUP BY user_id),
+est AS (
+  SELECT t.user_id, t.true_cnt, LEAST({least}) AS est_cnt
+  FROM truth t
+  {est_joins})
+SELECT user_id, true_cnt, est_cnt
+FROM est
+ORDER BY est_cnt DESC, user_id
+LIMIT 20
+"""
+
+
+@register("cms_heavy_hitters", _cms_oracle())
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch heavy hitters (Cormode-Muthukrishnan 2005):
+    a 4x64 counter matrix built in ONE aggregation (each event maps to
+    depth buckets via the md5-coin hash family), point estimates as the
+    min over rows, top-20 users by estimate with the true count
+    alongside — the bounded-memory frequency sketch whose state is
+    4*64 counters regardless of cardinality.
+
+    Everything is DERANDOMIZED and additive: the hash family is
+    content-hashed (engine-independent) and counter merges are sums, so
+    the sketch is an exact deterministic function of the data and the
+    whole pipeline — build, estimate, ranking — runs under the full
+    value-hash oracle (a sketch tier the rows-only HLL entries cannot
+    offer). The estimate >= truth guarantee is visible in the output
+    columns."""
+    ev = load(spark, sf_dir, "events")
+    hexs = "0123456789abcdef"
+
+    def bucket(r: int):
+        h = F.md5(F.concat(F.col("user_id").cast("string"), F.lit(f":{r}")))
+        return (
+            (F.instr(F.lit(hexs), F.substring(h, 1, 1)) - 1) * 16
+            + (F.instr(F.lit(hexs), F.substring(h, 2, 1)) - 1)
+        ) % _CMS_WIDTH
+
+    cells = None
+    for r in range(_CMS_DEPTH):
+        part = ev.select(
+            F.lit(r).alias("r"), bucket(r).alias("w"), "user_id"
+        )
+        cells = part if cells is None else cells.unionAll(part)
+    cms = cells.groupBy("r", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    truth = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = truth
+    ests = []
+    for r in range(_CMS_DEPTH):
+        cr = cms.filter(F.col("r") == r).select(
+            F.col("w").alias(f"w{r}"), F.col("cnt").alias(f"cnt{r}")
+        )
+        est = est.join(F.broadcast(cr), bucket(r) == F.col(f"w{r}"))
+        ests.append(F.col(f"cnt{r}"))
+    return (
+        est.select(
+            "user_id", "true_cnt", F.least(*ests).alias("est_cnt")
+        )
+        .orderBy(F.col("est_cnt").desc(), "user_id")
+        .limit(20)
+    )
