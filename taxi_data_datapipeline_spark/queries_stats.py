@@ -3559,3 +3559,79 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("est_cnt").desc(), "user_id")
         .limit(20)
     )
+
+
+# --- seasonal-residual anomaly detection --------------------------------------
+
+
+@register(
+    "seasonal_anomalies",
+    """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+dow AS (
+  SELECT event_type, dayofweek(day) AS dw,
+         COUNT(*) AS days_n, CAST(SUM(n) AS BIGINT) AS dow_s
+  FROM daily GROUP BY 1, 2),
+res AS (
+  SELECT d.event_type, d.day, d.n,
+         d.n - CAST(t.dow_s AS DOUBLE) / t.days_n AS resid
+  FROM daily d
+  JOIN dow t ON d.event_type = t.event_type AND dayofweek(d.day) = t.dw),
+med AS (
+  SELECT event_type, quantile_cont(resid, 0.5) AS med FROM res GROUP BY 1),
+dev AS (
+  SELECT r.event_type, r.day, r.n, r.resid,
+         ABS(r.resid - m.med) AS adev, m.med
+  FROM res r JOIN med m ON r.event_type = m.event_type),
+mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1)
+SELECT d.event_type, d.day, d.n, ROUND(d.resid, 6) AS resid
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+WHERE d.adev > 1.5 * 1.4826 * m.mad
+""",
+)
+def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-hybrid anomaly detection (the Twitter S-H-ESD shape):
+    remove weekly seasonality first (the seasonal_adjust decomposition),
+    THEN apply the robust MAD gate (1.5 robust sigmas — the sensitivity
+    knob; the well-behaved synthetic stream yields nothing at the
+    textbook 3) to the residuals — a raw-value gate
+    (anomaly_mad) would flag every ordinary weekend; deseasonalizing
+    first is what turns "different day of week" into "actually
+    anomalous". Composes two existing operators end-to-end: dow-mean
+    residuals (broadcast profile join) and two exact-percentile passes
+    over the aggregate-sized daily table. Emits the anomalous
+    (type, day) rows with their residuals."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    dow = daily.groupBy(
+        "event_type", F.dayofweek("day").alias("dw")
+    ).agg(F.count(F.lit(1)).alias("days_n"), F.sum("n").alias("dow_s"))
+    mean = F.col("dow_s").cast("double") / F.col("days_n")
+    res = (
+        daily.withColumn("dw", F.dayofweek("day"))
+        .join(F.broadcast(dow), ["event_type", "dw"])
+        .select(
+            "event_type", "day", "n", (F.col("n") - mean).alias("resid")
+        )
+    )
+    med = res.groupBy("event_type").agg(
+        F.percentile("resid", F.lit(0.5)).alias("med")
+    )
+    dev = res.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("resid") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("adev") > 1.5 * 1.4826 * F.col("mad"))
+        .select(
+            "event_type", "day", "n", F.round("resid", 6).alias("resid")
+        )
+    )
