@@ -361,3 +361,96 @@ def simhash_dedup(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def minhash_lsh_incremental(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 32,
+    bands: int = 8,
+    ngram: int = 3,
+    jaccard_threshold: float = 0.5,
+    max_old_per_bucket: int = 8,
+) -> DataFrame:
+    """Incremental near-dup screen: candidates only BETWEEN a new batch
+    and the existing corpus — the daily-ingest shape, where re-running
+    the full self-join (minhash_lsh_pairs) would redo O(corpus) pair
+    work to answer an O(batch) question.
+
+    Same banding machinery as the self-join variant; the difference is
+    candidate generation: per bucket, each NEW document pairs with at
+    most ``max_old_per_bucket`` lowest-id OLD documents (the hot-bucket
+    fanout cap, one-sided — a boilerplate bucket holding 10M old docs
+    must not multiply the batch). In production the old side's
+    signatures/buckets would be a persisted table refreshed per ingest;
+    here both sides derive in one job for oracle-checkability.
+
+    Output: (new_doc, old_doc, jaccard >= threshold).
+    """
+    rows = num_perm // bands
+    tagged = old.select(
+        F.col(id_col).alias("_gid"), F.col(text_col).alias("_text"), F.lit(0).alias("_new")
+    ).unionByName(
+        new.select(
+            F.col(id_col).alias("_gid"),
+            F.col(text_col).alias("_text"),
+            F.lit(1).alias("_new"),
+        )
+    )
+    grams = tagged.select(
+        "_gid", "_new", ngram_shingles(F.col("_text"), ngram).alias("grams")
+    ).persist()
+    exploded = grams.select("_gid", "_new", F.explode("grams").alias("gram"))
+    sig = exploded.groupBy("_gid", "_new").agg(
+        *[F.min(F.xxhash64("gram", F.lit(i))).alias(f"m{i}") for i in range(num_perm)]
+    )
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"m{b * rows + r}") for r in range(rows)]).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        "_gid", "_new", F.explode(F.array(*band_cols)).alias("bk")
+    )
+    # Per bucket: sorted old ids (capped) x new ids -> cross candidates.
+    per_bucket = buckets.groupBy("bk").agg(
+        F.slice(
+            F.sort_array(F.collect_set(F.when(F.col("_new") == 0, F.col("_gid")))),
+            1,
+            max_old_per_bucket,
+        ).alias("olds"),
+        F.collect_set(F.when(F.col("_new") == 1, F.col("_gid"))).alias("news"),
+    )
+    cands = (
+        per_bucket.filter((F.size("olds") > 0) & (F.size("news") > 0))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(news, n ->"
+                    " transform(olds, o -> struct(n AS new_doc, o AS old_doc))))"
+                )
+            ).alias("p")
+        )
+        .select("p.new_doc", "p.old_doc")
+        .distinct()
+    )
+    ga = grams.select(F.col("_gid").alias("old_doc"), F.col("grams").alias("og"))
+    gb = grams.select(F.col("_gid").alias("new_doc"), F.col("grams").alias("ng"))
+    return (
+        cands.join(ga, "old_doc")
+        .join(gb, "new_doc")
+        .select(
+            "new_doc",
+            "old_doc",
+            F.round(
+                F.size(F.array_intersect("ng", "og")).cast("double")
+                / F.size(F.array_union("ng", "og")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )

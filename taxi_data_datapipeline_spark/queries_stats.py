@@ -3635,3 +3635,44 @@ def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "day", "n", F.round("resid", 6).alias("resid")
         )
     )
+
+
+# --- incremental near-dup screening -------------------------------------------
+
+
+def _dedup_incremental_oracle() -> str:
+    from taxi_data_datapipeline_spark.queries_data import _SQL_GRAMS
+
+    return f"""
+WITH g AS (SELECT doc_id, {_SQL_GRAMS} AS grams FROM documents),
+o AS (SELECT * FROM g WHERE doc_id % 5 != 0),
+n AS (SELECT * FROM g WHERE doc_id % 5 = 0)
+SELECT new_doc, old_doc, jaccard FROM (
+  SELECT n.doc_id AS new_doc, o.doc_id AS old_doc,
+         ROUND(CAST(len(list_intersect(n.grams, o.grams)) AS DOUBLE)
+               / len(list_distinct(list_concat(n.grams, o.grams))), 6)
+           AS jaccard
+  FROM n JOIN o ON true)
+WHERE jaccard >= 0.5
+"""
+
+
+@register("dedup_incremental", _dedup_incremental_oracle())
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup screen of a 20% "new batch" (doc_id % 5 = 0)
+    against the 80% existing corpus — the daily-ingest dedup shape:
+    LSH band candidates are generated only BETWEEN sides, so the work is
+    O(batch + candidates), never the O(corpus^2-ish) self-join a full
+    re-dedup would pay (operators/dedup.py:minhash_lsh_incremental; the
+    one-sided hot-bucket cap bounds boilerplate buckets). The oracle is
+    the brute-force old x new scan at the verification threshold —
+    valid for the same above-the-recall-cliff argument as
+    minhash_lsh_dedup."""
+    from taxi_data_datapipeline_spark.operators.dedup import (
+        minhash_lsh_incremental,
+    )
+
+    docs = load(spark, sf_dir, "documents", fan_out=True)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    return minhash_lsh_incremental(old, new)
