@@ -3676,3 +3676,46 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = docs.filter(F.col("doc_id") % 5 != 0)
     new = docs.filter(F.col("doc_id") % 5 == 0)
     return minhash_lsh_incremental(old, new)
+
+
+@register("streaming_incremental_dedup", _dedup_incremental_oracle())
+def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental near-dup screen ONLINE: the 20% "new batch"
+    arrives as a file stream, is MinHash-banded per-row in the stream
+    (no cross-row state — each row carries its own shingle set, so the
+    signature is per-row array math instead of the batch tier's
+    explode+aggregate), and joins stream-static against the old
+    corpus's precomputed bucket table with in-stream exact
+    verification. Drained AvailableNow it must equal the batch
+    dedup_incremental / brute-force oracle — the same result through a
+    third execution architecture (streaming/dedup.py:
+    lsh_incremental_stream). Multi-band duplicate candidates drop via
+    answer-sized dropDuplicates state."""
+    from taxi_data_datapipeline_spark.queries_advanced import _stream_counter
+    from taxi_data_datapipeline_spark.streaming.dedup import (
+        build_old_buckets,
+        lsh_incremental_stream,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    old_buckets = build_old_buckets(
+        docs.filter(F.col("doc_id") % 5 != 0)
+    ).localCheckpoint(eager=True)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    new_stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{sf_dir}/documents*.parquet")
+        .filter(F.col("doc_id") % 5 == 0)
+    )
+    out = lsh_incremental_stream(new_stream, old_buckets)
+    name = f"stream_incdedup_{next(_stream_counter)}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -103,3 +103,123 @@ def run_dedup_to_memory(
     )
     q.awaitTermination()
     return spark.table(table_name)
+
+
+def lsh_incremental_stream(
+    new_docs: DataFrame,
+    old_buckets: DataFrame,
+    num_perm: int = 32,
+    bands: int = 8,
+    ngram: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Streaming incremental near-dup screen: each arriving document is
+    MinHash-banded IN THE STREAM (the same codegen signature expressions
+    as the batch tier) and joined stream-static against the existing
+    corpus's precomputed bucket table — the online form of
+    operators/dedup.py:minhash_lsh_incremental, and the architecture a
+    production ingest runs: the old side is a persisted table the batch
+    pipeline refreshes, the stream only ever does O(batch) work.
+
+    ``old_buckets`` carries (band, bh, old_doc, old_grams) — bucket keys
+    plus the shingle set needed for in-stream exact verification (at
+    scale the grams column would live in a side lookup; inlined here so
+    a single stream-static join verifies too). Duplicate candidate
+    pairs from multi-band collisions are dropped with unbounded
+    dropDuplicates state — keyed by matched pair, which is
+    answer-sized, not corpus-sized.
+    """
+    from taxi_data_datapipeline_spark.functions.text import ngram_shingles
+
+    rows = num_perm // bands
+    grams = ngram_shingles(F.col("text"), ngram)
+    # Streaming aggregation would need a watermark; instead derive the
+    # signature per-row with array expressions (each row carries its own
+    # grams — no cross-row state required).
+    def _perm(i: int):
+        # Single-argument lambda ONLY: a second parameter (even with a
+        # bound default) makes transform() pass the ARRAY INDEX as the
+        # second argument, silently replacing the permutation seed.
+        return lambda g: F.xxhash64(g, F.lit(i))
+
+    mins = [
+        F.array_min(F.transform(F.col("new_grams"), _perm(i))).alias(f"m{i}")
+        for i in range(num_perm)
+    ]
+    sig = new_docs.select(
+        F.col("doc_id").alias("new_doc"), grams.alias("new_grams")
+    ).select("new_doc", "new_grams", *mins)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"m{b * rows + r}") for r in range(rows)]).alias(
+                "bh"
+            ),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "new_doc",
+        "new_grams",
+        F.explode(F.array(*band_cols)).alias("bk"),
+    ).select(
+        "new_doc",
+        "new_grams",
+        F.col("bk.band").alias("band"),
+        F.col("bk.bh").alias("bh"),
+    )
+    joined = banded.join(old_buckets, ["band", "bh"])
+    verified = joined.select(
+        "new_doc",
+        "old_doc",
+        F.round(
+            F.size(F.array_intersect("new_grams", "old_grams")).cast("double")
+            / F.size(F.array_union("new_grams", "old_grams")),
+            6,
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= jaccard_threshold)
+    return verified.dropDuplicates(["new_doc", "old_doc"])
+
+
+def build_old_buckets(
+    old_docs: DataFrame,
+    num_perm: int = 32,
+    bands: int = 8,
+    ngram: int = 3,
+) -> DataFrame:
+    """The static side for ``lsh_incremental_stream``: (band, bh,
+    old_doc, old_grams) — in production a table the batch pipeline
+    maintains per ingest."""
+    from taxi_data_datapipeline_spark.functions.text import ngram_shingles
+
+    rows = num_perm // bands
+    grams = ngram_shingles(F.col("text"), ngram)
+    def _perm(i: int):
+        return lambda g: F.xxhash64(g, F.lit(i))  # see lsh_incremental_stream
+
+    mins = [
+        F.array_min(F.transform(F.col("old_grams"), _perm(i))).alias(f"m{i}")
+        for i in range(num_perm)
+    ]
+    sig = old_docs.select(
+        F.col("doc_id").alias("old_doc"), grams.alias("old_grams")
+    ).select("old_doc", "old_grams", *mins)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"m{b * rows + r}") for r in range(rows)]).alias(
+                "bh"
+            ),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        "old_doc",
+        "old_grams",
+        F.explode(F.array(*band_cols)).alias("bk"),
+    ).select(
+        F.col("bk.band").alias("band"),
+        F.col("bk.bh").alias("bh"),
+        "old_doc",
+        "old_grams",
+    )
