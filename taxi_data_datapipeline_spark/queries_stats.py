@@ -3719,3 +3719,79 @@ def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# --- Pareto revenue concentration ---------------------------------------------
+
+
+@register(
+    "pareto_revenue_share",
+    f"""
+WITH rev AS (
+  SELECT o_custkey, CAST(SUM({_SQL_CENTS}) AS BIGINT) AS y
+  FROM orders GROUP BY 1),
+grp AS (SELECT y, COUNT(*) AS c FROM rev GROUP BY y),
+cum AS (
+  SELECT y, c,
+         CAST(SUM(c) OVER (ORDER BY y) AS BIGINT) AS f,
+         CAST(SUM(y * c) OVER (ORDER BY y) AS BIGINT) AS g
+  FROM grp),
+st AS (SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(y * c) AS BIGINT) AS s
+       FROM grp),
+br AS (
+  SELECT cum.y, cum.f, cum.g, st.n, st.s, (8 * st.n) // 10 AS k
+  FROM cum CROSS JOIN st
+  WHERE cum.f - cum.c < (8 * st.n) // 10 AND (8 * st.n) // 10 <= cum.f)
+SELECT n AS n_customers, n - k AS top_customers, s AS total_cents,
+       s - (g - (f - k) * y) AS top_cents,
+       ROUND(CAST(s - (g - (f - k) * y) AS DOUBLE) / s, 6) AS top_share
+FROM br
+""",
+)
+def q_pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Pareto headline number: what share of revenue comes from the
+    top 20% of customers — computed EXACTLY, including the value group
+    straddling the 80th-percentile rank (its members share one revenue
+    value, so the partial group's mass is (f - k) * y, an integer). The
+    bottom-80 cutoff k, the bracketing row, and both masses come from
+    the same two-phase cumulation (user count + revenue mass channels);
+    the share is one double division. One data-sized shuffle
+    (per-customer rollup)."""
+    o = load(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+        ).alias("y")
+    )
+    grp = rev.groupBy("y").agg(F.count(F.lit(1)).alias("c"))
+    cum = _cumulative_counts(
+        grp.select(
+            F.col("y").cast("double").alias("value"),
+            F.col("c").alias("c1"),
+            (F.col("y") * F.col("c")).alias("c2"),
+        )
+    ).select(
+        F.col("value").cast("bigint").alias("y"),
+        F.col("c1").alias("c"),
+        F.col("f1").alias("f"),
+        F.col("f2").alias("g"),
+    )
+    st = grp.agg(
+        F.sum("c").alias("n"), F.sum(F.col("y") * F.col("c")).alias("s")
+    )
+    k = F.expr("(8 * n) DIV 10")
+    br = (
+        cum.crossJoin(F.broadcast(st))
+        .filter((F.col("f") - F.col("c") < k) & (k <= F.col("f")))
+        .withColumn("k", k)
+    )
+    top_cents = F.col("s") - (
+        F.col("g") - (F.col("f") - F.col("k")) * F.col("y")
+    )
+    return br.select(
+        F.col("n").alias("n_customers"),
+        (F.col("n") - F.col("k")).alias("top_customers"),
+        F.col("s").alias("total_cents"),
+        top_cents.alias("top_cents"),
+        F.round(top_cents.cast("double") / F.col("s"), 6).alias("top_share"),
+    )
