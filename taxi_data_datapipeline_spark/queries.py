@@ -176,7 +176,9 @@ DRIVER_WINDOW: list[str] = [
     # streaming_twap is the custom-stateful (applyInPandasWithState)
     # representative
     "streaming_hourly_counts", "streaming_session_windows",
-    "streaming_cdc_compaction", "streaming_twap",
+    # streaming_incremental_dedup: stream-static LSH screen (batch CDC
+    # twin cdc_log_compaction already samples the compaction family)
+    "streaming_incremental_dedup", "streaming_twap",
     # Skew-aware shapes
     "skew_join_salted",
     # Iterative clustering with a full unrolled-CTE oracle (round 3)
