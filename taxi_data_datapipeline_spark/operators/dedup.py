@@ -373,6 +373,7 @@ def minhash_lsh_incremental(
     ngram: int = 3,
     jaccard_threshold: float = 0.5,
     max_old_per_bucket: int = 8,
+    observation=None,
 ) -> DataFrame:
     """Incremental near-dup screen: candidates only BETWEEN a new batch
     and the existing corpus — the daily-ingest shape, where re-running
@@ -383,9 +384,19 @@ def minhash_lsh_incremental(
     candidate generation: per bucket, each NEW document pairs with at
     most ``max_old_per_bucket`` lowest-id OLD documents (the hot-bucket
     fanout cap, one-sided — a boilerplate bucket holding 10M old docs
-    must not multiply the batch). In production the old side's
-    signatures/buckets would be a persisted table refreshed per ingest;
-    here both sides derive in one job for oracle-checkability.
+    must not multiply the batch). The cap silently trades recall for
+    bounded fanout, so the loss is made VISIBLE: pass a
+    ``pyspark.sql.Observation`` as ``observation`` and after the first
+    action its metrics report ``capped_buckets`` (buckets whose old side
+    was truncated) and ``buckets`` (total candidate buckets) — zero
+    capped buckets proves the screen was exhaustive.
+
+    In production the old side's signatures/buckets would be a persisted
+    table refreshed per ingest; here both sides derive in one job for
+    oracle-checkability. The shingle table is reused by three consumers
+    (signatures + both verify sides), so it is localCheckpoint-
+    materialized — block cleanup is reference-tracked, unlike persist(),
+    whose cache entries would outlive the call in a long session.
 
     Output: (new_doc, old_doc, jaccard >= threshold).
     """
@@ -401,7 +412,7 @@ def minhash_lsh_incremental(
     )
     grams = tagged.select(
         "_gid", "_new", ngram_shingles(F.col("_text"), ngram).alias("grams")
-    ).persist()
+    ).localCheckpoint(eager=True)
     exploded = grams.select("_gid", "_new", F.explode("grams").alias("gram"))
     sig = exploded.groupBy("_gid", "_new").agg(
         *[F.min(F.xxhash64("gram", F.lit(i))).alias(f"m{i}") for i in range(num_perm)]
@@ -418,13 +429,21 @@ def minhash_lsh_incremental(
     )
     # Per bucket: sorted old ids (capped) x new ids -> cross candidates.
     per_bucket = buckets.groupBy("bk").agg(
-        F.slice(
-            F.sort_array(F.collect_set(F.when(F.col("_new") == 0, F.col("_gid")))),
-            1,
-            max_old_per_bucket,
-        ).alias("olds"),
+        F.sort_array(
+            F.collect_set(F.when(F.col("_new") == 0, F.col("_gid")))
+        ).alias("all_olds"),
         F.collect_set(F.when(F.col("_new") == 1, F.col("_gid"))).alias("news"),
+    ).select(
+        F.slice("all_olds", 1, max_old_per_bucket).alias("olds"),
+        "news",
+        (F.size("all_olds") > max_old_per_bucket).cast("long").alias("capped"),
     )
+    if observation is not None:
+        per_bucket = per_bucket.observe(
+            observation,
+            F.sum("capped").alias("capped_buckets"),
+            F.count(F.lit(1)).alias("buckets"),
+        )
     cands = (
         per_bucket.filter((F.size("olds") > 0) & (F.size("news") > 0))
         .select(

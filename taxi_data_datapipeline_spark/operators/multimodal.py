@@ -252,8 +252,11 @@ def bytes_meta_arrow(df: "DataFrame") -> "DataFrame":
                 ],
                 type=pa.string(),
             )
+            # NULL text must classify as 'small' like the built-in tier's
+            # F.when(...).otherwise('small') and the oracle's CASE (a null
+            # if_else condition would propagate NULL instead).
             size_class = pc.if_else(
-                pc.greater_equal(n_bytes, 256),
+                pc.fill_null(pc.greater_equal(n_bytes, 256), False),
                 pa.scalar("large"),
                 pa.scalar("small"),
             )

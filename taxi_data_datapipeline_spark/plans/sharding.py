@@ -62,12 +62,11 @@ def write_training_shards(
         .agg(
             F.count(F.lit(1)).alias("rows"),
             # XOR-fold of per-row md5 prefixes: commutative + associative,
-            # hence independent of partitioning and arrival order.
-            F.aggregate(
-                F.collect_list(F.conv(half, 16, 10).cast("bigint")),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc.bitwiseXOR(x),
-            ).alias("checksum"),
+            # hence independent of partitioning and arrival order. bit_xor
+            # is a real (partial+merge) aggregate: constant memory per
+            # shard, vs collect_list which would buffer every row hash of
+            # a ~10^9-row shard on one executor before folding.
+            F.bit_xor(F.conv(half, 16, 10).cast("bigint")).alias("checksum"),
         )
         .orderBy("shard")
         .collect()
@@ -103,11 +102,7 @@ def verify_shards(spark: SparkSession, out_dir: str, key: str) -> bool:
         df.groupBy("shard")
         .agg(
             F.count(F.lit(1)).alias("rows"),
-            F.aggregate(
-                F.collect_list(F.conv(half, 16, 10).cast("bigint")),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc.bitwiseXOR(x),
-            ).alias("checksum"),
+            F.bit_xor(F.conv(half, 16, 10).cast("bigint")).alias("checksum"),
         )
         .orderBy("shard")
         .collect()

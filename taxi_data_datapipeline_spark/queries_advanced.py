@@ -103,17 +103,20 @@ def q_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sessionize_events",
     """
-WITH flagged AS (
-  SELECT user_id, ts, event_id,
-         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                   > INTERVAL 30 MINUTE OR
-                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-              THEN 1 ELSE 0 END AS new_s
+WITH based AS (
+  SELECT user_id, ts, event_id, epoch_ns(ts) // 1000 AS tsu
   FROM events),
+flagged AS (
+  SELECT user_id, ts, tsu, event_id,
+         CASE WHEN tsu - LAG(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id)
+                   > 1800000000 OR
+                   LAG(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM based),
 sess AS (
-  SELECT user_id, ts,
-         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS UNBOUNDED PRECEDING) AS session_id
+  SELECT user_id, ts, tsu,
+         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged)
 SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
        COUNT(*) AS n_events
@@ -126,27 +129,30 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> running sum = session id -> per-session aggregate. One shuffle on
     user_id serves both windows AND the final groupBy (same key).
 
-    Both windows order by (ts, event_id): with a tie-broken total order
+    Two cross-engine hardenings (the r2/r3 driver hash mismatches):
+    1. The gap test runs on INTEGER epoch-microseconds on both engines
+       (`unix_micros` here, `epoch_ns(ts) // 1000` in the oracle) so no
+       engine-native interval/precision semantics — ns-grain parquet
+       readers included — can flip the strict `>` at a boundary.
+    2. The oracle's running SUM is cast to BIGINT: DuckDB widens window
+       SUM(INTEGER) to HUGEINT, which pandas-based comparators render as
+       float64 ("2.0" vs Spark's "2") — rows/schema match, hash doesn't.
+    Both windows order by (tsu, event_id): a tie-broken total order makes
     the lag flags and the running sum see the SAME row sequence, so the
-    session assignment is deterministic and engine-independent. Ordering
-    the running sum by ts alone leaves rows with equal ts in ambiguous
-    order — a tie-group whose new-session flag sits on a row the engine
-    happens to place last would split the session differently per engine
-    (the r2 driver hash mismatch)."""
+    session assignment is deterministic and engine-independent."""
     ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    w = Window.partitionBy("user_id").orderBy(F.col("tsu"), F.col("event_id"))
     wrun = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts"), F.col("event_id"))
+        .orderBy(F.col("tsu"), F.col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    prev = F.lag("ts").over(w)
+    prev = F.lag("tsu").over(w)
     new_s = (
-        prev.isNull()
-        | ((F.col("ts") - prev) > F.expr("INTERVAL 30 MINUTE"))
+        prev.isNull() | ((F.col("tsu") - prev) > F.lit(1_800_000_000))
     ).cast("long")
     return (
-        ev.select("user_id", "ts", "event_id")
+        ev.select("user_id", "ts", F.unix_micros("ts").alias("tsu"), "event_id")
         .withColumn("new_s", new_s)
         .withColumn("session_id", F.sum("new_s").over(wrun))
         .groupBy("user_id", "session_id")
@@ -1263,7 +1269,7 @@ def _profile_oracle() -> str:
         expr = c if cast is None else f"CAST({c} AS {cast.upper()})"
         parts.append(
             f"""SELECT '{c}' AS column_name,
-       SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        COUNT(DISTINCT {c}) AS n_distinct,
        CAST(MIN({expr}) AS STRING) AS min_value,
        CAST(MAX({expr}) AS STRING) AS max_value
@@ -1321,7 +1327,7 @@ _DQ_RULES = [
     "SELECT rule_name, n_violations FROM ("
     + " UNION ALL ".join(
         f"SELECT '{name}' AS rule_name, "
-        f"SUM(CASE WHEN NOT ({cond}) OR ({cond}) IS NULL THEN 1 ELSE 0 END) AS n_violations "
+        f"CAST(SUM(CASE WHEN NOT ({cond}) OR ({cond}) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations "
         "FROM orders"
         for name, cond in _DQ_RULES
     )
@@ -1565,7 +1571,7 @@ WITH pts AS (
   SELECT cnt.cx + offs.dx AS nx, cnt.cy + offs.dy AS ny, cnt.n
   FROM cnt, offs
 )
-SELECT c.cx, c.cy, c.n AS n_events, SUM(s.n) AS neighborhood_events
+SELECT c.cx, c.cy, c.n AS n_events, CAST(SUM(s.n) AS BIGINT) AS neighborhood_events
 FROM cnt c JOIN spread s ON s.nx = c.cx AND s.ny = c.cy
 GROUP BY c.cx, c.cy, c.n
 """,

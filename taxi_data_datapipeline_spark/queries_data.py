@@ -1414,14 +1414,14 @@ WITH bytes AS (
   SELECT doc_id, SUM(acc) AS total FROM dims GROUP BY doc_id
 ), ff AS (
   SELECT d.doc_id,
-         MAX(CASE WHEN dim = 0 THEN (acc * 1000000) // total END) AS f0,
-         MAX(CASE WHEN dim = 1 THEN (acc * 1000000) // total END) AS f1,
-         MAX(CASE WHEN dim = 2 THEN (acc * 1000000) // total END) AS f2,
-         MAX(CASE WHEN dim = 3 THEN (acc * 1000000) // total END) AS f3,
-         MAX(CASE WHEN dim = 4 THEN (acc * 1000000) // total END) AS f4,
-         MAX(CASE WHEN dim = 5 THEN (acc * 1000000) // total END) AS f5,
-         MAX(CASE WHEN dim = 6 THEN (acc * 1000000) // total END) AS f6,
-         MAX(CASE WHEN dim = 7 THEN (acc * 1000000) // total END) AS f7
+         CAST(MAX(CASE WHEN dim = 0 THEN (acc * 1000000) // total END) AS BIGINT) AS f0,
+         CAST(MAX(CASE WHEN dim = 1 THEN (acc * 1000000) // total END) AS BIGINT) AS f1,
+         CAST(MAX(CASE WHEN dim = 2 THEN (acc * 1000000) // total END) AS BIGINT) AS f2,
+         CAST(MAX(CASE WHEN dim = 3 THEN (acc * 1000000) // total END) AS BIGINT) AS f3,
+         CAST(MAX(CASE WHEN dim = 4 THEN (acc * 1000000) // total END) AS BIGINT) AS f4,
+         CAST(MAX(CASE WHEN dim = 5 THEN (acc * 1000000) // total END) AS BIGINT) AS f5,
+         CAST(MAX(CASE WHEN dim = 6 THEN (acc * 1000000) // total END) AS BIGINT) AS f6,
+         CAST(MAX(CASE WHEN dim = 7 THEN (acc * 1000000) // total END) AS BIGINT) AS f7
   FROM dims d JOIN tot ON d.doc_id = tot.doc_id
   GROUP BY d.doc_id
 ), cnt AS (
@@ -1547,8 +1547,8 @@ WITH groups AS (
 )
 SELECT d.source,
        COUNT(*) AS n_docs,
-       SUM(CASE WHEN d.doc_id = g.keep_id THEN 1 ELSE 0 END) AS n_kept,
-       SUM(CASE WHEN d.doc_id = g.keep_id THEN 0 ELSE d.n_chars END) AS chars_saved
+       CAST(SUM(CASE WHEN d.doc_id = g.keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN d.doc_id = g.keep_id THEN 0 ELSE d.n_chars END) AS BIGINT) AS chars_saved
 FROM documents d
 JOIN groups g ON md5(trim(regexp_replace(lower(d.text), '\s+', ' ', 'g'))) = g.fp
 GROUP BY d.source
@@ -1629,7 +1629,7 @@ def q_fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     "temperature_mix",
     """
 WITH s AS (
-  SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
+  SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
   FROM documents GROUP BY source
 ), t AS (
   SELECT source, n_docs, n_chars,
@@ -1849,9 +1849,9 @@ scrubbed AS (
   FROM contact)
 SELECT c_mktsegment,
        COUNT(*) AS n_records,
-       SUM(n_emails) AS emails_found,
-       SUM(n_phones) AS phones_found,
-       SUM(chars_redacted) AS chars_redacted
+       CAST(SUM(n_emails) AS BIGINT) AS emails_found,
+       CAST(SUM(n_phones) AS BIGINT) AS phones_found,
+       CAST(SUM(chars_redacted) AS BIGINT) AS chars_redacted
 FROM scrubbed GROUP BY c_mktsegment
 """,
 )

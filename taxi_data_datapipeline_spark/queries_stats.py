@@ -1657,8 +1657,15 @@ b{k} AS (
   FROM r{k}p GROUP BY x, y
   ORDER BY cnt DESC, x, y LIMIT 1),
 w{k} AS (
-  SELECT replace({prev}.rep, '|' || b{k}.x || '|' || b{k}.y || '|',
-                 '|' || b{k}.x || b{k}.y || '|') AS rep, wc
+  SELECT list_reduce(
+           list_prepend('|', list_filter(string_split({prev}.rep, '|'),
+                                         t -> t != '')),
+           (acc, s) -> CASE WHEN s = b{k}.y
+                             AND ends_with(acc, '|' || b{k}.x || '|')
+                       THEN substr(acc, 1, len(acc) - len(b{k}.x) - 1)
+                              || b{k}.x || b{k}.y || '|'
+                       ELSE acc || s || '|' END
+         ) AS rep, wc
   FROM {prev} CROSS JOIN b{k})"""
         )
     steps_sql = ",\n".join(steps)
@@ -1687,10 +1694,14 @@ def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Representation: each word is a '|'-separated symbol string
     ('|a|b|c|'); tokens are letters/digits only so the separator cannot
-    collide. A merge is then ONE string replace of '|x|y|' with '|xy|'
-    — replace() is left-to-right non-overlapping in both engines, which
-    IS the greedy BPE merge semantics (the boundary separators make
-    partial-symbol matches impossible). The corpus collapses to its
+    collide. A merge is a left-to-right greedy FOLD over the symbol
+    list (aggregate/list_reduce on Spark/DuckDB): append each symbol,
+    but when the accumulator's last symbol is x and the next is y,
+    rewrite the tail to xy — exactly reference BPE. (A plain
+    replace('|x|y|','|xy|') is NOT: consecutive occurrences share the
+    boundary '|', so '|a|a|a|a|' merges once to '|aa|a|a|' instead of
+    '|aa|aa|'; pinned in tests/test_bpe_merge.py.) The corpus
+    collapses to its
     vocabulary before round 1, so each round is pair-explode +
     hash-agg + argmax + map-side replace over an aggregate-sized table;
     the vocab is localCheckpointed per round so the k-th round's plan
@@ -1743,8 +1754,15 @@ def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             cur.crossJoin(F.broadcast(best))
             .select(
                 F.expr(
-                    "replace(rep, concat('|', x, '|', y, '|'),"
-                    " concat('|', x, y, '|'))"
+                    "aggregate("
+                    " filter(split(rep, '\\\\|'), t -> t != ''),"
+                    " '|',"
+                    " (acc, s) -> CASE WHEN s = y"
+                    "   AND endswith(acc, concat('|', x, '|'))"
+                    "  THEN concat(substring(acc, 1,"
+                    "         length(acc) - length(x) - 1), x, y, '|')"
+                    "  ELSE concat(acc, s, '|') END"
+                    ")"
                 ).alias("rep"),
                 "wc",
             )
@@ -2956,6 +2974,11 @@ def q_k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DP_EPS_INV = 1.0  # Laplace scale b = sensitivity/epsilon = 1/1
+# Per-release salt folded into the noise hash. The DEFAULT gives a fixed,
+# oracle-checkable release: reproducibility, NOT privacy — anyone knowing
+# the salt can invert the noise. A production release uses a fresh secret
+# salt per publication, which is what makes the draw unpredictable.
+_DP_SALT = "release-0"
 
 
 @register(
@@ -2965,13 +2988,13 @@ WITH g AS (
   SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
 u AS (
   SELECT event_type, n,
-         (CAST(strpos('0123456789abcdef', substr(md5(event_type), 1, 1)) - 1
+         (CAST(strpos('0123456789abcdef', substr(md5(event_type || ':{_DP_SALT}'), 1, 1)) - 1
                AS DOUBLE) * 16 * 16 * 16
-          + CAST(strpos('0123456789abcdef', substr(md5(event_type), 2, 1)) - 1
+          + CAST(strpos('0123456789abcdef', substr(md5(event_type || ':{_DP_SALT}'), 2, 1)) - 1
                  AS DOUBLE) * 16 * 16
-          + CAST(strpos('0123456789abcdef', substr(md5(event_type), 3, 1)) - 1
+          + CAST(strpos('0123456789abcdef', substr(md5(event_type || ':{_DP_SALT}'), 3, 1)) - 1
                  AS DOUBLE) * 16
-          + CAST(strpos('0123456789abcdef', substr(md5(event_type), 4, 1)) - 1
+          + CAST(strpos('0123456789abcdef', substr(md5(event_type || ':{_DP_SALT}'), 4, 1)) - 1
                  AS DOUBLE) + 0.5) / 65536.0 AS uu
   FROM g)
 SELECT event_type, n,
@@ -2987,15 +3010,17 @@ def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     mechanism (Dwork 2006), with the noise draw DERANDOMIZED for
     reproducibility: the uniform comes from the first 4 md5 nibbles of
     the group key (the engine's seeded-coin convention, same as
-    weighted_sample), pushed through the inverse-CDF transform. A
-    per-release salt concatenated into the hash is how production runs
-    vary draws between releases — content-keyed noise is deliberate
-    here so the oracle can check the arithmetic end-to-end. LN parity
+    weighted_sample) SALTED with the release id (_DP_SALT), pushed
+    through the inverse-CDF transform. The default fixed salt makes the
+    draw reproducible and oracle-checkable END-TO-END but provides NO
+    privacy — the mechanism is invertible by anyone who knows the salt;
+    a production release supplies a fresh secret salt per publication,
+    which is the (only) source of unpredictability in this construction. LN parity
     across engines holds on this platform (token_entropy precedent);
     the uniform is offset by half a step so u is never 0 or 1."""
     ev = load(spark, sf_dir, "events")
     g = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    h = F.md5(F.col("event_type"))
+    h = F.md5(F.concat(F.col("event_type"), F.lit(f":{_DP_SALT}")))
     nib = lambda i: (  # noqa: E731
         F.instr(F.lit("0123456789abcdef"), F.substring(h, i, 1)) - 1
     ).cast("double")

@@ -92,14 +92,22 @@ def main() -> int:
             print(f"ok   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            rel = con.sql(oracles[name])
+            ocols = list(rel.columns)
+            otypes = [str(t).upper() for t in rel.types]
+            orows = rel.fetchall()
         except Exception as ex:
             print(f"FAIL {name}: duckdb error: {ex}")
             failures += 1
             continue
         problems = []
+        # The driver's comparator goes through pandas, which renders DuckDB
+        # HUGEINT (what SUM(int) widens to) as float64 -> "2.0" vs Spark's
+        # "2" hash-mismatches even though fetchall()-based hashing agrees.
+        # Catch it structurally: no oracle may output HUGEINT.
+        hug = [c for c, t in zip(ocols, otypes) if "HUGEINT" in t]
+        if hug:
+            problems.append(f"HUGEINT output cols (cast to BIGINT): {hug}")
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
         if sorted(scols) != sorted(ocols):
