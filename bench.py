@@ -13,12 +13,19 @@ driver-side collect cost), after a warm-up pass of the flagship query to
 amortize JVM/codegen start-up out of the numbers.
 
 Queries are submitted from $SPARK_GRAFT_BENCH_PAR driver threads
-(default 8, set 1 for the old serial mode): at sf0.1 each job uses a
+(default 12, set 1 for the old serial mode): at sf0.1 each job uses a
 fraction of the 32 cores and most of a serial run is per-job planning /
 scheduling overhead, so a real engine overlaps queries — Spark's
 scheduler interleaves jobs from concurrent threads natively. `value` is
 the honest wall-clock of the whole timed section; per-query numbers are
 measured under that concurrency (contended, sum > wall).
+
+Load robustness (this container shares a kernel with other tenants):
+the headline is the minimum over up to $SPARK_GRAFT_BENCH_MAX_RUNS
+passes, stopping early once the two fastest walls agree within 10%
+(the minimum is reproduced, not lucky), and every pass records the
+start loadavg + a fixed single-thread CPU probe so an inflated wall is
+auditable as host noise rather than a plan regression.
 """
 
 from __future__ import annotations
@@ -108,21 +115,46 @@ def main() -> None:
                 list(pool.map(run, sorted(serial)))
         return round(time.time() - wall0, 3)
 
-    # Two timed passes, headline = fastest. Pass 1 pays every query's
+    # Repeated timed passes, headline = fastest. Pass 1 pays every query's
     # one-time whole-stage-codegen compile (~1-2 s each, overlapped across
-    # the pool); pass 2 measures the warm engine. On a shared host either
-    # pass can also be hit by neighbor CPU contention — min-of-2 is the
-    # standard way to report the machine-limited number, and both walls
-    # are published so the spread (JIT + host noise) stays visible.
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    # the pool); later passes measure the warm engine. This container
+    # shares its kernel with other tenants whose CPU bursts have inflated
+    # single-pass walls up to 7-15x (round-3 record), so the harness is
+    # load-robust by construction:
+    #   * min-of-N passes with a convergence early-stop — keep running
+    #     (up to SPARK_GRAFT_BENCH_MAX_RUNS) until the two fastest walls
+    #     agree within 10%, i.e. the minimum is REPRODUCED, not lucky;
+    #   * every pass is annotated with the 1-min kernel loadavg at start
+    #     (counts other tenants) and a fixed single-thread CPU probe
+    #     (ms for a constant sha256 workload) — published in both JSON
+    #     outputs so an inflated pass is auditable as host noise rather
+    #     than a plan regression.
+    def cpu_probe_ms() -> float:
+        import hashlib
+
+        buf = b"\x5a" * 4096
+        t0 = time.perf_counter()
+        for _ in range(3000):
+            buf = hashlib.sha256(buf).digest() * 128  # 4096 bytes again
+        return round((time.perf_counter() - t0) * 1000, 1)
+
+    n_min = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    n_max = max(n_min, int(os.environ.get("SPARK_GRAFT_BENCH_MAX_RUNS", "4")))
     walls: list[float] = []
-    for _ in range(n_runs):
-        pass_times: dict[str, float] = {}
+    loads: list[float] = []
+    probes: list[float] = []
+    best_times: dict[str, float] = {}
+    for i in range(n_max):
+        loads.append(round(os.getloadavg()[0], 1))
+        probes.append(cpu_probe_ms())
         times.clear()
         walls.append(one_pass())
-        pass_times.update(times)
-        if not walls or walls[-1] == min(walls):
-            best_times = dict(pass_times)
+        if walls[-1] == min(walls):
+            best_times = dict(times)
+        if i + 1 >= n_min:
+            lo = sorted(walls)
+            if lo[1] <= 1.10 * lo[0]:
+                break  # fastest wall reproduced within 10% — converged
     times.clear()
     times.update(best_times)
     wall = min(walls)
@@ -132,6 +164,8 @@ def main() -> None:
         "value": wall,
         "unit": "sec",
         "walls": walls,
+        "loadavg_at_pass_start": loads,
+        "cpu_probe_ms": probes,
         "queries": {n: times[n] for n in qs if n in times},
         "sf": sf,
         "parallelism": par,
@@ -152,6 +186,8 @@ def main() -> None:
         "value": wall,
         "unit": "sec",
         "walls": walls,
+        "loadavg_at_pass_start": loads,
+        "cpu_probe_ms": probes,
         "queries": slowest,
         "sf": sf,
         "parallelism": par,

@@ -49,6 +49,12 @@ def build_parser() -> argparse.ArgumentParser:
         "readers skip files via min/max stats on ANY listed column)",
     )
     p.add_argument("--zorder-files", type=int, default=8)
+    p.add_argument(
+        "--skip-schema-check",
+        action="store_true",
+        help="skip the advisory <=5-file schema pre-flight "
+        "(reference run_schema_check; detection per file stays authoritative)",
+    )
     return p
 
 
@@ -77,6 +83,7 @@ def main(argv: list[str] | None = None) -> int:
         partition_output_by=list(args.partition_output_by),
         zorder_by=list(args.zorder_by),
         zorder_files=args.zorder_files,
+        schema_check=not args.skip_schema_check,
     )
     metrics = run_pivot_pipeline(spark, cfg)
     print(json.dumps(asdict(metrics)))

@@ -337,29 +337,56 @@ def simhash_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    prefix_bits: int = 16,
     hash_fn: str = "xxhash64",
+    num_tables: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: bucket on the top ``prefix_bits`` bits
-    (cheap LSH), verify Hamming distance <= max_hamming inside buckets.
+    """Near-dup pairs by SimHash with GUARANTEED recall: the fingerprint
+    is split into ``num_tables`` (default ``max_hamming + 1``) disjoint
+    bit-blocks, each block is an LSH table, and candidates are the union
+    of per-block bucket self-joins; Hamming distance <= max_hamming
+    verifies inside buckets.
 
-    Production SimHash uses several bit-rotation bucketings to guarantee
-    recall; one prefix bucket keeps the demo plan simple and is noted as
-    the recall/cost dial.
+    Pigeonhole recall proof (the Manku/Jain/Sarma WWW'07 construction):
+    a pair with at most ``max_hamming`` differing bits cannot touch all
+    ``max_hamming + 1`` blocks, so the two fingerprints agree EXACTLY on
+    at least one block and the pair is generated by that table — 100%
+    recall at the stated radius, unlike a single prefix bucket (the
+    rounds-1-3 demo formulation, which missed pairs whose differing bits
+    fell in the prefix). Cost: each doc appears in num_tables buckets
+    (explode factor 4 for hamming 3) — the standard production trade.
     """
     _, bits = _feature_hash(F.lit(""), hash_fn)
+    nt = num_tables if num_tables is not None else max_hamming + 1
+    block_bits = bits // nt
+    mask = (1 << block_bits) - 1
     s = simhash_table(df, text_col=text_col, id_col=id_col, ngram=3, hash_fn=hash_fn)
-    s = s.withColumn("bucket", F.shiftright("sh", bits - prefix_bits))
-    a, b = s.alias("a"), s.alias("b")
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("t"),
+                F.shiftright("sh", r * block_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("bv"),
+            )
+            for r in range(nt)
+        ]
+    )
+    keyed = s.select("_id", "sh", F.explode(blocks).alias("bk"))
+    a, b = keyed.alias("a"), keyed.alias("b")
     ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
     return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a._id") < F.col("b._id")))
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk")) & (F.col("a._id") < F.col("b._id")),
+        )
         .select(
             F.col("a._id").alias("doc_a"),
             F.col("b._id").alias("doc_b"),
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        # a pair agreeing on k blocks surfaces k times — one row per pair
+        .distinct()
     )
 
 

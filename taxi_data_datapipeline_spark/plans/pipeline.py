@@ -62,6 +62,8 @@ class PipelineConfig:
     # files/row-groups via parquet min/max stats.
     zorder_by: list[str] = field(default_factory=list)
     zorder_files: int = 8
+    # Advisory <=5-file schema pre-flight (reference run_schema_check).
+    schema_check: bool = True
 
 
 @dataclass
@@ -102,6 +104,43 @@ def select_input_files(config: PipelineConfig) -> list[str]:
     if config.max_files is not None:
         files = files[: config.max_files]
     return files
+
+
+def run_schema_check(
+    spark: SparkSession, files: list[str], sample: int = 5
+) -> dict[str, str | None]:
+    """Advisory schema pre-flight (reference ``pivot_all_files.py:343-363``):
+    resolve the first ``sample`` files' footer schemas and WARN about any
+    whose pickup-datetime column cannot be detected, before the run spends
+    cluster time. Advisory ONLY — per-file detection inside
+    ``normalize_trips`` remains authoritative (a warned file may still
+    resolve via the first-batch sniff fallback, and an unsampled file may
+    still fail and be skip-reported).
+
+    Returns {file: detected_datetime_col_or_None} for the sampled files.
+    """
+    import warnings
+
+    from taxi_data_datapipeline_spark.sources.ingest import _footer_schema
+    from taxi_data_datapipeline_spark.sources.schema_detect import (
+        resolve_trip_schema,
+    )
+
+    results: dict[str, str | None] = {}
+    for f in files[:sample]:
+        try:
+            ts = resolve_trip_schema(_footer_schema(spark, f))
+        except Exception:
+            ts = None
+        results[f] = ts.datetime_col if ts is not None else None
+        if ts is None:
+            warnings.warn(
+                f"schema check: no pickup-datetime column detected in {f} "
+                "(file will be retried with the first-batch sniff at ingest, "
+                "then skipped if still undetectable)",
+                stacklevel=2,
+            )
+    return results
 
 
 def build_wide_plan(
@@ -215,6 +254,8 @@ def run_pivot_pipeline(
     """Execute the full pipeline; returns the observed run metrics."""
     t0 = time.time()
     files = select_input_files(config)
+    if config.schema_check:
+        run_schema_check(spark, files)
     trips, ingest_report = normalize_trips(spark, files, typed_place=True)
     types = sorted(
         {infer_taxi_type_from_path(f) for f in ingest_report.resolved}

@@ -145,56 +145,59 @@ from taxi_data_datapipeline_spark import queries_stats  # noqa: E402,F401
 # can only ever produce a weaker check. Queries beyond the window keep their
 # registration order and stay covered by tools/check_oracle.py.
 # ---------------------------------------------------------------------------
+# Round-4 rotation policy: the 8 reference-core queries and every
+# previously-red row stay pinned; one representative holds each family's
+# seat; 17 slots that were double-green in r2+r3 rotate out for families
+# the driver has NEVER officially checked, growing cumulative
+# driver-verified coverage (VERDICT r3 §next-round #4).
 DRIVER_WINDOW: list[str] = [
-    # Reference-pipeline queries (SURVEY.md §2 core)
+    # Reference-pipeline queries (SURVEY.md §2 core) — pinned
     "hourly_pivot", "normalize_project", "long_counts", "low_count_filter",
     "month_mismatch_audit", "latlon_place_key", "epoch_coercion",
     "sql_hourly_pivot",
-    # Round-1 red rows, fixed (array serialization / type parity)
+    # Previously-red rows — pinned until multi-round green
     "array_agg_nations", "variant_shred", "multimodal_features",
-    # TPC-H shapes previously outside the window (hardest representatives)
-    "q2_min_cost_source", "q8_market_share", "q9_product_profit",
-    "q13_customer_distribution", "q18_large_volume",
+    "sessionize_events",
+    # TPC-H join shapes (q9/q13/q18 rotated out after double-green)
+    "q2_min_cost_source", "q8_market_share",
     "q21_waiting_supplier", "q22_dormant_customers",
-    # Corpus statistics / curation
-    "zipf_fit", "funnel_conversion", "curation_pipeline",
-    # Window-function family
-    "percentile_prices", "grouping_sets_agg", "range_window_revenue",
-    "window_navigation", "unpivot_roundtrip",
-    # Statistical diagnostics / geospatial (round 3, session 4)
-    "spearman_price_qty", "geohash_rollup",
+    # Corpus curation seat + never-checked curation ops
+    "curation_pipeline", "contamination_check", "sequence_packing",
+    # Window-function seat
+    "range_window_revenue",
+    # Geospatial seat
+    "geohash_rollup",
     # As-of joins / sessionization / change-data-capture
-    "asof_nearest_purchase", "sessionize_events",
-    "session_window_native", "cdc_log_compaction",
-    # Time-series: bars (gapfill_* stay under the local gate)
-    "ohlc_bars",
-    # Graph analytics (round 3): degree-oriented triangles, fixed-point PageRank
-    "triangle_count", "pagerank_copurchase",
-    # Retrieval scoring (round 3)
-    "bm25_rank",
+    "asof_nearest_purchase", "session_window_native", "cdc_log_compaction",
+    # Time-series: slowly-changing dims, gap-fill, TWAP, changepoint,
+    # snapshot delta (all first-time rows)
+    "scd2_history", "gapfill_interp", "time_weighted_value",
+    "cusum_changepoint", "snapshot_diff",
+    # Graph analytics: PageRank seat + first-time propagation/k-core
+    "pagerank_copurchase", "label_propagation", "kcore_membership",
+    # Text/retrieval: first-time inverted index + OOV rate
+    "inverted_index", "oov_rate",
+    # Statistics: first-time robust-regression + dependence measures
+    "theil_sen_slope", "mutual_information",
     # Structured Streaming analogs (AvailableNow-drained, oracle-checked);
     # streaming_twap is the custom-stateful (applyInPandasWithState)
     # representative
     "streaming_hourly_counts", "streaming_session_windows",
-    # streaming_incremental_dedup: stream-static LSH screen (batch CDC
-    # twin cdc_log_compaction already samples the compaction family)
     "streaming_incremental_dedup", "streaming_twap",
     # Skew-aware shapes
     "skew_join_salted",
-    # Iterative clustering with a full unrolled-CTE oracle (round 3)
+    # Iterative clustering with a full unrolled-CTE oracle
     "kmeans_units",
     # Deduplication tiers
     "dedup_groups_cc", "minhash_lsh_dedup",
-    # Tokenizer training / exact linear algebra (round 3, session 4)
+    # Tokenizer training / exact linear algebra
     "bpe_learn_merges", "pca_power_iteration",
-    # Embedding similarity (quantize/jaccard variants stay local-gated)
-    "embedding_near_dup",
-    # Text analysis
-    "tfidf_top_terms",
-    # Market-basket association rules (round 3)
-    "assoc_rules",
-    # Behavioral analytics
-    "retention_cohorts",
+    # Embeddings: first-time product-quantization ADC search + kNN join
+    "pq_adc_topk", "knn_join",
+    # Set-similarity join (first-time)
+    "basket_similarity_join",
+    # Attribution (first-time)
+    "attribution_linear",
 ]
 
 

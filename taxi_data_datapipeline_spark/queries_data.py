@@ -127,8 +127,10 @@ def q_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("simhash_pairs")  # engine-specific 64-bit hashing -> rows-only
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates (hamming <= 3 within 16-bit prefix
-    buckets). Fingerprint bits derive from xxhash64 — no cross-engine
+    """SimHash near-dup candidates (hamming <= 3) with full recall: 4
+    disjoint 16-bit block LSH tables — a pair within Hamming 3 agrees
+    exactly on >= 1 of the 4 blocks (pigeonhole), so no true pair is
+    missed. Fingerprint bits derive from xxhash64 — no cross-engine
     oracle; correctness is unit-tested (identical/near docs -> close
     fingerprints) AND the full pipeline is hash-verified through the
     portable-hash twin `simhash_pairs_checked`."""
@@ -150,17 +152,20 @@ WITH g AS (
   SELECT doc_id,
          SUM(CASE WHEN c * 2 > n THEN (1::BIGINT << b) ELSE 0 END) AS sh
   FROM bitc GROUP BY doc_id
-), bk AS (SELECT doc_id, sh, sh >> 44 AS bucket FROM fp)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+), bk AS (
+  SELECT doc_id, sh, t.t AS t, (sh >> (t.t * 15)) & 32767 AS bv
+  FROM fp, UNNEST([0, 1, 2, 3]) AS t(t))
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
-FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+FROM bk a JOIN bk b ON a.t = b.t AND a.bv = b.bv AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.sh, b.sh)) <= 3
 """,
 )
 def q_simhash_pairs_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The simhash near-dup pipeline under FULL hash verification: same
-    shingling, same bit-vote fingerprinting, same prefix-bucket + Hamming
-    filter as `simhash_pairs`, but per-shingle hashes come from a portable
+    shingling, same bit-vote fingerprinting, same 4-block (15 bits each
+    over the 60-bit fingerprint) pigeonhole LSH + Hamming filter as
+    `simhash_pairs`, but per-shingle hashes come from a portable
     60-bit md5 derivation (first 15 hex chars as a bigint) that any engine
     reproduces — proving the ALGORITHM end-to-end, while the xxhash64
     production path keeps the cheap JVM-intrinsic hashing at scale."""
@@ -2788,4 +2793,247 @@ def q_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.length("text").cast("double") / (boundaries + 1), 6
         ).alias("avg_chunk_len"),
+    )
+
+
+# --- cross-document span dedup (C4-style line dedup) --------------------------
+
+
+@register(
+    "line_dedup",
+    r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x != '') AS tok
+  FROM documents
+), spans AS (
+  SELECT doc_id, t.k AS span_idx,
+         md5(array_to_string(tok[t.k * 8 + 1 : t.k * 8 + 8], ' ')) AS fp
+  FROM d, UNNEST(range(0, CAST(ceil(len(tok) / 8.0) AS INT))) AS t(k)
+), ranked AS (
+  SELECT doc_id, span_idx,
+         ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, span_idx) AS rn
+  FROM spans)
+SELECT doc_id,
+       COUNT(*) AS n_spans,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+FROM ranked GROUP BY doc_id
+""",
+)
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document span deduplication (the C4 'deduplicate repeated
+    lines across the corpus' pass, Raffel et al. 2020 §2.2, adapted to
+    8-token spans since the synthetic docs carry no newlines): every
+    disjoint 8-token span is fingerprinted, the corpus-wide FIRST
+    occurrence (doc_id, span order) survives, and every later repeat is
+    marked for removal. Output is the per-document survivorship report
+    the curation run logs.
+
+    Distinct from the intra-document `repetition_ratio` (one doc's own
+    repeats) and doc-level `dedup_exact` (whole-text fingerprints): this
+    operator's key is the SPAN, so boilerplate shared across different
+    documents is caught. Plan: span explode is map-side; the only
+    shuffle is the fingerprint window (same key a groupBy-dedup would
+    shuffle on), then a doc_id re-aggregation — at 100 TB both keys are
+    high-cardinality and skew-free (md5 fingerprints)."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    n_spans = F.ceil(F.size(F.col("tok")) / F.lit(8.0)).cast("int")
+    span = lambda k: F.slice(F.col("tok"), k * 8 + 1, 8)  # noqa: E731
+    spans = (
+        d.select("doc_id", toks.alias("tok"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size("tok") > 0,
+                    F.transform(
+                        F.sequence(F.lit(0), n_spans - 1),
+                        lambda k: F.struct(
+                            k.alias("span_idx"),
+                            F.md5(F.concat_ws(" ", span(k))).alias("fp"),
+                        ),
+                    ),
+                ).otherwise(F.array())
+            ).alias("s"),
+        )
+        .select("doc_id", "s.span_idx", "s.fp")
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id", "span_idx")
+    ranked = spans.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum((F.col("rn") == 1).cast("long")).alias("n_kept"),
+        F.sum((F.col("rn") != 1).cast("long")).alias("n_removed"),
+    )
+
+
+# --- winnowing document fingerprints ------------------------------------------
+
+
+@register(
+    "winnowing_fingerprints",
+    """
+WITH g AS (
+  SELECT doc_id, i.i AS pos,
+         CAST(('0x' || substring(md5(substring(text, i.i, 8)), 1, 5))
+              AS BIGINT) * 2097152 + (2097151 - i.i) AS combined
+  FROM documents,
+       LATERAL unnest(generate_series(1, length(text) - 7)) AS i(i)
+  WHERE length(text) >= 8
+), sel AS (
+  SELECT doc_id, pos,
+         MIN(combined) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)
+           AS fp_sel
+  FROM g
+), fps AS (
+  SELECT DISTINCT doc_id, fp_sel FROM sel WHERE pos >= 16
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_fingerprints FROM fps GROUP BY doc_id
+), grams AS (
+  SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id
+)
+SELECT grams.doc_id, grams.n_grams,
+       COALESCE(per_doc.n_fingerprints, 0) AS n_fingerprints,
+       (COALESCE(per_doc.n_fingerprints, 0) * 1000000) // grams.n_grams
+         AS density_ppm
+FROM grams LEFT JOIN per_doc ON grams.doc_id = per_doc.doc_id
+""",
+)
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprinting (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS plagiarism-detector algorithm): hash every
+    8-char k-gram, slide a 16-gram window, and select each window's
+    MINIMUM hash (rightmost on ties) — the selected (hash, position)
+    set is the document's fingerprint, guaranteeing any shared substring
+    of length >= k + w - 1 = 23 chars is detected between documents.
+
+    Cross-engine portability: hash and tie-break are packed into ONE
+    integer so the window aggregate is a plain MIN over BIGINT on both
+    engines — 20-bit md5-prefix hash * 2^21 + (2^21-1-pos); minimizing
+    prefers the smaller hash, then the RIGHTMOST position, exactly the
+    winnowing rule. The k-gram table is built map-side as an array
+    expression (no text duplication per row); the only shuffle is the
+    per-document window (partition = doc), then hash-aggs. Output:
+    per-doc fingerprint density in exact ppm (integer division — no
+    float rounding)."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    grams = (
+        d.filter(F.length("text") >= 8)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("text") - 7),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        (
+                            F.conv(
+                                F.substring(F.md5(F.substring("text", i, 8)), 1, 5),
+                                16,
+                                10,
+                            ).cast("bigint")
+                            * 2097152
+                            + (F.lit(2097151) - i)
+                        ).alias("combined"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "g.pos", "g.combined")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-15, Window.currentRow)
+    )
+    sel = grams.withColumn("fp_sel", F.min("combined").over(w))
+    fps = (
+        sel.filter(F.col("pos") >= 16)
+        .select("doc_id", "fp_sel")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_fingerprints"))
+    )
+    per_doc = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    return per_doc.join(fps, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_fingerprints", F.lit(0)).alias("n_fingerprints"),
+        F.expr("(coalesce(n_fingerprints, 0) * 1000000) DIV n_grams").alias(
+            "density_ppm"
+        ),
+    )
+
+
+# --- deterministic weighted source interleave ---------------------------------
+
+
+@register(
+    "mix_interleave",
+    """
+WITH s AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+), w AS (
+  SELECT source, n_docs,
+         CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT) AS wt
+  FROM s
+), slots AS (
+  SELECT source, wt, k.k AS k,
+         (k.k * 1000000000000) // wt AS key_int
+  FROM w, UNNEST(generate_series(1, 100)) AS k(k)
+), ordered AS (
+  SELECT source, k, key_int
+  FROM slots ORDER BY key_int, source, k LIMIT 100
+)
+SELECT ROW_NUMBER() OVER (ORDER BY key_int, source, k) AS position,
+       source, k AS nth_from_source
+FROM ordered
+""",
+)
+def q_mix_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted source interleaving — the data-mixing
+    scheduler of LLM pretraining: source s with weight w_s occupies the
+    training-order slots k/w_s (k = 1, 2, ...), so merging all sources'
+    arithmetic sequences yields a stream where every prefix contains
+    each source in proportion to its weight (low-discrepancy, no RNG —
+    a rerun is byte-identical). Weights here are sqrt(n_docs)
+    (temperature alpha = 0.5, flattening the source distribution like
+    `temperature_mix`); the first 100 global slots are reported.
+
+    Cross-engine exactness: SQRT is IEEE-correctly-rounded (unlike
+    POWER), FLOOR makes the weight an integer, and the slot key is the
+    integer division k*10^12 DIV w — no float comparisons anywhere in
+    the ordering, ties broken (source, k). Per-position assignment is
+    O(1) arithmetic, so at scale each worker computes its own slice of
+    the schedule with zero coordination; the global TOP-100 here is a
+    TakeOrdered over 20 sources x 100 candidate slots, and the ranking
+    window runs over the bounded 100-row result (the zipf_fit
+    convention), never the corpus."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    w = (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "source",
+            F.floor(F.sqrt(F.col("n_docs").cast("double"))).cast("bigint").alias("wt"),
+        )
+    )
+    slots = w.select(
+        "source",
+        F.explode(F.sequence(F.lit(1), F.lit(100))).alias("k"),
+        "wt",
+    ).select(
+        "source",
+        "k",
+        F.expr("(k * 1000000000000) DIV wt").alias("key_int"),
+    )
+    ordered = slots.orderBy("key_int", "source", "k").limit(100)
+    win = Window.orderBy("key_int", "source", "k")
+    return ordered.select(
+        F.row_number().over(win).alias("position"),
+        "source",
+        F.col("k").alias("nth_from_source"),
     )

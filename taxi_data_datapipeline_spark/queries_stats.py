@@ -1642,7 +1642,9 @@ def q_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ROUNDS = 3
 
 
-def _bpe_oracle(rounds: int = _BPE_ROUNDS) -> str:
+def _bpe_chain_sql(rounds: int = _BPE_ROUNDS) -> str:
+    """The shared learn-chain CTE text: toks -> w0 (char-split vocab) ->
+    per-round (pair counts r{k}p, argmax b{k}, merged vocab w{k})."""
     steps = []
     for k in range(1, rounds + 1):
         prev = f"w{k - 1}"
@@ -1669,18 +1671,35 @@ w{k} AS (
   FROM {prev} CROSS JOIN b{k})"""
         )
     steps_sql = ",\n".join(steps)
+    return f"""toks AS (SELECT unnest({_SQL_SUBTOKS}) AS word FROM documents),
+w0 AS (
+  SELECT '|' || regexp_replace(word, '(.)', '\\1|', 'g') AS rep,
+         COUNT(*) AS wc
+  FROM toks GROUP BY word),
+{steps_sql}"""
+
+
+def _bpe_oracle(rounds: int = _BPE_ROUNDS) -> str:
     outs = " UNION ALL ".join(
         f"SELECT {k} AS merge_rank, x, y, cnt FROM b{k}"
         for k in range(1, rounds + 1)
     )
     return f"""
-WITH toks AS (SELECT unnest({_SQL_SUBTOKS}) AS word FROM documents),
-w0 AS (
-  SELECT '|' || regexp_replace(word, '(.)', '\\1|', 'g') AS rep,
-         COUNT(*) AS wc
-  FROM toks GROUP BY word),
-{steps_sql}
+WITH {_bpe_chain_sql(rounds)}
 {outs}
+"""
+
+
+def _bpe_encode_oracle(rounds: int = _BPE_ROUNDS, top: int = 30) -> str:
+    return f"""
+WITH {_bpe_chain_sql(rounds)},
+enc AS (
+  SELECT unnest(list_filter(string_split(rep, '|'), t -> t != '')) AS token,
+         wc
+  FROM w{rounds})
+SELECT token, CAST(SUM(wc) AS BIGINT) AS n_occurrences
+FROM enc GROUP BY token
+ORDER BY n_occurrences DESC, token LIMIT {top}
 """
 
 
@@ -1708,6 +1727,19 @@ def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     does not re-execute rounds 1..k-1 per consumer (ROUND_NOTES
     landmine 18). The DuckDB oracle unrolls the same rounds as chained
     CTEs and must produce the identical merge table."""
+    merges, _cur = _bpe_learn(spark, sf_dir)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out
+
+
+def _bpe_learn(
+    spark: SparkSession, sf_dir: str, rounds: int = _BPE_ROUNDS
+) -> tuple[list[DataFrame], DataFrame]:
+    """Shared BPE learn loop: returns ([per-round merge rows], final
+    merged vocabulary (rep, wc)) — training consumes the merge table,
+    encoding consumes the final vocab state."""
     docs = load(spark, sf_dir, "documents", fan_out=True)
     words = (
         docs.select(F.explode(bpe_ish_tokens(F.col("text"))).alias("word"))
@@ -1721,7 +1753,7 @@ def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wc",
     ).localCheckpoint(eager=False)
     merges = []
-    for k in range(1, _BPE_ROUNDS + 1):
+    for k in range(1, rounds + 1):
         syms = F.filter(F.split(F.col("rep"), r"\|"), lambda t: t != "")
         pairs = (
             cur.select(syms.alias("syms"), "wc")
@@ -1768,10 +1800,30 @@ def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=False)
         )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionAll(m)
-    return out
+    return merges, cur
+
+
+@register("bpe_encode_vocab", _bpe_encode_oracle())
+def q_bpe_encode_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLY — the other half of the train/apply loop: the
+    corpus vocabulary after the 3 learned merges, reported as the top-30
+    resulting tokens by weighted occurrence (count desc, token asc).
+    Because BPE training IS iterated encoding of the vocabulary, the
+    encode result is the final merged-vocab state of the same learn
+    chain (`_bpe_learn`); a production encoder would apply the frozen
+    merge table with the identical per-merge greedy fold
+    (tests/test_bpe_merge.py pins the fold semantics). Plan: the learn
+    rounds (aggregate-sized tables) then one explode + hash-agg +
+    TakeOrderedAndProject — no global sort."""
+    _merges, cur = _bpe_learn(spark, sf_dir)
+    syms = F.filter(F.split(F.col("rep"), r"\|"), lambda t: t != "")
+    return (
+        cur.select(F.explode(syms).alias("token"), "wc")
+        .groupBy("token")
+        .agg(F.sum("wc").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "token")
+        .limit(30)
+    )
 
 
 # --- streaming geohash rollup -------------------------------------------------

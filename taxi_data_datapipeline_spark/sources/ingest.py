@@ -54,6 +54,47 @@ def _footer_schema(spark: SparkSession, path: str):
     return spark.read.parquet(path).schema
 
 
+def _sniff_first_batch(path: str):
+    """First-batch schema sniff — the reference's fallback when footer-only
+    detection fails (``pivot_all_files.py:196-202``): open the file with the
+    SECONDARY reader (pyarrow) and read one <=1000-row batch; its schema
+    feeds the same duck-typed detector. Catches files Spark's inference
+    rejects but whose needed columns are perfectly readable — e.g. a footer
+    with case-duplicate column names (COLUMN_ALREADY_EXISTS) or an exotic
+    unrelated column. Returns the arrow schema, or None."""
+    try:
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(path)
+        batch = next(pf.iter_batches(batch_size=1000))
+        return batch.schema
+    except Exception:
+        return None
+
+
+def _declared_schema_for(arrow_schema, ts: TripSchema):
+    """Build a PRUNED declared Spark schema covering only the detected
+    columns, so the scan never touches whatever column broke inference
+    (landmine: a declared schema also survives footers Spark cannot infer
+    from). ns timestamps are declared as LongType to match the session's
+    nanosAsLong read path; coerce_timestamp's magnitude ladder restores
+    them."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import from_arrow_type
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    needed = [c for c in (ts.datetime_col, ts.location_col, ts.lat_col, ts.lon_col) if c]
+    fields = []
+    for name in needed:
+        at = arrow_schema.field(name).type
+        if pa.types.is_timestamp(at) and at.unit == "ns":
+            st = LongType()
+        else:
+            st = from_arrow_type(at)
+        fields.append(StructField(name, st))
+    return StructType(fields)
+
+
 def normalize_trips(
     spark: SparkSession,
     files: list[str],
@@ -95,8 +136,25 @@ def normalize_trips(
     with ThreadPoolExecutor(max_workers=min(16, max(1, len(files)))) as pool:
         schemas = list(pool.map(safe_footer, files))
 
+    declared: dict[tuple, object] = {}
     for f, schema in zip(files, schemas):
-        ts = resolve_trip_schema(schema) if schema is not None else None
+        decl = None
+        if schema is None:
+            # Footer-only resolution failed: reference fallback — sniff the
+            # first <=1000-row batch with the secondary reader and, if the
+            # canonical columns detect, scan with a PRUNED declared schema
+            # (only the detected columns, so the scan never touches the
+            # column that broke inference).
+            arrow_schema = _sniff_first_batch(f)
+            ts = resolve_trip_schema(arrow_schema) if arrow_schema is not None else None
+            if ts is not None:
+                try:
+                    decl = _declared_schema_for(arrow_schema, ts)
+                except Exception:
+                    ts = None
+            schema = decl
+        else:
+            ts = resolve_trip_schema(schema)
         if ts is None:
             skipped.append(f)
             continue
@@ -105,14 +163,22 @@ def normalize_trips(
         ym = infer_month_from_path(f)
         dtype = schema[ts.datetime_col].dataType
         # Files sharing (projection recipe, taxi type, year-month) share a scan.
-        groups[(ts, ttype, ym, dtype.simpleString())].append(f)
+        key = (ts, ttype, ym, dtype.simpleString(), decl is not None)
+        groups[key].append(f)
+        if decl is not None:
+            declared[key] = decl
 
     typed_ok = typed_place and all(
         ts.place_mode == "location" for (ts, *_rest) in groups
     )
     parts: list[DataFrame] = []
-    for (ts, ttype, ym, _), group_files in groups.items():
-        raw = spark.read.parquet(*group_files)
+    for key, group_files in groups.items():
+        ts, ttype, ym = key[0], key[1], key[2]
+        decl = declared.get(key)
+        if decl is not None:
+            raw = spark.read.schema(decl).parquet(*group_files)
+        else:
+            raw = spark.read.parquet(*group_files)
         dt_type = raw.schema[ts.datetime_col].dataType
         if ts.place_mode == "location":
             loc = F.col(ts.location_col)

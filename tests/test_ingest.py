@@ -192,3 +192,41 @@ def test_epoch_magnitude_ladder_all_units(spark):
         want = datetime.fromtimestamp(s, tz=timezone.utc).replace(tzinfo=None)
         for c in ("s", "ms", "us", "ns"):
             assert r[c] == want, (c, s, r[c], want)
+
+
+def test_sniff_fallback_reads_footer_hostile_file(spark, tmp_path):
+    """Reference pivot_all_files.py:196-202 analog: a file whose footer
+    Spark's inference REJECTS (case-duplicate column names ->
+    COLUMN_ALREADY_EXISTS) but whose canonical columns are perfectly
+    readable. Footer-only resolution must fall back to the pyarrow
+    first-batch sniff and scan with a pruned declared schema; the skip
+    list stays empty."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "yellow_tripdata_2023-02.parquet")
+    tbl = pa.table(
+        {
+            "tpep_pickup_datetime": pa.array(
+                [1_675_240_200_000_000] * 3, pa.timestamp("us")
+            ),
+            "PULocationID": pa.array([132, 132, 7], pa.int64()),
+            # the footer breakers: names differing only by case
+            "Extra": pa.array([1, 2, 3], pa.int64()),
+            "extra": pa.array([4, 5, 6], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, p)
+
+    # precondition: plain Spark inference really does fail on this file
+    with pytest.raises(Exception):
+        spark.read.parquet(p).schema  # noqa: B018
+
+    df, report = normalize_trips(spark, [p])
+    assert report.skipped == []
+    assert p in report.resolved
+    rows = df.collect()
+    assert len(rows) == 3
+    assert {r.pickup_place for r in rows} == {"132", "7"}
+    assert all(r.taxi_type == "yellow" for r in rows)
+    assert all(r.pickup_datetime is not None for r in rows)

@@ -260,3 +260,31 @@ def test_cli_zorder_flag(spark, taxi_dir, tmp_path, capsys):
     assert printed["output_rows"] > 0
     back = spark.read.parquet(f"{out_dir}/wide_table.parquet")
     assert back.count() == printed["output_rows"]
+
+
+def test_run_schema_check_warns_on_undetectable_file(spark, tmp_path):
+    """Advisory pre-flight (reference pivot_all_files.py:343-363): the
+    first <=5 files are footer-resolved; undetectable ones WARN but do
+    not fail, and detectable ones report their datetime column."""
+    import warnings as _warnings
+
+    from taxi_data_datapipeline_spark.plans.pipeline import run_schema_check
+
+    good = spark.createDataFrame(
+        [("2023-01-05 07:30:00", 1)],
+        "tpep_pickup_datetime string, PULocationID int",
+    )
+    good_path = str(tmp_path / "yellow_tripdata_2023-01.parquet")
+    good.coalesce(1).write.parquet(good_path)
+    bad = spark.createDataFrame([(1, "x")], "a int, b string")
+    bad_path = str(tmp_path / "fhv_tripdata_2023-02.parquet")
+    bad.coalesce(1).write.parquet(bad_path)
+
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        res = run_schema_check(spark, [good_path, bad_path])
+    assert res[good_path] == "tpep_pickup_datetime"
+    assert res[bad_path] is None
+    msgs = [str(w.message) for w in caught]
+    assert any("no pickup-datetime column" in m and bad_path in m for m in msgs)
+    assert not any(good_path in m for m in msgs)  # advisory only for bad
