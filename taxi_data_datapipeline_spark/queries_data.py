@@ -3037,3 +3037,168 @@ def q_mix_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.col("k").alias("nth_from_source"),
     )
+
+
+# --- pandas UDF API tiers under full oracles ----------------------------------
+
+
+@register(
+    "pandas_grouped_agg",
+    """
+WITH c AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST(SUM(cents) AS BIGINT) // COUNT(*) AS mean_cents
+FROM c GROUP BY event_type
+""",
+)
+def q_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GROUPED_AGG pandas_udf tier (Arrow-batched vectorized UDAF)
+    under a FULL oracle: per-event-type count / integer-cents total /
+    integer mean computed inside pandas — int64 sums are fold-order
+    independent, so the Python tier is bit-identical to the SQL tier
+    (the float-sum trap that forces rows-only checks elsewhere does not
+    apply). This is the API tier for custom aggregations Spark lacks;
+    the engine convention stays: quantize to integers BEFORE the
+    aggregate, never sum doubles.
+
+    Mechanics note: under ``from __future__ import annotations`` the
+    Series -> scalar type hints pandas_udf uses to infer GROUPED_AGG
+    become strings evaluated in the MODULE namespace, so the functions
+    are built by a helper whose module imports pandas at top level."""
+    from taxi_data_datapipeline_spark.operators.pandas_tiers import (
+        cents_count,
+        cents_sum,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
+    )
+    return (
+        c.groupBy("event_type")
+        .agg(
+            cents_count("cents").alias("n_events"),
+            cents_sum("cents").alias("total_cents"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "total_cents",
+            F.expr("total_cents DIV n_events").alias("mean_cents"),
+        )
+    )
+
+
+@register(
+    "pandas_grouped_zscore",
+    """
+WITH c AS (
+  SELECT event_id, event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events),
+w AS (
+  SELECT event_id, event_type, cents,
+         COUNT(*) OVER (PARTITION BY event_type) AS n,
+         CAST(SUM(cents) OVER (PARTITION BY event_type) AS BIGINT) AS s,
+         CAST(SUM(cents * cents) OVER (PARTITION BY event_type) AS BIGINT)
+           AS ss
+  FROM c)
+SELECT event_id, event_type,
+       CASE WHEN n * ss - s * s = 0 THEN 0
+            ELSE CAST(FLOOR((cents * n - s) * 1048576.0
+                            / SQRT(CAST(n * ss - s * s AS DOUBLE)))
+                      AS BIGINT) END AS z_units
+FROM w
+""",
+)
+def q_pandas_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandas (grouped-map) tier under a FULL oracle:
+    per-event-type z-score normalization where each group arrives as one
+    pandas frame — the escape hatch for group-local logic no window
+    expresses (sklearn transforms, per-entity model scoring).
+
+    Cross-engine exactness from the engine's fixed-point playbook:
+    moments accumulate as int64 (order-free), and the z-score algebra is
+    rearranged to ONE double op chain shared by both engines —
+    z = (x*n - s) / sqrt(n*ss - s^2), scaled by 2^20 and floored
+    (sqrt is IEEE-correctly-rounded, unlike pow, so identical integer
+    inputs give identical doubles). Zero-variance groups emit 0. At
+    scale each group must fit one worker's memory — the documented
+    applyInPandas contract; the window-function twin in the oracle is
+    the unbounded-cardinality formulation."""
+    import math
+
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events")
+    c = ev.select(
+        "event_id",
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
+    )
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = pdf["cents"].to_numpy()
+        n = len(cents)
+        s = int(cents.sum())
+        ss = int((cents * cents).sum())
+        var_num = n * ss - s * s
+        if var_num == 0:
+            z = [0] * n
+        else:
+            root = math.sqrt(float(var_num))
+            z = [
+                int(math.floor((int(x) * n - s) * 1048576.0 / root))
+                for x in cents
+            ]
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "z_units": z,
+            }
+        )
+
+    return c.groupBy("event_type").applyInPandas(
+        zscore, "event_id long, event_type string, z_units long"
+    )
+
+
+@register(
+    "pandas_scalar_bucket",
+    """
+WITH c AS (
+  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events)
+SELECT cents // 500 AS bucket, COUNT(*) AS n
+FROM c GROUP BY bucket
+""",
+)
+def q_pandas_scalar_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALAR pandas_udf tier (Arrow-vectorized row function) under a
+    FULL oracle — completing the Python API matrix (scalar pandas_udf /
+    GROUPED_AGG pandas_udf / applyInPandas / mapInPandas / mapInArrow /
+    applyInPandasWithState / UDTF / SQL UDF / DataSource, each proven
+    result-identical to a built-in or oracle twin). The UDF floordivs
+    int64 cents into 500-cent buckets — integer vectorized arithmetic,
+    so the Python tier cannot drift from the SQL tier. The aggregate
+    after it is pure built-in; only the bucketing rides Arrow, which is
+    exactly how a production plan should scope its Python: the smallest
+    vectorizable expression, never the aggregation."""
+    from taxi_data_datapipeline_spark.operators.pandas_tiers import fare_bucket
+
+    ev = load(spark, sf_dir, "events")
+    c = ev.select(
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("cents")
+    )
+    return (
+        c.select(fare_bucket("cents").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
