@@ -3216,3 +3216,90 @@ def q_basket_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.5)
         .select("o1", "o2", F.round(jac, 6).alias("jaccard"))
     )
+
+
+@register(
+    "cluster_split",
+    None,  # oracle injected below (reuses the recursive-CTE CC chain)
+)
+def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the split unit is the NEAR-DUP
+    CLUSTER, not the document — if two documents are near-duplicates
+    (verified MinHash pairs -> connected components), they land in the
+    SAME split, so evaluation can never score memorized training
+    near-copies (the split-leakage failure mode of naive per-doc
+    random splits). Singletons are their own cluster; assignment is
+    md5(cluster-id) first nibble (13/2/1 of 16 -> ~81/12/6%), so reruns
+    and engines agree byte-for-byte. tests/test_corpus_assembly.py
+    asserts the invariant: zero verified near-dup pairs straddle
+    splits."""
+    from taxi_data_datapipeline_spark.operators.dedup import minhash_lsh_pairs
+    from taxi_data_datapipeline_spark.operators.graphs import connected_components
+
+    docs = load(spark, sf_dir, "documents", fan_out=True)
+    pairs = minhash_lsh_pairs(
+        docs, num_perm=32, bands=8, jaccard_threshold=0.5
+    ).select("doc_a", "doc_b")
+    labels = connected_components(pairs)
+    cl = docs.select("doc_id", "n_chars").join(
+        labels, docs.doc_id == labels.node, "left"
+    ).select(
+        "doc_id",
+        "n_chars",
+        F.coalesce("comp", "doc_id").alias("cluster"),
+    )
+    v = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("cluster").cast("string")), 1, 1),
+        )
+        - 1
+    )
+    split = (
+        F.when(v < 13, "train").when(v < 15, "val").otherwise("test")
+    ).alias("split")
+    return cl.select(split, "cluster", "n_chars").groupBy("split").agg(
+        F.countDistinct("cluster").alias("n_clusters"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+
+
+def _install_cluster_split_oracle() -> None:
+    from taxi_data_datapipeline_spark.queries import ORACLES
+    from taxi_data_datapipeline_spark.queries_data import _SQL_GRAMS, _SQL_JACCARD
+
+    ORACLES["cluster_split"] = f"""
+WITH RECURSIVE g AS (SELECT doc_id, {_SQL_GRAMS} AS grams FROM documents),
+pairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {_SQL_JACCARD} AS jaccard
+    FROM g a JOIN g b ON a.doc_id < b.doc_id)
+  WHERE jaccard >= 0.5),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+walk AS (
+  SELECT u AS node, u AS comp FROM edges
+  UNION
+  SELECT e.u, w.comp FROM edges e JOIN walk w ON e.v = w.node
+  WHERE w.comp < e.u),
+comp AS (SELECT node, MIN(comp) AS comp FROM walk GROUP BY node),
+cl AS (
+  SELECT d.doc_id, d.n_chars, COALESCE(c.comp, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+sp AS (
+  SELECT doc_id, n_chars, cluster,
+         strpos('0123456789abcdef',
+                substr(md5(CAST(cluster AS VARCHAR)), 1, 1)) - 1 AS v
+  FROM cl)
+SELECT CASE WHEN v < 13 THEN 'train' WHEN v < 15 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(DISTINCT cluster) AS n_clusters,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars
+FROM sp GROUP BY 1
+"""
+
+
+_install_cluster_split_oracle()

@@ -3908,3 +3908,114 @@ def q_pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_cents.alias("top_cents"),
         F.round(top_cents.cast("double") / F.col("s"), 6).alias("top_share"),
     )
+
+
+# --- batch perceptron training ------------------------------------------------
+
+
+def _perceptron_oracle(rounds: int = 3) -> str:
+    steps = ["b0 AS (SELECT CAST(0 AS BIGINT) AS c0, CAST(0 AS BIGINT) AS c1, CAST(0 AS BIGINT) AS c2)"]
+    for k in range(1, rounds + 1):
+        p = f"b{k - 1}"
+        steps.append(
+            f"""u{k} AS (
+  SELECT CAST(SUM(CASE WHEN y * ({p}.c0 + {p}.c1 * x1 + {p}.c2 * x2) <= 0
+                       THEN y ELSE 0 END) AS BIGINT) AS d0,
+         CAST(SUM(CASE WHEN y * ({p}.c0 + {p}.c1 * x1 + {p}.c2 * x2) <= 0
+                       THEN y * x1 ELSE 0 END) AS BIGINT) AS d1,
+         CAST(SUM(CASE WHEN y * ({p}.c0 + {p}.c1 * x1 + {p}.c2 * x2) <= 0
+                       THEN y * x2 ELSE 0 END) AS BIGINT) AS d2,
+         CAST(SUM(CASE WHEN y * ({p}.c0 + {p}.c1 * x1 + {p}.c2 * x2) <= 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_mis
+  FROM base CROSS JOIN {p}),
+b{k} AS (
+  SELECT {p}.c0 + u{k}.d0 AS c0, {p}.c1 + u{k}.d1 AS c1,
+         {p}.c2 + u{k}.d2 AS c2
+  FROM {p} CROSS JOIN u{k})"""
+        )
+    outs = " UNION ALL ".join(
+        f"SELECT {k} AS round, u{k}.n_mis, b{k}.c0 AS beta0, b{k}.c1 AS beta1,"
+        f" b{k}.c2 AS beta2 FROM u{k} CROSS JOIN b{k}"
+        for k in range(1, rounds + 1)
+    )
+    return f"""
+WITH base AS (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE -1 END AS y,
+         CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS x1,
+         CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS x2
+  FROM lineitem),
+{",".join(steps)}
+{outs}
+"""
+
+
+@register("perceptron_train", _perceptron_oracle())
+def q_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-classifier training as a Spark plan: 3 unrolled rounds of
+    the BATCH perceptron (Rosenblatt's rule summed over all currently
+    misclassified rows — the order-free variant, unlike the sequential
+    online perceptron, so it is partition-deterministic by
+    construction). Features are integer cents (quantity, discount) plus
+    bias; label +1 for returned lineitems. Every quantity in the loop —
+    margins, update sums, coefficients — is BIGINT, the engine's
+    landmine-17 pattern extended from PageRank/k-means/PCA to
+    supervised training: no floats means no fold-order or rounding
+    divergence anywhere, and the DuckDB oracle unrolls the identical
+    rounds as chained CTEs.
+
+    Plan shape per round: one map-side-combined aggregate over the base
+    (the update vector), cross-joined back as a broadcast 1-row table —
+    the scalar-broadcast idiom; each round's 1-row beta is
+    localCheckpointed so round k's plan does not re-execute rounds
+    1..k-1 per reference (ROUND_NOTES landmine 18). At 100 TB each
+    round is a single pass; the weight vector state is 3 scalars."""
+    li = load(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(-1).alias("y"),
+        (F.col("l_quantity").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("x1"),
+        (F.col("l_discount").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("x2"),
+    )
+    beta = spark.createDataFrame([(0, 0, 0)], "c0 bigint, c1 bigint, c2 bigint")
+    rows = []
+    for k in range(1, 4):
+        j = base.crossJoin(F.broadcast(beta))
+        margin = F.col("y") * (
+            F.col("c0") + F.col("c1") * F.col("x1") + F.col("c2") * F.col("x2")
+        )
+        mis = margin <= 0
+        upd = j.agg(
+            F.sum(F.when(mis, F.col("y")).otherwise(0)).cast("bigint").alias("d0"),
+            F.sum(F.when(mis, F.col("y") * F.col("x1")).otherwise(0))
+            .cast("bigint")
+            .alias("d1"),
+            F.sum(F.when(mis, F.col("y") * F.col("x2")).otherwise(0))
+            .cast("bigint")
+            .alias("d2"),
+            F.sum(mis.cast("bigint")).alias("n_mis"),
+        ).localCheckpoint(eager=True)
+        beta = (
+            beta.crossJoin(F.broadcast(upd))
+            .select(
+                (F.col("c0") + F.col("d0")).alias("c0"),
+                (F.col("c1") + F.col("d1")).alias("c1"),
+                (F.col("c2") + F.col("d2")).alias("c2"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        rows.append(
+            upd.crossJoin(beta).select(
+                F.lit(k).alias("round"),
+                "n_mis",
+                F.col("c0").alias("beta0"),
+                F.col("c1").alias("beta1"),
+                F.col("c2").alias("beta2"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out

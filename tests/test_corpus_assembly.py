@@ -74,3 +74,44 @@ def test_repetition_ratio_flags_repeated_text(spark):
     }
     assert out[1][0] > 0.8 and out[1][1] > 0.7  # heavy repetition
     assert out[2] == (0.0, 0.0)  # fully unique
+
+
+def test_cluster_split_no_near_dup_leakage(spark):
+    """The split-leakage invariant: zero verified near-dup pairs may
+    straddle train/val/test, because the assignment key is the
+    connected-component id both endpoints share."""
+    from pyspark.sql import functions as F
+
+    from taxi_data_datapipeline_spark.operators.dedup import minhash_lsh_pairs
+    from taxi_data_datapipeline_spark.operators.graphs import connected_components
+    from taxi_data_datapipeline_spark.queries import load
+
+    sf = "/root/testdata/sf0.001"
+    docs = load(spark, sf, "documents", fan_out=True)
+    pairs = minhash_lsh_pairs(
+        docs, num_perm=32, bands=8, jaccard_threshold=0.5
+    ).select("doc_a", "doc_b")
+    labels = connected_components(pairs)
+    cl = docs.select("doc_id").join(
+        labels, docs.doc_id == labels.node, "left"
+    ).select(
+        "doc_id", F.coalesce("comp", "doc_id").alias("cluster")
+    )
+    v = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("cluster").cast("string")), 1, 1),
+        )
+        - 1
+    )
+    assign = cl.select(
+        "doc_id",
+        F.when(v < 13, "train").when(v < 15, "val").otherwise("test").alias("split"),
+    )
+    a = assign.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    b = assign.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    straddling = (
+        pairs.join(a, "doc_a").join(b, "doc_b").filter(F.col("sa") != F.col("sb"))
+    )
+    assert pairs.count() > 0  # fixture actually has near-dups
+    assert straddling.count() == 0
