@@ -99,15 +99,15 @@ def minhash_lsh_pairs(
     """
     rows = num_perm // bands
     # The gram-set frame feeds three consumers (signature derivation and
-    # both sides of the verification join); persist it so shingle
+    # both sides of the verification join); materialize it once so shingle
     # extraction — the dominant map-side cost — runs once per document,
-    # not once per consumer. At cluster scale this is the standard staged
-    # feature materialization; storage is MEMORY_AND_DISK so it degrades
-    # to spill, never OOM.
+    # not once per consumer. localCheckpoint (not persist): block cleanup
+    # is reference-tracked, so a 200-query session doesn't accumulate
+    # leaked cache entries (the r3 ADVICE leak class).
     grams = df.select(
         F.col(id_col).alias("_gid"),
         ngram_shingles(F.col(text_col), ngram).alias("grams"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     # Explode-then-aggregate minhash: the num_perm seeded mins run as
     # codegen'd hash-aggregate columns with map-side partial aggregation —
     # vs. num_perm interpreted array traversals (each re-deriving the
@@ -224,7 +224,7 @@ def blocked_jaccard_pairs(
         *[F.col(c) for c in block_cols],
         F.col(id_col).alias("_id"),
         ngram_shingles(F.col(text_col), ngram).alias("grams"),
-    ).persist()  # 3 consumers (sizes + both join sides): shingle once
+    ).localCheckpoint(eager=True)  # 3 consumers: shingle once, ref-tracked cleanup
     sizes = g.select("_id", F.size("grams").alias("sz"))
     ex = g.select(*block_cols, "_id", F.explode("grams").alias("gram"))
     a, b = ex.alias("a"), ex.alias("b")
