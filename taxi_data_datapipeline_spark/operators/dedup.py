@@ -339,6 +339,7 @@ def simhash_dedup(
     max_hamming: int = 3,
     hash_fn: str = "xxhash64",
     num_tables: int | None = None,
+    max_bucket_fanout: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash with GUARANTEED recall: the fingerprint
     is split into ``num_tables`` (default ``max_hamming + 1``) disjoint
@@ -354,6 +355,17 @@ def simhash_dedup(
     rounds-1-3 demo formulation, which missed pairs whose differing bits
     fell in the prefix). Cost: each doc appears in num_tables buckets
     (explode factor 4 for hamming 3) — the standard production trade.
+
+    ``max_bucket_fanout`` is the hot-bucket skew guard (same contract as
+    ``minhash_lsh_pairs``): a template cluster of k near-identical docs
+    puts all k in the same block bucket of every table, emitting
+    O(k^2) hamming-0 pairs — the 200k-doc scale probe measured 1.04M
+    pairs from ONE 2000-doc cluster uncapped. With a cap each member
+    pairs only with the F lowest-id members per bucket (O(k*F) edges);
+    buckets with k <= F keep exact semantics, and the guaranteed-recall
+    property holds for every pair not inside a capped mega-bucket.
+    None (default) = exact everywhere — what the oracle-checked queries
+    use.
     """
     _, bits = _feature_hash(F.lit(""), hash_fn)
     nt = num_tables if num_tables is not None else max_hamming + 1
@@ -372,18 +384,40 @@ def simhash_dedup(
         ]
     )
     keyed = s.select("_id", "sh", F.explode(blocks).alias("bk"))
-    a, b = keyed.alias("a"), keyed.alias("b")
     ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
-    return (
-        a.join(
+    if max_bucket_fanout is None:
+        a, b = keyed.alias("a"), keyed.alias("b")
+        cands = a.join(
             b,
             (F.col("a.bk") == F.col("b.bk")) & (F.col("a._id") < F.col("b._id")),
+        ).select(F.col("a._id").alias("doc_a"), F.col("a.sh").alias("sh_a"),
+                 F.col("b._id").alias("doc_b"), F.col("b.sh").alias("sh_b"))
+    else:
+        # sort_array on (id, sh) structs orders by id; each member pairs
+        # with the max_bucket_fanout lowest-id members of its bucket.
+        members = F.array_sort(
+            F.collect_set(F.struct(F.col("_id"), F.col("sh")))
         )
-        .select(
-            F.col("a._id").alias("doc_a"),
-            F.col("b._id").alias("doc_b"),
-            ham.alias("hamming"),
+        per_bucket = keyed.groupBy("bk").agg(members.alias("ms"))
+        reps = F.slice(F.col("ms"), 1, max_bucket_fanout)
+        pair_structs = F.filter(
+            F.flatten(
+                F.transform(
+                    F.col("ms"),
+                    lambda m: F.transform(
+                        reps, lambda r: F.struct(r.alias("a"), m.alias("b"))
+                    ),
+                )
+            ),
+            lambda p: p["a"]["_id"] < p["b"]["_id"],
         )
+        cands = per_bucket.select(F.explode(pair_structs).alias("p")).select(
+            F.col("p.a._id").alias("doc_a"), F.col("p.a.sh").alias("sh_a"),
+            F.col("p.b._id").alias("doc_b"), F.col("p.b.sh").alias("sh_b"),
+        )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cands.select("doc_a", "doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         # a pair agreeing on k blocks surfaces k times — one row per pair
         .distinct()

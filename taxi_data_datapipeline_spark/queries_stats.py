@@ -4019,3 +4019,136 @@ def q_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+# --- logistic regression (batch gradient descent) -----------------------------
+
+_LOGIT_LR0 = 2_147_483_648  # bias divisor 2^31 (per-feature lr: diag precond.)
+_LOGIT_LRX = 17_592_186_044_416  # feature divisor 2^44 (cents-scaled features)
+
+
+def _logit_oracle(rounds: int = 2) -> str:
+    steps = [
+        "b0 AS (SELECT CAST(0 AS BIGINT) AS u0, CAST(0 AS BIGINT) AS u1,"
+        " CAST(0 AS BIGINT) AS u2)"
+    ]
+    for k in range(1, rounds + 1):
+        p = f"b{k - 1}"
+        steps.append(
+            f"""t{k} AS (
+  SELECT y, x1, x2,
+         1.0e0 / (1.0e0 + EXP(-(CAST({p}.u0 + {p}.u1 * x1 + {p}.u2 * x2
+                                 AS DOUBLE) * 1e-6))) AS p
+  FROM base CROSS JOIN {p}),
+u{k} AS (
+  SELECT CAST(SUM(CASE WHEN p >= 0.5e0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pred_pos,
+         CAST(FLOOR(SUM(CAST(ROUND(p - y, 9) AS DECIMAL(28,12)))
+                    * 1000000) AS BIGINT) AS g0,
+         CAST(FLOOR(SUM(CAST(ROUND((p - y) * CAST(x1 AS DOUBLE), 9)
+                             AS DECIMAL(28,12))) * 1000000) AS BIGINT) AS g1,
+         CAST(FLOOR(SUM(CAST(ROUND((p - y) * CAST(x2 AS DOUBLE), 9)
+                             AS DECIMAL(28,12))) * 1000000) AS BIGINT) AS g2
+  FROM t{k}),
+b{k} AS (
+  SELECT {p}.u0 - u{k}.g0 // {_LOGIT_LR0} AS u0,
+         {p}.u1 - u{k}.g1 // {_LOGIT_LRX} AS u1,
+         {p}.u2 - u{k}.g2 // {_LOGIT_LRX} AS u2
+  FROM {p} CROSS JOIN u{k})"""
+        )
+    outs = " UNION ALL ".join(
+        f"SELECT {k} AS round, u{k}.n_pred_pos, b{k}.u0 AS beta0_micro,"
+        f" b{k}.u1 AS beta1_micro, b{k}.u2 AS beta2_micro"
+        f" FROM u{k} CROSS JOIN b{k}"
+        for k in range(1, rounds + 1)
+    )
+    return f"""
+WITH base AS (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS x1,
+         CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS x2
+  FROM lineitem),
+{",".join(steps)}
+{outs}
+"""
+
+
+@register("logistic_gd", _logit_oracle())
+def q_logistic_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression trained as a Spark plan: 2 unrolled rounds of
+    batch gradient descent on return-flag classification, cross-engine
+    EXACT despite the transcendental sigmoid. The recipe extends the
+    engine's fixed-point playbook to floating-point ML:
+
+    * weights live as integer MICRO-units (beta = u * 1e-6), so the
+      per-row logit z = (u . x) * 1e-6 is one exact int64 dot product
+      and one exact int->double conversion away from identical doubles
+      on every engine;
+    * sigmoid terms — the only transcendental — are quantized per ROW
+      (ROUND(.,9) -> DECIMAL) before summation, the bm25/token_entropy
+      convention: DECIMAL sums are fold-order-free, so the gradient is
+      an exact decimal both engines agree on;
+    * the update is FLOOR(gradient-micro) with truncating integer
+      division by per-feature powers of two (a diagonal preconditioner
+      — bias and cent-scaled features need different rates), keeping
+      the next round's weights integers.
+
+    Plan per round: one map-side-combined aggregate over the base +
+    broadcast 1-row weight table (scalar-broadcast idiom, 1-row
+    checkpoints; ROUND_NOTES landmine 18). At 100 TB each round is a
+    single pass and the model state is 3 integers. Saturated sigmoids
+    are IEEE-safe on both engines (exp overflow -> inf -> p -> {{0,1}}).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+        (F.col("l_quantity").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("x1"),
+        (F.col("l_discount").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("x2"),
+    )
+    beta = spark.createDataFrame([(0, 0, 0)], "u0 bigint, u1 bigint, u2 bigint")
+    rows = []
+    for k in range(1, 3):
+        j = base.crossJoin(F.broadcast(beta))
+        z = (
+            F.col("u0") + F.col("u1") * F.col("x1") + F.col("u2") * F.col("x2")
+        ).cast("double") * F.lit(1e-6)
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        dec = lambda c: F.round(c, 9).cast("decimal(28,12)")  # noqa: E731
+        upd = j.agg(
+            F.sum((p >= 0.5).cast("bigint")).alias("n_pred_pos"),
+            F.floor(F.sum(dec(p - F.col("y"))) * 1000000)
+            .cast("bigint")
+            .alias("g0"),
+            F.floor(F.sum(dec((p - F.col("y")) * F.col("x1").cast("double"))) * 1000000)
+            .cast("bigint")
+            .alias("g1"),
+            F.floor(F.sum(dec((p - F.col("y")) * F.col("x2").cast("double"))) * 1000000)
+            .cast("bigint")
+            .alias("g2"),
+        ).localCheckpoint(eager=True)
+        beta = (
+            beta.crossJoin(F.broadcast(upd))
+            .select(
+                (F.col("u0") - F.expr(f"g0 DIV {_LOGIT_LR0}")).alias("u0"),
+                (F.col("u1") - F.expr(f"g1 DIV {_LOGIT_LRX}")).alias("u1"),
+                (F.col("u2") - F.expr(f"g2 DIV {_LOGIT_LRX}")).alias("u2"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        rows.append(
+            upd.crossJoin(beta).select(
+                F.lit(k).alias("round"),
+                "n_pred_pos",
+                F.col("u0").alias("beta0_micro"),
+                F.col("u1").alias("beta1_micro"),
+                F.col("u2").alias("beta2_micro"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out

@@ -59,6 +59,7 @@ def main() -> None:
     ap.add_argument("--fanout", type=int, default=8)
     args = ap.parse_args()
 
+    load0 = os.getloadavg()[0]  # host-noise audit (bench.py convention)
     spark = get_spark("scale_probe")
     docs = synth_corpus(spark, args.docs, args.hot)
     docs.persist().count()  # materialize corpus outside the timed region
@@ -73,8 +74,48 @@ def main() -> None:
     ).count()
     t_minhash = time.time() - t0
 
+    # Round-4 tiers: 4-block pigeonhole SimHash (guaranteed recall at
+    # hamming<=3) and cross-doc span dedup (the C4 line-dedup shape).
+    from pyspark.sql import Window
+
+    from taxi_data_datapipeline_spark.operators.dedup import simhash_dedup
+
+    t0 = time.time()
+    n_simhash = simhash_dedup(
+        docs, max_hamming=3, max_bucket_fanout=args.fanout
+    ).count()
+    t_simhash = time.time() - t0
+
+    t0 = time.time()
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    n_spans = F.ceil(F.size(F.col("tok")) / F.lit(8.0)).cast("int")
+    span = lambda k: F.slice(F.col("tok"), k * 8 + 1, 8)  # noqa: E731
+    spans = (
+        docs.select("doc_id", toks.alias("tok"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_spans - 1),
+                    lambda k: F.struct(
+                        k.alias("i"), F.md5(F.concat_ws(" ", span(k))).alias("fp")
+                    ),
+                )
+            ).alias("s"),
+        )
+    )
+    w = Window.partitionBy("s.fp").orderBy("doc_id", "s.i")
+    n_span_removed = (
+        spans.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .count()
+    )
+    t_span = time.time() - t0
+
     out = {
         "metric": "dedup_scale_probe",
+        "loadavg_at_start": round(load0, 1),
+        "loadavg_at_end": round(os.getloadavg()[0], 1),
         "docs": args.docs,
         "hot_cluster": args.hot,
         "fanout": args.fanout,
@@ -84,6 +125,12 @@ def main() -> None:
         "minhash_pairs": n_pairs,
         "minhash_sec": round(t_minhash, 2),
         "minhash_docs_per_sec": round(args.docs / t_minhash),
+        "simhash_pairs": n_simhash,
+        "simhash_sec": round(t_simhash, 2),
+        "simhash_docs_per_sec": round(args.docs / t_simhash),
+        "span_dedup_removed": n_span_removed,
+        "span_dedup_sec": round(t_span, 2),
+        "span_dedup_docs_per_sec": round(args.docs / t_span),
     }
     print(json.dumps(out))
 
