@@ -4152,3 +4152,255 @@ def q_logistic_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+def _calibration_oracle() -> str:
+    # Score with the round-2 weights from the SAME unrolled training
+    # chain, then bucket predictions into deciles.
+    chain = _logit_oracle(2)
+    # _logit_oracle returns a full query; reuse its WITH-chain by
+    # rebuilding the prefix here (same CTEs, different head).
+    head = chain.split("WITH", 1)[1].rsplit("SELECT 1 AS round", 1)[0]
+    head = head.rsplit("\nSELECT", 1)[0] if "\nSELECT" in head else head
+    return f"""
+WITH{head.rstrip().rstrip(',')}
+, scored AS (
+  SELECT y,
+         1.0e0 / (1.0e0 + EXP(-(CAST(b2.u0 + b2.u1 * x1 + b2.u2 * x2
+                                 AS DOUBLE) * 1e-6))) AS p
+  FROM base CROSS JOIN b2),
+bucketed AS (
+  SELECT LEAST(CAST(FLOOR(p * 100000e0) AS INT), 99999) AS pbucket, y, p
+  FROM scored)
+SELECT pbucket,
+       COUNT(*) AS n,
+       CAST(SUM(y) AS BIGINT) AS n_pos,
+       CAST(SUM(CAST(ROUND(p, 9) AS DECIMAL(28,12))) AS DOUBLE) AS sum_p
+FROM bucketed GROUP BY pbucket
+"""
+
+
+@register("logistic_calibration", _calibration_oracle())
+def q_logistic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration (reliability) table for the trained logistic model:
+    bucket round-2 predictions into fine probability bins (1e-5 grid —
+    the sf-scaled weights spread predictions over a narrow band, so a
+    decile grid collapses to one row) and report per bucket the count, positives, and exact decimal-summed predicted
+    mass — the reliability diagram every scored-model pipeline emits
+    (well-calibrated = n_pos/n tracks sum_p/n per bucket). Reuses the
+    exact training chain of `logistic_gd` (integer micro-unit weights),
+    so scoring is deterministic; the decile edge test FLOOR(p*10) runs
+    on identical doubles in both engines. One extra pass over the base
+    beyond training."""
+    li = load(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+        (F.col("l_quantity").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("x1"),
+        (F.col("l_discount").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("x2"),
+    )
+    beta = spark.createDataFrame([(0, 0, 0)], "u0 bigint, u1 bigint, u2 bigint")
+    for _k in range(2):
+        j = base.crossJoin(F.broadcast(beta))
+        z = (
+            F.col("u0") + F.col("u1") * F.col("x1") + F.col("u2") * F.col("x2")
+        ).cast("double") * F.lit(1e-6)
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        dec = lambda c: F.round(c, 9).cast("decimal(28,12)")  # noqa: E731
+        upd = j.agg(
+            F.floor(F.sum(dec(p - F.col("y"))) * 1000000)
+            .cast("bigint")
+            .alias("g0"),
+            F.floor(F.sum(dec((p - F.col("y")) * F.col("x1").cast("double"))) * 1000000)
+            .cast("bigint")
+            .alias("g1"),
+            F.floor(F.sum(dec((p - F.col("y")) * F.col("x2").cast("double"))) * 1000000)
+            .cast("bigint")
+            .alias("g2"),
+        ).localCheckpoint(eager=True)
+        beta = (
+            beta.crossJoin(F.broadcast(upd))
+            .select(
+                (F.col("u0") - F.expr(f"g0 DIV {_LOGIT_LR0}")).alias("u0"),
+                (F.col("u1") - F.expr(f"g1 DIV {_LOGIT_LRX}")).alias("u1"),
+                (F.col("u2") - F.expr(f"g2 DIV {_LOGIT_LRX}")).alias("u2"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    j = base.crossJoin(F.broadcast(beta))
+    z = (
+        F.col("u0") + F.col("u1") * F.col("x1") + F.col("u2") * F.col("x2")
+    ).cast("double") * F.lit(1e-6)
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    pbucket = F.least(F.floor(p * 100000).cast("int"), F.lit(99999))
+    return (
+        j.select(F.col("y"), p.alias("p"), pbucket.alias("pbucket"))
+        .groupBy("pbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+            F.sum(F.round(F.col("p"), 9).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("sum_p"),
+        )
+    )
+
+
+# --- recommender evaluation: leave-last-order-out hit rate --------------------
+
+
+@register(
+    "cf_holdout_hitrate",
+    """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+ranked AS (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders
+  FROM orders),
+holdout AS (
+  SELECT o_custkey, o_orderkey FROM ranked WHERE rn = 1 AND n_orders >= 2),
+history AS (
+  SELECT r.o_custkey, li.l_partkey AS item
+  FROM ranked r JOIN li ON r.o_orderkey = li.l_orderkey
+  WHERE r.rn > 1 AND r.n_orders >= 2
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT x.l_partkey AS a, y.l_partkey AS b, COUNT(*) AS support
+  FROM li x JOIN li y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY 1, 2),
+sym AS (
+  SELECT a AS item, b AS cand, support FROM pairs
+  UNION ALL SELECT b, a, support FROM pairs),
+scores AS (
+  SELECT h.o_custkey, s.cand, CAST(SUM(s.support) AS BIGINT) AS score
+  FROM history h JOIN sym s ON h.item = s.item
+  LEFT JOIN history h2 ON h2.o_custkey = h.o_custkey AND h2.item = s.cand
+  WHERE h2.item IS NULL
+  GROUP BY 1, 2),
+topk AS (
+  SELECT o_custkey, cand
+  FROM (SELECT o_custkey, cand,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY score DESC, cand) AS rk
+        FROM scores)
+  WHERE rk <= 10),
+truth AS (
+  SELECT hd.o_custkey, li.l_partkey AS item
+  FROM holdout hd JOIN li ON hd.o_orderkey = li.l_orderkey
+  GROUP BY 1, 2),
+hits AS (
+  SELECT t.o_custkey, MAX(CASE WHEN tr.item IS NOT NULL THEN 1 ELSE 0 END)
+           AS hit
+  FROM topk t
+  LEFT JOIN truth tr ON tr.o_custkey = t.o_custkey AND tr.item = t.cand
+  GROUP BY 1)
+SELECT 10 AS k,
+       (SELECT COUNT(*) FROM holdout) AS n_customers,
+       CAST(SUM(hit) AS BIGINT) AS n_hits,
+       (CAST(SUM(hit) AS BIGINT) * 1000000)
+         // (SELECT COUNT(*) FROM holdout) AS hitrate_ppm
+FROM hits
+""",
+)
+def q_cf_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline recommender evaluation — the loop that decides whether the
+    co-occurrence model ships: leave-LAST-order-out per customer
+    (deterministic (date, orderkey) tiebreak), score candidate parts for
+    each customer by summed co-purchase support against their history
+    (excluding already-bought items), take top-10 (score desc, part asc),
+    and report hit-rate@10 — the fraction of held-out customers whose
+    next basket contained a recommended part. Exact ppm ratio via
+    integer division (no float rounding).
+
+    Plan: the memoized co-purchase pair table (shared by the whole
+    graph/recommender family) is the only large intermediate; the
+    candidate generation joins history items against its symmetric view
+    (map-side broadcast of nothing — both sides shuffle on item), and
+    every window is per-customer partitioned. Evaluation at 100 TB is
+    the same plan with the pair table persisted between ingests."""
+    from taxi_data_datapipeline_spark.queries_advanced import (
+        _copurchase_pair_counts,
+    )
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    ranked = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("o_custkey")).alias("n_orders"),
+    ).filter(F.col("n_orders") >= 2)
+    holdout = ranked.filter(F.col("rn") == 1).select("o_custkey", "o_orderkey")
+    history = (
+        ranked.filter(F.col("rn") > 1)
+        .join(li, ranked.o_orderkey == li.l_orderkey)
+        .select("o_custkey", F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    pairs = _copurchase_pair_counts(spark, sf_dir)
+    sym = pairs.select(
+        F.col("a").alias("item"), F.col("b").alias("cand"), "support"
+    ).unionAll(
+        pairs.select(
+            F.col("b").alias("item"), F.col("a").alias("cand"), "support"
+        )
+    )
+    h2 = history.select(
+        F.col("o_custkey").alias("c2"), F.col("item").alias("cand2")
+    )
+    scores = (
+        history.join(sym, "item")
+        .join(
+            h2,
+            (F.col("o_custkey") == F.col("c2")) & (F.col("cand") == F.col("cand2")),
+            "left_anti",
+        )
+        .groupBy("o_custkey", "cand")
+        .agg(F.sum("support").cast("bigint").alias("score"))
+    )
+    wk = Window.partitionBy("o_custkey").orderBy(F.col("score").desc(), "cand")
+    topk = (
+        scores.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= 10)
+        .select("o_custkey", "cand")
+    )
+    truth = (
+        holdout.join(li, holdout.o_orderkey == li.l_orderkey)
+        .select("o_custkey", F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    tr = truth.select(
+        F.col("o_custkey").alias("tc"), F.col("item").alias("tcand")
+    )
+    hits = (
+        topk.join(
+            tr,
+            (F.col("o_custkey") == F.col("tc")) & (F.col("cand") == F.col("tcand")),
+            "left",
+        )
+        .groupBy("o_custkey")
+        .agg(F.max(F.col("tc").isNotNull().cast("int")).alias("hit"))
+    )
+    n_customers = holdout.count()
+    return (
+        hits.agg(F.sum("hit").cast("bigint").alias("n_hits"))
+        .select(
+            F.lit(10).alias("k"),
+            F.lit(n_customers).cast("bigint").alias("n_customers"),
+            "n_hits",
+            F.expr(f"(n_hits * 1000000) DIV {n_customers}").alias("hitrate_ppm"),
+        )
+    )
