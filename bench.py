@@ -84,6 +84,7 @@ def main() -> None:
         "triangle_count", "label_propagation", "bfs_hops",
         "assoc_rules", "pagerank_weighted",
         "neighbor_jaccard", "modularity_communities", "item_cf_scores",
+        "cf_holdout_hitrate",  # consumes the shared pair table too
     ]
 
     times: dict[str, float] = {}

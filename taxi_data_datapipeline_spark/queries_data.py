@@ -3202,3 +3202,37 @@ def q_pandas_scalar_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "multimodal_bmp_roundtrip",
+    """
+WITH px AS (
+  SELECT doc_id, i.i AS idx,
+         CAST(('0x' || substr(md5(text || ':' || CAST(i.i // 16 AS VARCHAR)),
+                              (i.i % 16) * 2 + 1, 2)) AS BIGINT) AS v
+  FROM documents, LATERAL unnest(generate_series(0, 47)) AS i(i))
+SELECT doc_id, CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+       CAST(198 AS INT) AS n_bytes,
+       CAST(SUM(v) AS BIGINT) AS pixel_sum,
+       CAST(SUM(idx * v) AS BIGINT) AS weighted_sum
+FROM px GROUP BY doc_id
+""",
+)
+def q_multimodal_bmp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL image-codec round-trip under full oracle verification — no
+    Pillow, no stub: each document synthesizes a deterministic 8x6
+    grayscale image (md5-derived pixels), ENCODES it as an actual
+    24-bit BI_RGB BMP (bottom-up rows, 4-byte padding, BGR — pure
+    numpy/struct, operators/multimodal.py:encode_bmp24), DECODES the
+    bytes back, and reports dimensions + pixel checksums computed from
+    the DECODED array only. The SQL oracle recomputes the checksums
+    from the same md5 pixel stream: a hash match proves header layout,
+    row order, padding, and channel handling are all correct (the
+    position-WEIGHTED sum catches a decoder that mis-handles bottom-up
+    order or stride, which a plain sum would miss). The plumbing is the
+    standard Arrow-batched mapInPandas tier; at 100 TB the same stage
+    decodes real scanned payloads instead of synthesizing them."""
+    from taxi_data_datapipeline_spark.operators.multimodal import bmp_roundtrip
+
+    return bmp_roundtrip(load(spark, sf_dir, "documents", fan_out=True))

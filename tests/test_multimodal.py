@@ -77,3 +77,36 @@ def test_attach_media_meta_mime_sniff(spark, payloads):
     assert out[2] == "image/png"
     assert out[3] == "audio/wav"
     assert out[4] == "application/octet-stream"
+
+
+def test_bmp_codec_roundtrip_exact():
+    """encode_bmp24/decode_bmp24 are a real BMP codec: header fields
+    check out, and decode(encode(x)) == x including for widths whose
+    rows need padding (the silent-corruption case)."""
+    import numpy as np
+
+    from taxi_data_datapipeline_spark.operators.multimodal import (
+        decode_bmp24,
+        encode_bmp24,
+    )
+
+    for h, w in [(6, 8), (3, 5), (1, 1), (4, 7)]:
+        pix = (np.arange(h * w, dtype=np.uint8).reshape(h, w) * 7 + 13) % 251
+        payload = encode_bmp24(pix)
+        assert payload[:2] == b"BM"
+        stride = (3 * w + 3) // 4 * 4
+        assert len(payload) == 54 + stride * h
+        # size field in the header equals the actual byte length
+        assert int.from_bytes(payload[2:6], "little") == len(payload)
+        out = decode_bmp24(payload)
+        assert out.shape == (h, w)
+        assert (out == pix).all()
+
+
+def test_bmp_decode_rejects_non_bmp():
+    import pytest as _pytest
+
+    from taxi_data_datapipeline_spark.operators.multimodal import decode_bmp24
+
+    with _pytest.raises(ValueError):
+        decode_bmp24(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
