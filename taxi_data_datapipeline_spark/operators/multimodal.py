@@ -373,3 +373,109 @@ def bmp_roundtrip(df: "DataFrame", text_col: str = "text", w: int = 8, h: int = 
             )
 
     return df.select("doc_id", text_col).mapInPandas(run, out_schema)
+
+
+# --- real WAV/PCM codec (pure numpy — no external audio library) --------------
+
+
+def encode_wav16(samples, sample_rate: int = 8000) -> bytes:
+    """Encode a 1-D int16 array as a REAL canonical 44-byte-header
+    RIFF/WAVE file (PCM, mono, 16-bit little-endian) — playable by any
+    audio tool. Like BMP, WAV-PCM needs no codec library, so the audio
+    decode path is real in this container."""
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_wav16(payload: bytes):
+    """Decode a canonical PCM mono 16-bit WAV; returns (samples int16
+    array, sample_rate). Validates RIFF/WAVE magic, PCM format code,
+    mono, 16 bits — and walks chunks by their declared sizes, the part
+    a naive fixed-offset reader gets wrong."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    off = 12
+    rate, data = None, None
+    while off + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, off)
+        body = payload[off + 8 : off + 8 + size]
+        if cid == b"fmt ":
+            fmt, ch, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if fmt != 1 or ch != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV variant: fmt={fmt} ch={ch} bits={bits}")
+        elif cid == b"data":
+            data = np.frombuffer(body, dtype="<i2").copy()
+        off += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return data, rate
+
+
+def wav_roundtrip(
+    df: "DataFrame", text_col: str = "text", n_samples: int = 64, rate: int = 8000
+) -> "DataFrame":
+    """Synthesize a deterministic int16 PCM clip per document (md5-derived
+    sample stream), ENCODE as a real WAV, DECODE it back, and emit the
+    audio-profile integers computed from the DECODED samples only:
+    duration, peak amplitude, zero-crossing count, and the exact energy
+    sum — the features an audio-curation pipeline keys its quality
+    filters on (clipping, silence, noise). Integer-only outputs; the
+    SQL oracle recomputes all four from the same md5 stream, proving
+    chunk walking, sample width, and endianness."""
+    import hashlib
+
+    import numpy as np
+
+    blocks = (n_samples * 2 + 15) // 16
+    out_schema = (
+        "doc_id long, n_samples int, sample_rate int, duration_ms int,"
+        " peak int, zero_crossings int, energy long"
+    )
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                stream = b"".join(
+                    hashlib.md5(f"{text}~{b}".encode()).digest()
+                    for b in range(blocks)
+                )[: n_samples * 2]
+                samples = np.frombuffer(stream, dtype="<i2")
+                payload = encode_wav16(samples, rate)
+                dec, dec_rate = decode_wav16(payload)
+                s = dec.astype(np.int64)
+                nonneg = s >= 0
+                recs.append(
+                    (
+                        int(doc_id),
+                        int(dec.size),
+                        int(dec_rate),
+                        int(dec.size * 1000 // dec_rate),
+                        int(np.abs(s).max()),
+                        int((nonneg[1:] != nonneg[:-1]).sum()),
+                        int((s * s).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "doc_id", "n_samples", "sample_rate", "duration_ms",
+                    "peak", "zero_crossings", "energy",
+                ],
+            )
+
+    return df.select("doc_id", text_col).mapInPandas(run, out_schema)

@@ -3236,3 +3236,50 @@ def q_multimodal_bmp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from taxi_data_datapipeline_spark.operators.multimodal import bmp_roundtrip
 
     return bmp_roundtrip(load(spark, sf_dir, "documents", fan_out=True))
+
+
+@register(
+    "multimodal_wav_roundtrip",
+    """
+WITH raw AS (
+  SELECT doc_id, i.i AS idx,
+         CAST(('0x' || substr(md5(text || '~' || CAST((2 * i.i) // 16 AS VARCHAR)),
+                              ((2 * i.i) % 16) * 2 + 1, 2)) AS BIGINT)
+       + 256 * CAST(('0x' || substr(md5(text || '~' || CAST((2 * i.i + 1) // 16 AS VARCHAR)),
+                              ((2 * i.i + 1) % 16) * 2 + 1, 2)) AS BIGINT) AS v
+  FROM documents, LATERAL unnest(generate_series(0, 63)) AS i(i)),
+sv AS (
+  SELECT doc_id, idx,
+         CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s
+  FROM raw),
+lagged AS (
+  SELECT doc_id, s,
+         LAG(s) OVER (PARTITION BY doc_id ORDER BY idx) AS prev
+  FROM sv)
+SELECT doc_id,
+       CAST(64 AS INT) AS n_samples,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(8 AS INT) AS duration_ms,
+       CAST(MAX(ABS(s)) AS INT) AS peak,
+       CAST(SUM(CASE WHEN prev IS NOT NULL AND (s >= 0) != (prev >= 0)
+                     THEN 1 ELSE 0 END) AS INT) AS zero_crossings,
+       CAST(SUM(s * s) AS BIGINT) AS energy
+FROM lagged GROUP BY doc_id
+""",
+)
+def q_multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL audio-codec round-trip under full oracle verification: each
+    document synthesizes a deterministic 64-sample int16 PCM clip,
+    ENCODES it as an actual RIFF/WAVE file (canonical 44-byte header,
+    PCM mono 16-bit LE), DECODES it back by walking RIFF chunks, and
+    reports the audio-profile integers (duration, peak, zero crossings,
+    exact energy) from the DECODED samples only — the features audio
+    curation filters on (clipping, silence, noisiness). The SQL oracle
+    recomputes everything from the same md5 sample stream, so a hash
+    match proves chunk walking, sample width, and LITTLE-ENDIAN
+    two's-complement handling (a byte-order bug flips peak/energy; a
+    chunk-offset bug shifts every sample). Sibling of
+    multimodal_bmp_roundtrip; operators/multimodal.py:encode_wav16."""
+    from taxi_data_datapipeline_spark.operators.multimodal import wav_roundtrip
+
+    return wav_roundtrip(load(spark, sf_dir, "documents", fan_out=True))

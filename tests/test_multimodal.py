@@ -110,3 +110,50 @@ def test_bmp_decode_rejects_non_bmp():
 
     with _pytest.raises(ValueError):
         decode_bmp24(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+
+
+def test_wav_codec_roundtrip_exact():
+    import numpy as np
+
+    from taxi_data_datapipeline_spark.operators.multimodal import (
+        decode_wav16,
+        encode_wav16,
+    )
+
+    s = np.array([0, 1, -1, 32767, -32768, 12345, -54], dtype=np.int16)
+    payload = encode_wav16(s, 16000)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    out, rate = decode_wav16(payload)
+    assert rate == 16000
+    assert (out == s).all()
+    # declared RIFF size matches actual length
+    assert int.from_bytes(payload[4:8], "little") + 8 == len(payload)
+
+
+def test_wav_decode_walks_extra_chunks():
+    """A decoder that assumes the canonical 44-byte layout breaks on
+    files with extra chunks (LIST/INFO metadata is common); ours walks
+    chunk sizes."""
+    import struct
+
+    import numpy as np
+
+    from taxi_data_datapipeline_spark.operators.multimodal import (
+        decode_wav16,
+        encode_wav16,
+    )
+
+    s = np.array([7, -7, 100], dtype=np.int16)
+    payload = encode_wav16(s, 8000)
+    # splice a LIST chunk between fmt and data
+    head, data_chunk = payload[:36], payload[36:]
+    extra = struct.pack("<4sI", b"LIST", 4) + b"INFO"
+    spliced = (
+        payload[:4]
+        + struct.pack("<I", len(head) - 8 + len(extra) + len(data_chunk))
+        + head[8:]
+        + extra
+        + data_chunk
+    )
+    out, rate = decode_wav16(spliced)
+    assert (out == s).all() and rate == 8000
