@@ -12,12 +12,15 @@ Convention for image/audio/video at 100 TB scale:
   ``repartition`` sized to keep ~tens of MB of payload per Arrow batch
   (``spark.sql.execution.arrow.maxRecordsPerBatch`` caps rows).
 
-The actual codecs (ffmpeg/soundfile) are NOT in this container, so the
-feature extractor uses a deterministic fake derived from the payload bytes —
-the Spark-side plumbing (schemas, batching, UDF signatures) is real and
-tested. ``decode_image`` is gated on an optional Pillow import: real decode
-when the codec is present (``HAS_PIL``), a clean NotImplementedError when
-it is not.
+Codec reality in this container: BMP (24-bit BI_RGB) and WAV (PCM mono
+16-bit) are implemented FOR REAL in pure numpy/struct below — header
+parsing, stride padding, bottom-up rows, RIFF chunk walking — each
+round-trip proven by a SQL value-hash oracle (multimodal_bmp_roundtrip /
+multimodal_wav_roundtrip). Compressed formats (JPEG/PNG/MP3/ffmpeg) are
+not available, so the generic feature extractor uses a deterministic
+byte-derived stand-in, and ``decode_image`` is gated on an optional
+Pillow import: real decode when present (``HAS_PIL``), a clean
+NotImplementedError when not.
 """
 
 from __future__ import annotations
