@@ -3283,3 +3283,107 @@ def q_multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from taxi_data_datapipeline_spark.operators.multimodal import wav_roundtrip
 
     return wav_roundtrip(load(spark, sf_dir, "documents", fan_out=True))
+
+
+# --- Neyman allocation for stratified sampling --------------------------------
+
+
+@register(
+    "neyman_allocation",
+    """
+WITH s AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(CAST(n_chars AS DECIMAL(38,0)) * n_chars) AS DECIMAL(38,0))
+           AS sxx
+  FROM documents GROUP BY source),
+w AS (
+  SELECT source, n_docs,
+         CAST(FLOOR(SQRT(CAST(n_docs * sxx - sx * sx AS DOUBLE))
+                    / n_docs * 1048576e0) AS BIGINT) AS std_units,
+         n_docs * CAST(FLOOR(SQRT(CAST(n_docs * sxx - sx * sx AS DOUBLE))
+                    / n_docs * 1048576e0) AS BIGINT) AS weight
+  FROM s),
+tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS total_w,
+               CAST(SUM(CAST(FLOOR(1000 * weight / (SELECT CAST(SUM(weight) AS BIGINT) FROM w))
+                        AS BIGINT)) AS BIGINT) AS base_sum
+        FROM w),
+q AS (
+  SELECT w.source, w.n_docs, w.std_units, w.weight,
+         (1000 * w.weight) // tot.total_w AS base_quota,
+         (1000 * w.weight) % tot.total_w AS remainder,
+         tot.total_w
+  FROM w CROSS JOIN tot),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY remainder DESC, source) AS rk,
+         CAST(1000 - SUM(base_quota) OVER () AS BIGINT) AS leftover
+  FROM q)
+SELECT source, n_docs, std_units,
+       CAST(base_quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS allocation
+FROM ranked
+""",
+)
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman (variance-optimal) allocation of a 1000-doc sampling budget
+    across sources: stratum h gets budget * N_h*S_h / sum(N*S) — the
+    allocation that minimizes the estimator variance for a fixed budget
+    (Neyman 1934), the statistically-correct upgrade over proportional
+    stratified sampling when strata differ in spread (here: n_chars).
+
+    Exactness: stdev comes from DECIMAL(38,0) moments through one
+    IEEE-exact SQRT, floored to fixed-point units; the apportionment is
+    LARGEST-REMAINDER (Hamilton) in pure integer arithmetic — base
+    quota = (B*w) DIV W, remainders ranked as the exact integers
+    (B*w) MOD W with a source tiebreak — so allocations sum to the
+    budget EXACTLY and both engines agree bit-for-bit (no float shares,
+    no double rounding). The ranking window runs over the ~20-row
+    stratum table, never the corpus."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast("decimal(38,0)")).alias("sx"),
+        F.sum(
+            F.col("n_chars").cast("decimal(38,0)") * F.col("n_chars")
+        ).alias("sxx"),
+    )
+    var_n = (F.col("n_docs") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    std_units = F.floor(
+        F.sqrt(var_n) / F.col("n_docs") * F.lit(1048576.0)
+    ).cast("bigint")
+    w = s.select(
+        "source",
+        "n_docs",
+        std_units.alias("std_units"),
+        (F.col("n_docs") * std_units).alias("weight"),
+    )
+    tot = w.agg(F.sum("weight").cast("bigint").alias("total_w"))
+    q = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "std_units",
+        F.expr("(1000 * weight) DIV total_w").alias("base_quota"),
+        F.expr("(1000 * weight) % total_w").alias("remainder"),
+    )
+    win = Window.orderBy(F.col("remainder").desc(), "source")
+    ranked = q.select(
+        "*",
+        F.row_number().over(win).alias("rk"),
+        (F.lit(1000) - F.sum("base_quota").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )).cast("bigint").alias("leftover"),
+    )
+    return ranked.select(
+        "source",
+        "n_docs",
+        "std_units",
+        (
+            F.col("base_quota")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        ).cast("bigint").alias("allocation"),
+    )
