@@ -71,7 +71,8 @@ def main() -> None:
     # ~1 s) instead of blocking a pool thread on the build lock.
     slow_first = [
         "pagerank_copurchase",
-        "dedup_groups_cc", "cluster_split", "kmeans_iterate", "table_profile",
+        "dedup_groups_cc", "dedup_groups_cc_star", "cluster_split",
+        "kmeans_iterate", "table_profile",
         "theil_sen_slope", "spearman_price_qty", "pca_power_iteration",
         "rake_keywords",
         "simhash_pairs", "contamination_check", "minhash_lsh_dedup",

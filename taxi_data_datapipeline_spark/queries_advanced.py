@@ -3303,3 +3303,40 @@ FROM sp GROUP BY 1
 
 
 _install_cluster_split_oracle()
+
+
+@register(
+    "dedup_groups_cc_star",
+    None,  # oracle injected below (same component walk as dedup_groups_cc)
+)
+def q_dedup_groups_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup-group labeling computed by ALTERNATING STAR CONTRACTION
+    (Kiveris SoCC'14) instead of min-label propagation — O(log n) rounds
+    regardless of graph diameter, the general-graph path where
+    propagation's round count is the diameter (fine for dedup cliques,
+    hopeless for long chains; a 512-node path converges in ~6
+    alternations vs 256 propagation rounds,
+    tests/test_graph_analytics.py). Same MinHash pair edges, same
+    recursive-CTE oracle, same (node, comp) contract — two independent
+    algorithms that must agree bit-for-bit."""
+    from taxi_data_datapipeline_spark.operators.dedup import minhash_lsh_pairs
+    from taxi_data_datapipeline_spark.operators.graphs import (
+        connected_components_star,
+    )
+
+    pairs = minhash_lsh_pairs(
+        load(spark, sf_dir, "documents", fan_out=True),
+        num_perm=32,
+        bands=8,
+        jaccard_threshold=0.5,
+    ).select("doc_a", "doc_b")
+    return connected_components_star(pairs)
+
+
+def _install_cc_star_oracle() -> None:
+    from taxi_data_datapipeline_spark.queries import ORACLES
+
+    ORACLES["dedup_groups_cc_star"] = ORACLES["dedup_groups_cc"]
+
+
+_install_cc_star_oracle()

@@ -125,3 +125,60 @@ def test_kcore_empty_when_k_exceeds_density(spark):
     from taxi_data_datapipeline_spark.operators.graphs import kcore_nodes
 
     assert kcore_nodes(_edges_df(spark), k=4, rounds=3).count() == 0
+
+
+def test_star_cc_matches_propagation_on_random_graphs(spark):
+    """Alternating star contraction and min-label propagation must label
+    identically on graphs where both converge."""
+    import random
+
+    from taxi_data_datapipeline_spark.operators.graphs import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rnd = random.Random(42)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (rnd.randrange(n), rnd.randrange(n)) for _ in range(40 + 10 * trial)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        prop = {r.node: r.comp for r in connected_components(df).collect()}
+        star = {r.node: r.comp for r in connected_components_star(df).collect()}
+        assert star == prop, f"trial {trial}"
+
+
+def test_star_cc_long_chain_beyond_propagation_reach(spark):
+    """A 512-node path has diameter 511: min-label propagation at the
+    default budget (20 iterations x 2 rounds) provably cannot close it,
+    while star contraction needs O(log n) alternations. The star result
+    must label every node with the chain head."""
+    from taxi_data_datapipeline_spark.operators.graphs import (
+        connected_components_star,
+    )
+
+    n = 512
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    out = {r.node: r.comp for r in connected_components_star(df).collect()}
+    assert len(out) == n
+    assert set(out.values()) == {0}
+
+
+def test_star_cc_cliques_and_isolated_pairs(spark):
+    from taxi_data_datapipeline_spark.operators.graphs import (
+        connected_components_star,
+    )
+
+    edges = (
+        [(a, b) for a in range(10, 15) for b in range(a + 1, 15)]  # clique
+        + [(100, 101), (200, 201)]  # disjoint pairs
+    )
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    out = {r.node: r.comp for r in connected_components_star(df).collect()}
+    assert all(out[x] == 10 for x in range(10, 15))
+    assert out[100] == 100 and out[101] == 100
+    assert out[200] == 200 and out[201] == 200
