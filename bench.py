@@ -142,6 +142,11 @@ def main() -> None:
 
     n_min = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     n_max = max(n_min, int(os.environ.get("SPARK_GRAFT_BENCH_MAX_RUNS", "4")))
+    # Total-time guard: never start a pass that could push the run past
+    # the budget (an external harness timeout would lose the JSON line
+    # entirely, which is worse than a 2-pass number under load).
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "420"))
+    t_start = time.time()
     walls: list[float] = []
     loads: list[float] = []
     probes: list[float] = []
@@ -157,6 +162,8 @@ def main() -> None:
             lo = sorted(walls)
             if lo[1] <= 1.10 * lo[0]:
                 break  # fastest wall reproduced within 10% — converged
+        if time.time() - t_start + min(walls) > budget:
+            break  # another pass would risk the harness timeout
     times.clear()
     times.update(best_times)
     wall = min(walls)
