@@ -3387,3 +3387,205 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
         ).cast("bigint").alias("allocation"),
     )
+
+
+# --- feature-store point-in-time join -----------------------------------------
+
+
+@register(
+    "point_in_time_join",
+    """
+WITH feat AS (
+  SELECT o_orderkey, o_custkey, o_orderdate,
+         COUNT(*) OVER w AS prior_orders,
+         CAST(COALESCE(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                AS BIGINT)) OVER w, 0) AS BIGINT)
+           AS prior_revenue_cents,
+         CAST(COALESCE(MAX(o_orderdate) OVER w, DATE '1900-01-01') AS DATE)
+           AS last_order_date
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+SELECT o_orderkey, o_custkey, prior_orders, prior_revenue_cents,
+       last_order_date
+FROM feat
+""",
+)
+def q_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature attachment — the feature-store
+    operation behind every leakage-free training set: each label event
+    (an order) gets its customer's history features computed STRICTLY
+    BEFORE the event ((date, orderkey)-ordered frame ending at
+    1 PRECEDING — the current row can never see itself or its future,
+    which is exactly the train/serve-skew bug PIT joins exist to
+    prevent). Features: prior order count, prior revenue (exact decimal
+    cents), last-order date (epoch sentinel for first orders).
+
+    One shuffle on the entity key serves all features; at 100 TB this
+    is the same plan with the label table as the driving side —
+    contrast with a naive join against a "current features" table,
+    which silently leaks the future into training rows."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count(F.lit(1)).over(w).alias("prior_orders"),
+        F.coalesce(F.sum(cents).over(w), F.lit(0)).cast("bigint").alias(
+            "prior_revenue_cents"
+        ),
+        F.coalesce(
+            F.max("o_orderdate").over(w), F.lit("1900-01-01").cast("date")
+        ).cast("date").alias("last_order_date"),
+    )
+
+
+# --- length-bucketed batching -------------------------------------------------
+
+
+@register(
+    "length_bucketing",
+    """
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))
+           AS n_tokens
+  FROM documents),
+b AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN n_tokens <= 1 THEN 0
+              ELSE CAST(CEIL(LOG2(CAST(n_tokens AS DOUBLE))) AS INT) END
+           AS bucket
+  FROM t)
+SELECT bucket,
+       CAST(POWER(2, bucket) AS BIGINT) AS bucket_max_len,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+       CAST(COUNT(*) * CAST(POWER(2, bucket) AS BIGINT) - SUM(n_tokens)
+            AS BIGINT) AS padding_waste
+FROM b GROUP BY bucket
+""",
+)
+def q_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching report — the padding-efficiency step of
+    LLM training data prep: documents bucket by token count into
+    power-of-2 bins (a batch pads every sequence to the bin ceiling),
+    and the report quantifies the exact token waste per bin
+    (n_docs * bin_ceiling - sum_tokens) — the number that justifies
+    bucketed batching over naive max-length padding. LOG2/POWER on
+    exact integer inputs hit exact IEEE values (log2 of an int is only
+    compared through CEIL, and a power-of-2 boundary value like 64
+    yields exactly 6.0 in every IEEE libm since log2 is required
+    correctly-rounded for powers of two); all reported quantities are
+    exact integers. Map-side tokenize + one hash-agg."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    n = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != ""))
+    bucket = (
+        F.when(n <= 1, 0)
+        .otherwise(F.ceil(F.log2(n.cast("double"))))
+        .cast("int")
+    )
+    t = d.select(n.alias("n_tokens"), bucket.alias("bucket"))
+    bmax = F.pow(F.lit(2.0), F.col("bucket")).cast("bigint")
+    return (
+        t.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+            F.max("n_tokens").cast("bigint").alias("max_tokens"),
+        )
+        .select(
+            "bucket",
+            bmax.alias("bucket_max_len"),
+            "n_docs",
+            "sum_tokens",
+            "max_tokens",
+            (F.col("n_docs") * bmax - F.col("sum_tokens"))
+            .cast("bigint")
+            .alias("padding_waste"),
+        )
+    )
+
+
+# --- matryoshka (truncated-dimension) embedding recall ------------------------
+
+
+@register(
+    "matryoshka_recall",
+    """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+), q AS (
+  SELECT vec_id AS qid, ev AS qv FROM v WHERE vec_id < 8
+), sims AS (
+  SELECT q.qid, v.vec_id,
+         ROUND(list_dot_product(v.ev, q.qv)
+               / (sqrt(list_dot_product(v.ev, v.ev))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 6) AS full_sim,
+         ROUND(list_dot_product(v.ev[1:16], q.qv[1:16])
+               / (sqrt(list_dot_product(v.ev[1:16], v.ev[1:16]))
+                  * sqrt(list_dot_product(q.qv[1:16], q.qv[1:16]))), 6)
+           AS trunc_sim
+  FROM v CROSS JOIN q
+), ranked AS (
+  SELECT qid, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY full_sim DESC, vec_id) AS rk_full,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY trunc_sim DESC, vec_id) AS rk_trunc
+  FROM sims)
+SELECT qid,
+       CAST(SUM(CASE WHEN rk_full <= 10 AND rk_trunc <= 10
+                     THEN 1 ELSE 0 END) AS BIGINT) AS overlap_at_10
+FROM ranked GROUP BY qid
+""",
+)
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka / truncated-dimension retrieval evaluation (the MRL
+    question: how much recall does serving only the first 16 of 64
+    embedding dimensions cost?): for 8 query vectors, compute exact
+    top-10 by full-dimension cosine and by first-16-dim cosine, and
+    report their overlap per query — the number that decides whether
+    the cheap truncated index is good enough for first-stage retrieval.
+
+    Both rankings come from ONE corpus x query pass (the slice adds a
+    second in-order dot product per row, no second scan); per-query
+    windows partition on qid. Determinism: rank keys are ROUND(.,6)
+    cosines (in-order double folds, identical on both engines) with
+    vec_id tiebreaks."""
+    from taxi_data_datapipeline_spark.operators.similarity import cosine
+
+    v = load(spark, sf_dir, "embeddings", fan_out=True).select(
+        "vec_id", F.col("embedding").alias("ev")
+    )
+    q = (
+        v.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("qid"), F.col("ev").alias("qv"))
+    )
+    sims = v.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "vec_id",
+        F.round(cosine(F.col("ev"), F.col("qv")), 6).alias("full_sim"),
+        F.round(
+            cosine(F.slice("ev", 1, 16), F.slice("qv", 1, 16)), 6
+        ).alias("trunc_sim"),
+    )
+    wf = Window.partitionBy("qid").orderBy(F.col("full_sim").desc(), "vec_id")
+    wt = Window.partitionBy("qid").orderBy(F.col("trunc_sim").desc(), "vec_id")
+    ranked = sims.select(
+        "qid",
+        "vec_id",
+        F.row_number().over(wf).alias("rk_full"),
+        F.row_number().over(wt).alias("rk_trunc"),
+    )
+    return ranked.groupBy("qid").agg(
+        F.sum(
+            ((F.col("rk_full") <= 10) & (F.col("rk_trunc") <= 10)).cast("long")
+        ).alias("overlap_at_10")
+    )
