@@ -79,3 +79,42 @@ def test_multichar_symbol_merge(spark):
         " CROSS JOIN (SELECT 'ab' AS x, 'ab' AS y) b"
     ).fetchall()[0][0]
     assert dgot == got
+
+
+def _reference_greedy_merge(syms, x, y):
+    """Plain-Python reference BPE merge: scan left-to-right, merge (x,y)
+    pairs non-overlapping."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+            out.append(x + y)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def test_fold_matches_reference_merge_property(spark):
+    """Differential property test: the engine's fold merge must equal
+    the textbook scan merge on random symbol strings (incl. repeated
+    runs and multi-char symbols)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rnd = random.Random(7)
+    alphabet = ["a", "b", "ab", "ba", "aa"]
+    cases = []
+    for _ in range(60):
+        syms = [rnd.choice(alphabet) for _ in range(rnd.randrange(0, 10))]
+        x, y = rnd.choice(alphabet), rnd.choice(alphabet)
+        rep = "|" + "".join(s + "|" for s in syms) if syms else "|"
+        want = "|" + "".join(
+            s + "|" for s in _reference_greedy_merge(syms, x, y)
+        ) if syms else "|"
+        cases.append((rep, x, y, want))
+    df = spark.createDataFrame(cases, "rep string, x string, y string, want string")
+    got = df.select(F.expr(SPARK_MERGE).alias("got"), "want", "rep", "x", "y").collect()
+    for r in got:
+        assert r.got == r.want, (r.rep, r.x, r.y, r.got, r.want)

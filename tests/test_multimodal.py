@@ -157,3 +157,44 @@ def test_wav_decode_walks_extra_chunks():
     )
     out, rate = decode_wav16(spliced)
     assert (out == s).all() and rate == 8000
+
+
+def test_bmp_wav_roundtrip_property():
+    """Property test: decode(encode(x)) == x for random shapes/contents
+    of both codecs (hypothesis-driven, deterministic profile)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from taxi_data_datapipeline_spark.operators.multimodal import (
+        decode_bmp24,
+        decode_wav16,
+        encode_bmp24,
+        encode_wav16,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 12),
+        w=st.integers(1, 12),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def bmp_prop(h, w, seed):
+        rnd = np.random.RandomState(seed)
+        pix = rnd.randint(0, 256, size=(h, w), dtype=np.uint8)
+        assert (decode_bmp24(encode_bmp24(pix)) == pix).all()
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(1, 64),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def wav_prop(n, rate, seed):
+        rnd = np.random.RandomState(seed)
+        s = rnd.randint(-32768, 32768, size=n).astype(np.int16)
+        out, r = decode_wav16(encode_wav16(s, rate))
+        assert r == rate and (out == s).all()
+
+    bmp_prop()
+    wav_prop()
