@@ -3589,3 +3589,66 @@ def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("rk_full") <= 10) & (F.col("rk_trunc") <= 10)).cast("long")
         ).alias("overlap_at_10")
     )
+
+
+# --- dedup threshold tuning curve ---------------------------------------------
+
+
+@register(
+    "jaccard_threshold_sweep",
+    f"""
+WITH g AS (SELECT doc_id, lang, n_chars // 100 AS lenb, {_SQL_GRAMS} AS grams
+           FROM documents),
+p AS (
+  SELECT {_SQL_JACCARD} AS jaccard
+  FROM g a JOIN g b
+    ON a.lang = b.lang AND a.lenb = b.lenb AND a.doc_id < b.doc_id),
+banded AS (
+  SELECT CAST(FLOOR(jaccard * 20e0) AS INT) AS band, COUNT(*) AS c
+  FROM p WHERE jaccard >= 0.05 GROUP BY 1),
+spine AS (SELECT t.t AS band FROM (SELECT unnest(generate_series(1, 20)) AS t) t)
+SELECT spine.band,
+       ROUND(spine.band * 0.05, 2) AS threshold,
+       CAST(COALESCE(SUM(b2.c), 0) AS BIGINT) AS pairs_at_or_above
+FROM spine LEFT JOIN banded b2 ON b2.band >= spine.band
+GROUP BY spine.band
+""",
+)
+def q_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup threshold tuning curve: how many near-dup pairs survive
+    at every candidate Jaccard cutoff (0.05 steps) — the plot a corpus
+    owner reads before committing to a threshold (too low merges
+    distinct documents, too high leaves boilerplate). Built from the
+    EXACT blocked ground-truth pair set (same machinery as
+    ngram_jaccard_blocked), banded into 20 buckets, with the cumulative
+    pairs >= t obtained by joining a 20-row threshold spine against the
+    aggregate-sized band table — never a second pass over pairs and
+    never a global window. Band edges are FLOOR(j*20) on identical
+    doubles; counts exact integers."""
+    docs = load(spark, sf_dir, "documents", fan_out=True).withColumn(
+        "lenb", F.expr("n_chars DIV 100")
+    )
+    pairs = blocked_jaccard_pairs(
+        docs, block_cols=["lang", "lenb"], threshold=0.05
+    ).select("jaccard")
+    banded = (
+        pairs.select(F.floor(F.col("jaccard") * 20).cast("int").alias("band"))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    spine = spark.range(1, 21).select(F.col("id").cast("int").alias("band"))
+    return (
+        spine.join(
+            F.broadcast(banded).withColumnRenamed("band", "b2"),
+            F.col("b2") >= F.col("band"),
+            "left",
+        )
+        .groupBy("band")
+        .agg(
+            F.round(F.col("band") * 0.05, 2).alias("threshold"),
+            F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias(
+                "pairs_at_or_above"
+            ),
+        )
+        .select("band", "threshold", "pairs_at_or_above")
+    )
