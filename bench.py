@@ -158,7 +158,11 @@ def main() -> None:
         walls.append(one_pass())
         if walls[-1] == min(walls):
             best_times = dict(times)
-        if i + 1 >= n_min:
+        # Convergence needs TWO walls to compare: with SPARK_GRAFT_BENCH_RUNS=1
+        # the first pass reaches this with a single element and lo[1] would
+        # raise IndexError, losing the whole run (single-pass mode is then
+        # served by the budget guard / n_max loop bound instead).
+        if len(walls) >= 2 and i + 1 >= n_min:
             lo = sorted(walls)
             if lo[1] <= 1.10 * lo[0]:
                 break  # fastest wall reproduced within 10% — converged

@@ -500,9 +500,15 @@ def minhash_lsh_incremental(
         (F.size("all_olds") > max_old_per_bucket).cast("long").alias("capped"),
     )
     if observation is not None:
+        # Count a truncated bucket only when it could actually cost
+        # batch-vs-corpus recall: a capped bucket with ZERO new documents
+        # produces no candidates, so its truncation is harmless and must not
+        # poison the "zero capped buckets => screen was exhaustive" signal.
         per_bucket = per_bucket.observe(
             observation,
-            F.sum("capped").alias("capped_buckets"),
+            F.sum(
+                F.col("capped") * (F.size("news") > 0).cast("long")
+            ).alias("capped_buckets"),
             F.count(F.lit(1)).alias("buckets"),
         )
     cands = (

@@ -378,6 +378,205 @@ def bmp_roundtrip(df: "DataFrame", text_col: str = "text", w: int = 8, h: int = 
     return df.select("doc_id", text_col).mapInPandas(run, out_schema)
 
 
+# --- real PNG codec (stdlib zlib — no Pillow) ---------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    # PNG spec §9 Paeth predictor: pick the neighbor closest to a+b-c.
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png8(pix) -> bytes:
+    """Encode an HxW uint8 grayscale array as a REAL spec-compliant PNG
+    (8-bit, color type 0) using only stdlib zlib — the compressed-image
+    path without Pillow. Rows deliberately cycle through ALL FIVE scanline
+    filters (None/Sub/Up/Average/Paeth, filter = row % 5) so a decoder
+    that fakes or mis-implements any filter cannot round-trip; any image
+    viewer opens the output. Closes the last capability gate of the
+    multimodal tier in the default container (BMP/WAV landed in r4;
+    `HAS_PIL` now gates only JPEG)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    pix = np.asarray(pix, dtype=np.uint8)
+    h, w = pix.shape
+    raw = bytearray()
+    prior = np.zeros(w, dtype=np.int16)
+    for y in range(h):
+        row = pix[y].astype(np.int16)
+        ft = y % 5
+        if ft == 0:
+            out = row.copy()
+        elif ft == 1:  # Sub
+            left = np.concatenate(([0], row[:-1]))
+            out = row - left
+        elif ft == 2:  # Up
+            out = row - prior
+        elif ft == 3:  # Average
+            left = np.concatenate(([0], row[:-1]))
+            out = row - (left + prior) // 2
+        else:  # Paeth
+            left = np.concatenate(([0], row[:-1]))
+            upleft = np.concatenate(([0], prior[:-1]))
+            out = row.copy()
+            for x in range(w):
+                out[x] = row[x] - _paeth(int(left[x]), int(prior[x]), int(upleft[x]))
+        raw.append(ft)
+        raw.extend((out % 256).astype(np.uint8).tobytes())
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 9))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png8(payload: bytes):
+    """Decode an 8-bit grayscale non-interlaced PNG to an HxW uint8 array
+    using only stdlib zlib. Verifies the signature and EVERY chunk CRC,
+    walks chunks by declared length (concatenating multiple IDATs, the
+    part a fixed-offset reader gets wrong), and un-applies all five
+    scanline filters including Average's floor-division and the Paeth
+    predictor — the parts an incorrect decoder silently gets wrong,
+    which the round-trip oracle catches via the position-weighted sum."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    off = len(_PNG_SIG)
+    w = h = None
+    idat = bytearray()
+    while off + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, off)
+        ctype = payload[off + 4 : off + 8]
+        body = payload[off + 8 : off + 8 + ln]
+        (crc,) = struct.unpack_from(">I", payload, off + 8 + ln)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            w, h, depth, ctype_c, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or ctype_c != 0 or comp != 0 or filt != 0 or interlace != 0:
+                raise ValueError(
+                    f"unsupported PNG variant: depth={depth} color={ctype_c}"
+                    f" interlace={interlace}"
+                )
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+        off += 12 + ln
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (w + 1):
+        raise ValueError("IDAT length mismatch")
+    out = np.zeros((h, w), dtype=np.uint8)
+    prior = np.zeros(w, dtype=np.int32)
+    stride = w + 1
+    for y in range(h):
+        ft = raw[y * stride]
+        line = np.frombuffer(raw, dtype=np.uint8, count=w, offset=y * stride + 1)
+        row = line.astype(np.int32)
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub — running left dependency, sequential
+            for x in range(1, w):
+                row[x] = (row[x] + row[x - 1]) % 256
+        elif ft == 2:  # Up
+            row = (row + prior) % 256
+        elif ft == 3:  # Average
+            for x in range(w):
+                left = row[x - 1] if x else 0
+                row[x] = (row[x] + (left + prior[x]) // 2) % 256
+        elif ft == 4:  # Paeth
+            for x in range(w):
+                left = row[x - 1] if x else 0
+                upleft = prior[x - 1] if x else 0
+                row[x] = (row[x] + _paeth(int(left), int(prior[x]), int(upleft))) % 256
+        else:
+            raise ValueError(f"bad filter type {ft}")
+        out[y] = row.astype(np.uint8)
+        prior = row
+    return out
+
+
+def png_roundtrip(df: "DataFrame", text_col: str = "text", w: int = 8, h: int = 6) -> "DataFrame":
+    """Synthesize a deterministic w*h grayscale image per document (pixel
+    stream = md5(text || '#' || block) bytes), ENCODE it as a real
+    zlib-compressed PNG whose rows cycle through all five scanline
+    filters, DECODE it back (CRC-checked chunk walk + filter reversal),
+    and emit integrity features from the DECODED array only: pixel_sum
+    and the row-major position-weighted sum (catches filter/stride/row
+    mistakes a plain sum cannot). The SQL oracle recomputes both from
+    the same md5 stream, so a hash match proves the full compressed-
+    image round-trip. n_bytes is NOT emitted: zlib output length is
+    library-version-dependent, and the oracle must not depend on it."""
+    import hashlib
+
+    import numpy as np
+
+    n = w * h
+    blocks = (n + 15) // 16
+    out_schema = "doc_id long, width int, height int, pixel_sum long, weighted_sum long"
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                stream = b"".join(
+                    hashlib.md5(f"{text}#{b}".encode()).digest()
+                    for b in range(blocks)
+                )[:n]
+                pix = np.frombuffer(stream, dtype=np.uint8).reshape(h, w)
+                payload = encode_png8(pix)
+                dec = decode_png8(payload)
+                flat = dec.reshape(-1).astype(np.int64)
+                recs.append(
+                    (
+                        int(doc_id),
+                        int(dec.shape[1]),
+                        int(dec.shape[0]),
+                        int(flat.sum()),
+                        int((flat * np.arange(n, dtype=np.int64)).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=["doc_id", "width", "height", "pixel_sum", "weighted_sum"],
+            )
+
+    return df.select("doc_id", text_col).mapInPandas(run, out_schema)
+
+
 # --- real WAV/PCM codec (pure numpy — no external audio library) --------------
 
 

@@ -3285,6 +3285,42 @@ def q_multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wav_roundtrip(load(spark, sf_dir, "documents", fan_out=True))
 
 
+@register(
+    "multimodal_png_roundtrip",
+    """
+WITH px AS (
+  SELECT doc_id, i.i AS idx,
+         CAST(('0x' || substr(md5(text || '#' || CAST(i.i // 16 AS VARCHAR)),
+                              (i.i % 16) * 2 + 1, 2)) AS BIGINT) AS v
+  FROM documents, LATERAL unnest(generate_series(0, 47)) AS i(i))
+SELECT doc_id, CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+       CAST(SUM(v) AS BIGINT) AS pixel_sum,
+       CAST(SUM(idx * v) AS BIGINT) AS weighted_sum
+FROM px GROUP BY doc_id
+""",
+)
+def q_multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL compressed-image round-trip under full oracle verification —
+    stdlib zlib, no Pillow: each document synthesizes a deterministic
+    8x6 grayscale image (md5-derived pixels), ENCODES it as an actual
+    spec-compliant PNG whose scanlines cycle through ALL FIVE filter
+    types (None/Sub/Up/Average/Paeth — operators/multimodal.py:
+    encode_png8), DECODES the bytes back (signature + per-chunk CRC
+    verification, multi-IDAT chunk walk, filter reversal), and reports
+    dimensions + pixel checksums computed from the DECODED array only.
+    The SQL oracle recomputes the checksums from the same md5 pixel
+    stream: a hash match proves zlib framing, chunk layout, and every
+    filter's inverse are correct (the position-WEIGHTED sum catches a
+    decoder that mis-handles stride or the Average floor-division,
+    which a plain sum would miss). Completes the r4 BMP/WAV codec trio;
+    `HAS_PIL` now gates only JPEG. The plumbing is the standard
+    Arrow-batched mapInPandas tier; at 100 TB the same stage decodes
+    real crawled payloads instead of synthesizing them."""
+    from taxi_data_datapipeline_spark.operators.multimodal import png_roundtrip
+
+    return png_roundtrip(load(spark, sf_dir, "documents", fan_out=True))
+
+
 # --- Neyman allocation for stratified sampling --------------------------------
 
 

@@ -163,7 +163,19 @@ def normalize_trips(
         ym = infer_month_from_path(f)
         dtype = schema[ts.datetime_col].dataType
         # Files sharing (projection recipe, taxi type, year-month) share a scan.
-        key = (ts, ttype, ym, dtype.simpleString(), decl is not None)
+        # Sniff-fallback files additionally key on the FULL declared schema
+        # (every pruned field's name+type), not just a decl-present flag:
+        # two footer-hostile files whose detected columns and datetime type
+        # match but whose location/lat/lon physical types differ must NOT
+        # share one file's declared-schema scan (last-writer-wins on
+        # ``declared[key]`` would misread or fail the other file).
+        key = (
+            ts,
+            ttype,
+            ym,
+            dtype.simpleString(),
+            decl.simpleString() if decl is not None else None,
+        )
         groups[key].append(f)
         if decl is not None:
             declared[key] = decl

@@ -198,3 +198,116 @@ def test_bmp_wav_roundtrip_property():
 
     bmp_prop()
     wav_prop()
+
+
+def test_png_codec_roundtrip_exact():
+    """decode(encode(x)) == x through all five scanline filters (encoder
+    cycles filter = row % 5), verified bit-exact; output is a real
+    spec-compliant PNG (signature, CRC-valid chunks, zlib IDAT)."""
+    import numpy as np
+
+    from taxi_data_datapipeline_spark.operators.multimodal import (
+        decode_png8,
+        encode_png8,
+    )
+
+    rnd = np.random.RandomState(42)
+    for h, w in [(1, 1), (6, 8), (12, 5), (3, 17), (40, 33)]:
+        pix = rnd.randint(0, 256, size=(h, w), dtype=np.uint8)
+        payload = encode_png8(pix)
+        assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+        assert (decode_png8(payload) == pix).all()
+
+
+def test_png_decode_rejects_corruption_and_variants():
+    """CRC damage, wrong signature, and unsupported variants all raise —
+    the decoder verifies every chunk CRC and the IHDR contract."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from taxi_data_datapipeline_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png8,
+        encode_png8,
+    )
+
+    pix = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    payload = bytearray(encode_png8(pix))
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png8(b"BM" + bytes(payload))
+    payload[40] ^= 0xFF  # flip a byte inside IDAT -> CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png8(bytes(payload))
+    # 16-bit depth IHDR -> unsupported variant
+    ihdr = struct.pack(">IIBBBBB", 8, 6, 16, 0, 0, 0, 0)
+    bad = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_png8(bad)
+
+
+def test_png_multi_idat_and_filter_differential():
+    """The decoder concatenates split IDAT chunks (chunk-walk, not fixed
+    offsets), and the filtered encoding decodes identically to an
+    all-None-filter encoding of the same image — a differential test of
+    the filter layer against the trivially-correct base case."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from taxi_data_datapipeline_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png8,
+        encode_png8,
+    )
+
+    rnd = np.random.RandomState(9)
+    pix = rnd.randint(0, 256, size=(7, 11), dtype=np.uint8)
+
+    raw = b"".join(b"\x00" + pix[y].tobytes() for y in range(7))
+    ihdr = struct.pack(">IIBBBBB", 11, 7, 8, 0, 0, 0, 0)
+    plain = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert (decode_png8(plain) == decode_png8(encode_png8(pix))).all()
+
+    body = zlib.compress(raw)
+    split = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    for i in range(0, len(body), max(1, len(body) // 3)):
+        split += _png_chunk(b"IDAT", body[i : i + max(1, len(body) // 3)])
+    split += _png_chunk(b"IEND", b"")
+    assert (decode_png8(split) == pix).all()
+
+
+def test_png_roundtrip_property():
+    """Property test: decode(encode(x)) == x for random shapes/contents
+    (hypothesis-driven, deterministic profile) — sibling of the BMP/WAV
+    properties."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from taxi_data_datapipeline_spark.operators.multimodal import (
+        decode_png8,
+        encode_png8,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 12),
+        w=st.integers(1, 12),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def png_prop(h, w, seed):
+        rnd = np.random.RandomState(seed)
+        pix = rnd.randint(0, 256, size=(h, w), dtype=np.uint8)
+        assert (decode_png8(encode_png8(pix)) == pix).all()
+
+    png_prop()

@@ -1,0 +1,107 @@
+"""Driver-coverage ledger: which queries have ever held a driver window seat.
+
+The external driver checks only the first 50 registered queries each round and
+records the result in ``CORRECTNESS_r{N}.json``. This tool diffs every such
+file against the full registry and prints:
+
+* per-round seat lists and pass/fail counts,
+* the cumulative set of driver-verified queries (green at least once),
+* the queries that have NEVER been seated (rotation candidates), split by
+  whether they carry a full oracle (seatable) or are rows-only (not seatable
+  by policy — the window is reserved for full value-hash checks).
+
+Run from the repo root: ``python tools/coverage_ledger.py``.
+Use ``--json`` for a machine-readable dump (checked in as
+``coverage_ledger.json`` alongside the round notes).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def load_rounds() -> dict[int, dict]:
+    rounds: dict[int, dict] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        with open(path) as fh:
+            rounds[int(m.group(1))] = json.load(fh)
+    return rounds
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--json", action="store_true", help="emit JSON instead of text")
+    args = ap.parse_args()
+
+    sys.path.insert(0, REPO)
+    from taxi_data_datapipeline_spark.queries import ORACLES, QUERIES
+
+    rounds = load_rounds()
+    seated: dict[str, list[int]] = {}
+    green: dict[str, list[int]] = {}
+    for rnd, results in sorted(rounds.items()):
+        for name, res in results.items():
+            seated.setdefault(name, []).append(rnd)
+            ok = (
+                res.get("rows_match")
+                and res.get("schema_match") is not False
+                and res.get("hash_match") is not False
+                and not res.get("err")
+            )
+            if ok:
+                green.setdefault(name, []).append(rnd)
+
+    registry = list(QUERIES)
+    never = [n for n in registry if n not in seated]
+    never_oracle = [n for n in never if n in ORACLES]
+    never_rows_only = [n for n in never if n not in ORACLES]
+    stale = {n for n in seated if n not in QUERIES}  # renamed/removed since
+
+    ledger = {
+        "registry_total": len(registry),
+        "oracle_backed": sum(1 for n in registry if n in ORACLES),
+        "rounds": {
+            str(r): {
+                "seats": len(res),
+                "green": sum(1 for n in res if r in green.get(n, [])),
+            }
+            for r, res in sorted(rounds.items())
+        },
+        "cumulative_driver_verified": sorted(green),
+        "cumulative_driver_verified_count": len(green),
+        "never_seated_oracle_backed": never_oracle,
+        "never_seated_rows_only": never_rows_only,
+        "seated_but_removed": sorted(stale),
+    }
+
+    if args.json:
+        print(json.dumps(ledger, indent=2))
+        return 0
+
+    print(f"registry: {len(registry)} queries ({ledger['oracle_backed']} oracle-backed)")
+    for r, info in ledger["rounds"].items():
+        print(f"  round {r}: {info['green']}/{info['seats']} green")
+    print(f"cumulative driver-verified (green >=1 round): {len(green)}")
+    print(f"never seated, oracle-backed ({len(never_oracle)}) — rotation candidates:")
+    for n in never_oracle:
+        print(f"  {n}")
+    print(f"never seated, rows-only ({len(never_rows_only)}) — not seatable by policy:")
+    for n in never_rows_only:
+        print(f"  {n}")
+    if stale:
+        print(f"seated in past rounds but no longer registered: {sorted(stale)}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
