@@ -18,7 +18,10 @@ fraction of the 32 cores and most of a serial run is per-job planning /
 scheduling overhead, so a real engine overlaps queries — Spark's
 scheduler interleaves jobs from concurrent threads natively. `value` is
 the honest wall-clock of the whole timed section; per-query numbers are
-measured under that concurrency (contended, sum > wall).
+measured under that concurrency (contended, sum > wall) and reported as
+the MIN across passes — the same load-robust estimator as the headline
+wall, so the published per-query detail survives neighbor-tenant bursts
+that hit one pass but not another.
 
 Load robustness (this container shares a kernel with other tenants):
 the headline is the minimum over up to $SPARK_GRAFT_BENCH_MAX_RUNS
@@ -150,14 +153,20 @@ def main() -> None:
     walls: list[float] = []
     loads: list[float] = []
     probes: list[float] = []
-    best_times: dict[str, float] = {}
+    # Per-query numbers are the MIN ACROSS PASSES, not a snapshot of the
+    # best-wall pass: a pass's wall can be fine while one query inside it
+    # was preempted by a neighbor-tenant burst (r4 recorded theil_sen_slope
+    # at 11.6 s in the published detail vs ~4 s warm). The per-query min is
+    # the same load-robust estimator the headline wall already uses.
+    min_times: dict[str, float] = {}
     for i in range(n_max):
         loads.append(round(os.getloadavg()[0], 1))
         probes.append(cpu_probe_ms())
         times.clear()
         walls.append(one_pass())
-        if walls[-1] == min(walls):
-            best_times = dict(times)
+        for n, t in times.items():
+            if t < min_times.get(n, float("inf")):
+                min_times[n] = t
         # Convergence needs TWO walls to compare: with SPARK_GRAFT_BENCH_RUNS=1
         # the first pass reaches this with a single element and lo[1] would
         # raise IndexError, losing the whole run (single-pass mode is then
@@ -169,7 +178,7 @@ def main() -> None:
         if time.time() - t_start + min(walls) > budget:
             break  # another pass would risk the harness timeout
     times.clear()
-    times.update(best_times)
+    times.update(min_times)
     wall = min(walls)
 
     detail = {

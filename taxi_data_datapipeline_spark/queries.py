@@ -145,59 +145,66 @@ from taxi_data_datapipeline_spark import queries_stats  # noqa: E402,F401
 # can only ever produce a weaker check. Queries beyond the window keep their
 # registration order and stay covered by tools/check_oracle.py.
 # ---------------------------------------------------------------------------
-# Round-4 rotation policy: the 8 reference-core queries and every
-# previously-red row stay pinned; one representative holds each family's
-# seat; 17 slots that were double-green in r2+r3 rotate out for families
-# the driver has NEVER officially checked, growing cumulative
-# driver-verified coverage (VERDICT r3 §next-round #4).
+# Round-5 rotation policy (VERDICT r4 §next-round #1): after the first
+# fully-green round, every multi-green seat rotates out at once — only the
+# 8 reference-core queries stay pinned plus sessionize_events (green once
+# after three red rounds; pinned until multi-round green). The other 41
+# seats go to queries the driver has NEVER officially checked (per
+# tools/coverage_ledger.py), chosen to keep every operator family
+# represented by a first-time member: all 15 rotation candidates the r4
+# verdict named, the new PNG-codec round-trip, and 25 more spanning
+# TPC-H, SQL dialect, as-of, streaming, dedup, similarity, statistics,
+# graph, curation, text, time-series, geo, privacy, skew, QUALIFY, and
+# CEP. Cumulative driver-verified coverage grows 111 -> up to 152.
 DRIVER_WINDOW: list[str] = [
     # Reference-pipeline queries (SURVEY.md §2 core) — pinned
     "hourly_pivot", "normalize_project", "long_counts", "low_count_filter",
     "month_mismatch_audit", "latlon_place_key", "epoch_coercion",
     "sql_hourly_pivot",
-    # Previously-red rows — pinned until multi-round green
-    "array_agg_nations", "variant_shred", "multimodal_features",
+    # Previously-red row — pinned until multi-round green
     "sessionize_events",
-    # TPC-H join shapes (q9/q13/q18 rotated out after double-green)
-    "q2_min_cost_source", "q8_market_share",
-    "q21_waiting_supplier", "q22_dormant_customers",
-    # Corpus curation seat + never-checked curation ops
-    "curation_pipeline", "contamination_check", "sequence_packing",
-    # Window-function seat
-    "range_window_revenue",
-    # Geospatial seat
-    "geohash_rollup",
-    # As-of joins / sessionization / change-data-capture
-    "asof_nearest_purchase", "session_window_native", "cdc_log_compaction",
-    # Time-series: slowly-changing dims, gap-fill, TWAP, changepoint,
-    # snapshot delta (all first-time rows)
-    "scd2_history", "gapfill_interp", "time_weighted_value",
-    "cusum_changepoint", "snapshot_diff",
-    # Graph analytics: PageRank seat + first-time propagation/k-core
-    "pagerank_copurchase", "label_propagation", "kcore_membership",
-    # Text/retrieval: first-time inverted index + OOV rate
-    "inverted_index", "oov_rate",
-    # Statistics: first-time robust-regression + dependence measures
-    "theil_sen_slope", "mutual_information",
-    # Structured Streaming analogs (AvailableNow-drained, oracle-checked);
-    # streaming_twap is the custom-stateful (applyInPandasWithState)
-    # representative
-    "streaming_hourly_counts", "streaming_session_windows",
-    "streaming_incremental_dedup", "streaming_twap",
-    # Skew-aware shapes
-    "skew_join_salted",
-    # Iterative clustering with a full unrolled-CTE oracle
-    "kmeans_units",
-    # Deduplication tiers
-    "dedup_groups_cc", "minhash_lsh_dedup",
-    # Tokenizer training / exact linear algebra
-    "bpe_learn_merges", "pca_power_iteration",
-    # Embeddings: first-time product-quantization ADC search + kNN join
-    "pq_adc_topk", "knn_join",
-    # Set-similarity join (first-time)
-    "basket_similarity_join",
-    # Attribution (first-time)
-    "attribution_linear",
+    # r4-verdict-named rotation candidates (all first-time seats)
+    "cluster_split", "perceptron_train", "logistic_gd",
+    "logistic_calibration", "cf_holdout_hitrate", "neyman_allocation",
+    "dedup_groups_cc_star", "line_dedup", "winnowing_fingerprints",
+    "mix_interleave", "pandas_grouped_agg", "pandas_grouped_zscore",
+    "pandas_scalar_bucket", "multimodal_bmp_roundtrip",
+    "multimodal_wav_roundtrip",
+    # New this round: compressed-image codec round-trip (stdlib zlib PNG)
+    "multimodal_png_roundtrip",
+    # TPC-H join shapes (first-time)
+    "q10_returned_revenue", "q14_promo_revenue", "q17_small_quantity",
+    "q19_disjunctive_revenue",
+    # SQL dialect: LATERAL + recursive CTE (first-time)
+    "sql_lateral_topk", "sql_recursive_calendar",
+    # As-of family: forward-looking variant (first-time)
+    "asof_next_purchase",
+    # Structured Streaming analogs (first-time)
+    "streaming_hopping_counts", "streaming_exact_dedup",
+    # Deduplication: SimHash pigeonhole + incremental batch-vs-corpus LSH
+    "simhash_pairs_checked", "dedup_incremental",
+    # Embeddings/similarity: IVF ANN + Matryoshka truncation recall
+    "embedding_ivf_topk", "matryoshka_recall",
+    # Statistics: two-sample KS + chi-square independence (first-time)
+    "ks_two_sample", "chi2_type_dow",
+    # Graph: BFS hop counts (first-time)
+    "bfs_hops",
+    # Curation: point-in-time features + length bucketing (first-time)
+    "point_in_time_join", "length_bucketing",
+    # Text: language-ID confusion matrix (first-time)
+    "langid_confusion",
+    # Time-series: autocorrelation function (first-time)
+    "acf_daily_counts",
+    # Geospatial: radius nearest-neighbor (first-time)
+    "geo_radius_nn",
+    # Privacy: k-anonymity report (first-time)
+    "k_anonymity_report",
+    # Skew handling: diagnostics (first-time)
+    "skew_diagnostics",
+    # QUALIFY-style windows (first-time)
+    "qualify_latest_event",
+    # Complex-event processing (first-time)
+    "cep_view_click_purchase",
 ]
 
 

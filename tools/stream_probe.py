@@ -1,13 +1,28 @@
-"""Streaming throughput probe: rate source -> watermarked tumbling-window
-aggregate -> noop-ish sink, sustained processedRowsPerSecond.
+"""Streaming throughput probes: sustained processed-rows/s for the
+streaming runtime AND each custom stateful operator, load-annotated.
 
-The batch probes measure the kernels; this one measures the streaming
-runtime around them — micro-batch scheduling, state-store updates,
-watermark advance — the regime the incremental pivot refresh and the
-streaming dedup/session tiers run in.
+Two probe kinds:
 
-Usage: python tools/stream_probe.py [--rps 5000000] [--seconds 20]
-Prints one JSON line with the median processed-rows/s across batches.
+* ``window`` (the original): rate source -> watermarked tumbling-window
+  aggregate — measures the micro-batch runtime around the built-in
+  state store (the regime of the incremental pivot refresh).
+* stateful operators (``sessions`` / ``records`` / ``twap`` /
+  ``dedup``): rate source mapped to each operator's input schema ->
+  the operator -> noop sink. The rate source deliberately OVER-OFFERS
+  (default 2 M rows/s) so batches backlog and
+  ``processedRowsPerSecond`` measures the operator's true sustained
+  capacity, not the offered rate. Each probe runs until >=
+  ``--events`` rows (default 10 M) have been processed or
+  ``--max-seconds`` elapses, and is annotated with the 1-min kernel
+  loadavg at start/end so an inflated number is auditable as host
+  noise (this container shares a kernel with other tenants).
+
+Usage:
+  python tools/stream_probe.py                     # original window probe
+  python tools/stream_probe.py --op all            # every stateful op
+  python tools/stream_probe.py --op twap --events 10000000
+
+Prints ONE JSON line per probe.
 """
 
 from __future__ import annotations
@@ -26,19 +41,46 @@ from pyspark.sql import functions as F
 from taxi_data_datapipeline_spark.session import get_spark
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--rps", type=int, default=5_000_000)
-    ap.add_argument("--seconds", type=int, default=20)
-    args = ap.parse_args()
+def _drain(q, target_events: int, max_seconds: float) -> dict:
+    """Poll a started query until >= target_events input rows are
+    processed (or the clock runs out); return rate stats over batches."""
+    seen: dict[int, dict] = {}
+    t0 = time.time()
+    while time.time() - t0 < max_seconds:
+        time.sleep(1.0)
+        for p in q.recentProgress:
+            if isinstance(p, str):
+                p = json.loads(p)
+            seen[p["batchId"]] = p
+        if sum(p["numInputRows"] for p in seen.values()) >= target_events:
+            break
+    q.stop()
+    rates = [
+        p["processedRowsPerSecond"]
+        for p in seen.values()
+        if p.get("numInputRows", 0) > 0 and p.get("processedRowsPerSecond")
+    ]
+    total = sum(p["numInputRows"] for p in seen.values())
+    return {
+        "batches": len(rates),
+        "events_processed": int(total),
+        "median_processed_rps": round(statistics.median(rates)) if rates else 0,
+        "max_processed_rps": round(max(rates)) if rates else 0,
+        "probe_seconds": round(time.time() - t0, 1),
+    }
 
-    spark = get_spark("stream_probe")
-    src = (
+
+def _rate_source(spark, rps: int):
+    return (
         spark.readStream.format("rate")
-        .option("rowsPerSecond", str(args.rps))
+        .option("rowsPerSecond", str(rps))
         .option("numPartitions", "32")
         .load()
     )
+
+
+def probe_window(spark, rps: int, target_events: int, max_seconds: float) -> dict:
+    src = _rate_source(spark, rps)
     agg = (
         src.withWatermark("timestamp", "10 seconds")
         .groupBy(
@@ -51,29 +93,133 @@ def main() -> None:
         )
     )
     q = (
-        agg.writeStream.format("memory")
-        .queryName("stream_probe_sink")
+        agg.writeStream.format("noop")
         .outputMode("update")
         .trigger(processingTime="1 second")
         .start()
     )
-    time.sleep(args.seconds)
-    progress = [
-        json.loads(p) if isinstance(p, str) else p for p in q.recentProgress
-    ]
-    rates = [
-        p["processedRowsPerSecond"]
-        for p in progress
-        if p.get("numInputRows", 0) > 0 and p.get("processedRowsPerSecond")
-    ]
-    out = {
-        "offered_rps": args.rps,
-        "batches": len(rates),
-        "median_processed_rps": round(statistics.median(rates)) if rates else 0,
-        "max_processed_rps": round(max(rates)) if rates else 0,
-    }
-    print(json.dumps(out))
-    q.stop()
+    return _drain(q, target_events, max_seconds)
+
+
+def _event_stream(spark, rps: int, n_users: int):
+    """Map the rate source onto the (ts, event_id, user_id, value) shape
+    the stateful operators consume; values cycle so record-highs and
+    TWAP segments keep closing instead of saturating."""
+    src = _rate_source(spark, rps)
+    return src.select(
+        F.col("timestamp").alias("ts"),
+        F.col("value").alias("event_id"),
+        (F.col("value") % n_users).alias("user_id"),
+        ((F.col("value") % 997).cast("double") / 7.0).alias("value"),
+    )
+
+
+def probe_sessions(spark, rps, target_events, max_seconds, n_users=50_000) -> dict:
+    from taxi_data_datapipeline_spark.streaming.sessions import sessionize_stream
+
+    ev = _event_stream(spark, rps, n_users).select("user_id", "ts")
+    q = (
+        sessionize_stream(ev, gap_seconds=60.0)
+        .writeStream.format("noop")
+        .outputMode("update")
+        .trigger(processingTime="2 seconds")
+        .start()
+    )
+    return _drain(q, target_events, max_seconds)
+
+
+def probe_records(spark, rps, target_events, max_seconds, n_users=50_000) -> dict:
+    from taxi_data_datapipeline_spark.streaming.records import record_high_stream
+
+    q = (
+        record_high_stream(_event_stream(spark, rps, n_users))
+        .writeStream.format("noop")
+        .outputMode("append")
+        .trigger(processingTime="2 seconds")
+        .start()
+    )
+    return _drain(q, target_events, max_seconds)
+
+
+def probe_twap(spark, rps, target_events, max_seconds, n_users=50_000) -> dict:
+    from taxi_data_datapipeline_spark.streaming.twap import twap_segment_stream
+
+    q = (
+        twap_segment_stream(_event_stream(spark, rps, n_users))
+        .writeStream.format("noop")
+        .outputMode("append")
+        .trigger(processingTime="2 seconds")
+        .start()
+    )
+    return _drain(q, target_events, max_seconds)
+
+
+def probe_dedup(spark, rps, target_events, max_seconds) -> dict:
+    """Watermark-bounded exact dedup (dropDuplicatesWithinWatermark on the
+    normalized-text fingerprint) at a 50% duplicate rate — the JVM-side
+    stateful tier (no Python workers), so its ceiling is the state store."""
+    from taxi_data_datapipeline_spark.streaming.dedup import (
+        dedup_stream_within_watermark,
+    )
+
+    src = _rate_source(spark, rps)
+    docs = src.select(
+        F.col("timestamp").alias("crawl_ts"),
+        F.col("value").alias("doc_id"),
+        F.concat(
+            F.lit("document body "),
+            (F.col("value") % (max(target_events, 2) // 2)).cast("string"),
+        ).alias("text"),
+    )
+    q = (
+        dedup_stream_within_watermark(docs, "1 hour")
+        .writeStream.format("noop")
+        .outputMode("append")
+        .trigger(processingTime="2 seconds")
+        .start()
+    )
+    return _drain(q, target_events, max_seconds)
+
+
+PROBES = {
+    "window": probe_window,
+    "sessions": probe_sessions,
+    "records": probe_records,
+    "twap": probe_twap,
+    "dedup": probe_dedup,
+}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--op", default="window", choices=[*PROBES, "all"])
+    ap.add_argument("--rps", type=int, default=None,
+                    help="offered rows/s (default: 5M window, 2M stateful)")
+    ap.add_argument("--events", type=int, default=10_000_000,
+                    help="stop once this many rows processed")
+    ap.add_argument("--max-seconds", type=float, default=150.0,
+                    help="hard cap per probe")
+    ap.add_argument("--seconds", type=float, default=None,
+                    help="legacy alias for --max-seconds (window probe)")
+    args = ap.parse_args()
+    if args.seconds is not None:
+        args.max_seconds = args.seconds
+
+    spark = get_spark("stream_probe")
+    ops = list(PROBES) if args.op == "all" else [args.op]
+    for op in ops:
+        rps = args.rps or (5_000_000 if op == "window" else 2_000_000)
+        load0 = round(os.getloadavg()[0], 1)
+        stats = PROBES[op](spark, rps, args.events, args.max_seconds)
+        out = {
+            "op": op,
+            "offered_rps": rps,
+            **stats,
+            "loadavg_start": load0,
+            "loadavg_end": round(os.getloadavg()[0], 1),
+        }
+        print(json.dumps(out))
+        sys.stdout.flush()
 
 
 if __name__ == "__main__":
