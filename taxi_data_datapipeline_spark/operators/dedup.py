@@ -449,8 +449,11 @@ def minhash_lsh_incremental(
     bounded fanout, so the loss is made VISIBLE: pass a
     ``pyspark.sql.Observation`` as ``observation`` and after the first
     action its metrics report ``capped_buckets`` (buckets whose old side
-    was truncated) and ``buckets`` (total candidate buckets) — zero
-    capped buckets proves the screen was exhaustive.
+    was truncated AND that contain at least one new document — a capped
+    bucket with no new docs produces no candidates, so its truncation
+    cannot cost batch-vs-corpus recall and must not trip the signal)
+    and ``buckets`` (total candidate buckets) — zero capped buckets
+    proves the screen was exhaustive.
 
     In production the old side's signatures/buckets would be a persisted
     table refreshed per ingest; here both sides derive in one job for

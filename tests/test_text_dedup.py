@@ -204,3 +204,42 @@ def test_simhash_block_lsh_full_recall(spark):
     }
     assert truth, "fixture must produce at least one true near-dup pair"
     assert found == truth  # full recall AND no false pairs
+
+
+def test_incremental_capped_buckets_only_counts_candidate_producing(spark):
+    """The capped_buckets observation counts ONLY truncated buckets that
+    contain at least one NEW document: a boilerplate mega-bucket made
+    entirely of OLD docs produces no candidates, so its truncation loses
+    no batch-vs-corpus recall and must not trip the exhaustive-screen
+    signal (ADVICE r4). With a new doc in the hot bucket the same
+    truncation IS counted."""
+    from pyspark.sql import Observation
+
+    from taxi_data_datapipeline_spark.operators.dedup import (
+        minhash_lsh_incremental,
+    )
+
+    boiler = "template header all pages share this exact boilerplate body text"
+    other = "a quiet corner document about completely different subject matter"
+    old = spark.createDataFrame(
+        [Row(doc_id=i, text=boiler) for i in range(30)]
+        + [Row(doc_id=100, text=other)]
+    )
+
+    # Case 1: the new batch only touches the small (uncapped) bucket; the
+    # truncated boilerplate bucket holds zero new docs -> zero counted.
+    # (The new doc must produce SOME candidate so the observed subtree
+    # executes — with an all-empty candidate set AQE's empty-join pruning
+    # can skip the observe node entirely and .get has no metrics.)
+    new_far = spark.createDataFrame([Row(doc_id=1000, text=other)])
+    obs1 = Observation("inc1")
+    far_pairs = minhash_lsh_incremental(old, new_far, observation=obs1).count()
+    assert far_pairs > 0
+    assert obs1.get["capped_buckets"] == 0
+
+    # Case 2: new doc shares the boilerplate bucket -> truncation counted.
+    new_near = spark.createDataFrame([Row(doc_id=1001, text=boiler)])
+    obs2 = Observation("inc2")
+    out = minhash_lsh_incremental(old, new_near, observation=obs2).count()
+    assert obs2.get["capped_buckets"] > 0
+    assert out > 0  # the capped screen still surfaced the near-dup pairs
