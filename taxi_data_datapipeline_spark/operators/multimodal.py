@@ -12,15 +12,18 @@ Convention for image/audio/video at 100 TB scale:
   ``repartition`` sized to keep ~tens of MB of payload per Arrow batch
   (``spark.sql.execution.arrow.maxRecordsPerBatch`` caps rows).
 
-Codec reality in this container: BMP (24-bit BI_RGB) and WAV (PCM mono
-16-bit) are implemented FOR REAL in pure numpy/struct below — header
-parsing, stride padding, bottom-up rows, RIFF chunk walking — each
-round-trip proven by a SQL value-hash oracle (multimodal_bmp_roundtrip /
-multimodal_wav_roundtrip). Compressed formats (JPEG/PNG/MP3/ffmpeg) are
-not available, so the generic feature extractor uses a deterministic
-byte-derived stand-in, and ``decode_image`` is gated on an optional
-Pillow import: real decode when present (``HAS_PIL``), a clean
-NotImplementedError when not.
+Codec reality in this container: BMP (24-bit BI_RGB), WAV (PCM mono
+16-bit), and PNG (8-bit grayscale, stdlib zlib, all five scanline
+filters) are implemented FOR REAL in pure numpy/struct/zlib below —
+header parsing, stride padding, bottom-up rows, RIFF chunk walking,
+per-chunk CRC verification, filter inversion — each round-trip proven
+by a SQL value-hash oracle (multimodal_bmp_roundtrip /
+multimodal_wav_roundtrip / multimodal_png_roundtrip). ``decode_image``
+routes those formats to the built-in codecs unconditionally; remaining
+compressed formats (JPEG, color/16-bit PNG, MP3/ffmpeg) stay gated on
+an optional Pillow import: real decode when present (``HAS_PIL``), a
+clean NotImplementedError when not. The generic feature extractor uses
+a deterministic byte-derived stand-in so its oracle is engine-exact.
 """
 
 from __future__ import annotations
@@ -61,11 +64,35 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def decode_image(payload: bytes) -> "object":
-    """Decode an image payload via Pillow when available; raise a clean
+    """Decode an image payload. Built-in pure-Python codecs handle the
+    formats this engine can always decode — 8-bit grayscale PNG
+    (``decode_png8``, stdlib zlib) and 24-bit BMP (``decode_bmp24``) —
+    returning HxW uint8 numpy arrays; anything else (JPEG, color/16-bit
+    PNG, …) routes to Pillow when available and raises a clean
     NotImplementedError otherwise (capability flag: ``HAS_PIL``)."""
+    if payload[:8] == _PNG_SIG:
+        try:
+            return decode_png8(payload)
+        except ValueError as ex:
+            # Unsupported-but-valid variants (color, 16-bit, interlaced)
+            # fall through to Pillow; corruption (bad CRC/magic/length)
+            # is an error regardless of installed codecs.
+            if not str(ex).startswith("unsupported"):
+                raise
+            if not HAS_PIL:
+                raise NotImplementedError(str(ex)) from ex
+    elif payload[:2] == b"BM":
+        try:
+            return decode_bmp24(payload)
+        except ValueError as ex:
+            if not str(ex).startswith("unsupported"):
+                raise
+            if not HAS_PIL:
+                raise NotImplementedError(str(ex)) from ex
     if not HAS_PIL:
         raise NotImplementedError(
-            "image codecs not available: install Pillow to enable decode_image"
+            "no built-in codec for this payload: install Pillow to enable"
+            " full decode_image"
         )
     import io
 
@@ -199,6 +226,115 @@ def resize_payloads(
         [T.StructField("doc_id", T.LongType()), T.StructField("resized", T.BinaryType())]
     )
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(fn, schema)
+
+
+def resize_image_payloads(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    out_w: int = 4,
+    out_h: int = 3,
+) -> DataFrame:
+    """REAL image resize (not the byte-truncation stand-in above): decode
+    each payload through the built-in codecs (8-bit grayscale PNG / 24-bit
+    BMP — ``decode_image``), nearest-neighbor resample to (out_h, out_w)
+    with the standard floor mapping src = floor(dst * in/out), and
+    re-encode as PNG. Binary in / binary out over Arrow-batched
+    mapInPandas — the production shape for a decode→transform→encode
+    stage; swap the resampler for an area/bilinear kernel without
+    touching the plumbing. Nearest-neighbor is chosen because it is
+    exactly reproducible in integer arithmetic, which is what lets a SQL
+    oracle verify the full decode→resize→encode→decode chain
+    (multimodal_resize_real)."""
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf[payload_col]:
+                pix = np.asarray(decode_image(bytes(p)), dtype=np.uint8)
+                h, w = pix.shape
+                ys = (np.arange(out_h) * h // out_h).astype(int)
+                xs = (np.arange(out_w) * w // out_w).astype(int)
+                out.append(encode_png8(pix[ys][:, xs]))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "resized": out}
+            )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("resized", T.BinaryType())]
+    )
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(fn, schema)
+
+
+def synth_png_payloads(
+    df: DataFrame, text_col: str = "text", w: int = 8, h: int = 6, sep: str = "@"
+) -> DataFrame:
+    """Synthesize a REAL PNG payload per document from the deterministic
+    md5(text || sep || block) pixel stream — the corpus-side generator
+    the codec/resize oracles share (the same stream is recomputable in
+    SQL, which is what makes downstream binary stages verifiable)."""
+    import hashlib
+
+    import numpy as np
+
+    n = w * h
+    blocks = (n + 15) // 16
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf[text_col]:
+                stream = b"".join(
+                    hashlib.md5(f"{text}{sep}{b}".encode()).digest()
+                    for b in range(blocks)
+                )[:n]
+                payloads.append(
+                    encode_png8(np.frombuffer(stream, dtype=np.uint8).reshape(h, w))
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select("doc_id", text_col).mapInPandas(fn, schema)
+
+
+def image_checksums(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Decode image payloads (built-in codecs) and emit the integrity
+    features (dimensions, pixel_sum, row-major position-weighted sum)
+    from the DECODED array only — the verification tail every codec
+    round-trip query shares."""
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                pix = np.asarray(decode_image(bytes(p)), dtype=np.uint8)
+                flat = pix.reshape(-1).astype(np.int64)
+                recs.append(
+                    (
+                        int(doc_id),
+                        int(pix.shape[1]),
+                        int(pix.shape[0]),
+                        int(flat.sum()),
+                        int((flat * np.arange(flat.size, dtype=np.int64)).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=["doc_id", "width", "height", "pixel_sum", "weighted_sum"],
+            )
+
+    out_schema = (
+        "doc_id long, width int, height int, pixel_sum long, weighted_sum long"
+    )
+    return df.select(id_col, payload_col).mapInPandas(fn, out_schema)
 
 
 def attach_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:

@@ -3321,6 +3321,52 @@ def q_multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return png_roundtrip(load(spark, sf_dir, "documents", fan_out=True))
 
 
+@register(
+    "multimodal_resize_real",
+    """
+WITH px AS (
+  SELECT doc_id, o.o AS oidx,
+         16 * (o.o // 4) + 2 * (o.o % 4) AS sidx
+  FROM documents, LATERAL unnest(generate_series(0, 11)) AS o(o)),
+v AS (
+  SELECT doc_id, oidx,
+         CAST(('0x' || substr(md5(text || '@' || CAST(sidx // 16 AS VARCHAR)),
+                              (sidx % 16) * 2 + 1, 2)) AS BIGINT) AS val
+  FROM px JOIN documents USING (doc_id))
+SELECT doc_id, CAST(4 AS INT) AS width, CAST(3 AS INT) AS height,
+       CAST(SUM(val) AS BIGINT) AS pixel_sum,
+       CAST(SUM(oidx * val) AS BIGINT) AS weighted_sum
+FROM v GROUP BY doc_id
+""",
+)
+def q_multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL image-resize stage under full oracle verification — the
+    upgrade of the byte-truncation resize stand-in now that the engine
+    has its own codecs: synthesize an 8x6 grayscale PNG per document
+    (md5 pixel stream, operators/multimodal.py:synth_png_payloads),
+    DECODE it, nearest-neighbor resample to 4x3 (src = floor(dst *
+    in/out) — for 8x6 -> 4x3 exactly every second pixel), RE-ENCODE as
+    PNG (operators/multimodal.py:resize_image_payloads), decode again
+    and emit checksums of the final array (image_checksums). The SQL
+    oracle computes the same resample in pure integer index arithmetic
+    on the md5 stream (out pixel o reads source index 16*(o DIV 4) +
+    2*(o MOD 4)), so a hash match verifies decode -> resample -> encode
+    -> decode end-to-end, including the index mapping. Three chained
+    Arrow-batched mapInPandas stages — the exact production shape of a
+    multimodal decode/transform/encode pipeline; at 100 TB each stage
+    is embarrassingly parallel over payload rows."""
+    from taxi_data_datapipeline_spark.operators.multimodal import (
+        image_checksums,
+        resize_image_payloads,
+        synth_png_payloads,
+    )
+
+    docs = load(spark, sf_dir, "documents", fan_out=True)
+    payloads = synth_png_payloads(docs)
+    resized = resize_image_payloads(payloads, out_w=4, out_h=3)
+    return image_checksums(resized, payload_col="resized")
+
+
 # --- Neyman allocation for stratified sampling --------------------------------
 
 

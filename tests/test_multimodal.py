@@ -311,3 +311,66 @@ def test_png_roundtrip_property():
         assert (decode_png8(encode_png8(pix)) == pix).all()
 
     png_prop()
+
+
+def test_decode_image_builtin_codecs_no_pillow():
+    """decode_image handles 8-bit grayscale PNG and 24-bit BMP through the
+    built-in pure-Python codecs regardless of Pillow; unsupported
+    variants (color PNG) raise NotImplementedError when Pillow is absent;
+    corruption raises ValueError regardless."""
+    import base64
+
+    import numpy as np
+    import pytest
+
+    from taxi_data_datapipeline_spark.operators.multimodal import (
+        HAS_PIL,
+        decode_image,
+        encode_bmp24,
+        encode_png8,
+    )
+
+    pix = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    out_png = decode_image(encode_png8(pix))
+    out_bmp = decode_image(encode_bmp24(pix))
+    assert (np.asarray(out_png) == pix).all()
+    assert (np.asarray(out_bmp) == pix).all()
+
+    rgb_png = base64.b64decode(  # 1x1 red, color type 2 — not 8-bit gray
+        "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR4nGP4"
+        "z8DwHwAFAAH/q842iQAAAABJRU5ErkJggg=="
+    )
+    if HAS_PIL:
+        assert decode_image(rgb_png).size == (1, 1)
+    else:
+        with pytest.raises(NotImplementedError):
+            decode_image(rgb_png)
+
+    corrupt = bytearray(encode_png8(pix))
+    corrupt[40] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_image(bytes(corrupt))
+
+
+def test_resize_image_payloads_nearest_neighbor(spark):
+    """decode->resize->encode against a direct numpy resample: the
+    operator's output PNG decodes to exactly pix[::2, ::2] for an
+    8x6 -> 4x3 nearest-neighbor resize."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from taxi_data_datapipeline_spark.operators.multimodal import (
+        decode_png8,
+        encode_png8,
+        resize_image_payloads,
+    )
+
+    rnd = np.random.RandomState(5)
+    pix = rnd.randint(0, 256, size=(6, 8), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [Row(doc_id=1, payload=bytearray(encode_png8(pix)))]
+    )
+    out = resize_image_payloads(df, out_w=4, out_h=3).collect()
+    assert len(out) == 1
+    dec = decode_png8(bytes(out[0]["resized"]))
+    assert (dec == pix[::2, ::2]).all()
