@@ -267,6 +267,113 @@ def resize_image_payloads(
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(fn, schema)
 
 
+def resample_wav_payloads(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    out_rate: int = 4000,
+) -> DataFrame:
+    """REAL audio resample, the WAV twin of ``resize_image_payloads``:
+    decode each PCM payload (``decode_wav16`` — RIFF chunk walk),
+    nearest-neighbor resample the sample stream to ``out_rate`` with the
+    same floor mapping src = floor(dst * in/out), and re-encode at the
+    new rate. Nearest-neighbor (sample-drop) rather than a windowed-sinc
+    kernel so the whole decode→resample→encode chain stays integer-exact
+    and SQL-verifiable (multimodal_wav_resample); production swaps the
+    kernel without touching the Arrow-batched plumbing."""
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf[payload_col]:
+                samples, rate = decode_wav16(bytes(p))
+                n_out = samples.size * out_rate // rate
+                idx = (np.arange(n_out) * rate // out_rate).astype(int)
+                out.append(encode_wav16(samples[idx], out_rate))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "resampled": out}
+            )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("resampled", T.BinaryType())]
+    )
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(fn, schema)
+
+
+def synth_wav_payloads(
+    df: DataFrame, text_col: str = "text", n_samples: int = 64, rate: int = 8000,
+    sep: str = "~",
+) -> DataFrame:
+    """Synthesize a REAL WAV payload per document from the deterministic
+    md5(text || sep || block) int16 sample stream (same stream as
+    wav_roundtrip, so the SQL oracles share one generator)."""
+    import hashlib
+
+    import numpy as np
+
+    blocks = (n_samples * 2 + 15) // 16
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf[text_col]:
+                stream = b"".join(
+                    hashlib.md5(f"{text}{sep}{b}".encode()).digest()
+                    for b in range(blocks)
+                )[: n_samples * 2]
+                payloads.append(
+                    encode_wav16(np.frombuffer(stream, dtype="<i2"), rate)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select("doc_id", text_col).mapInPandas(fn, schema)
+
+
+def wav_checksums(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Decode WAV payloads and emit the audio-profile integers from the
+    DECODED samples only (the verification tail the audio round-trip /
+    resample oracles share)."""
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                s, rate = decode_wav16(bytes(p))
+                s64 = s.astype(np.int64)
+                recs.append(
+                    (
+                        int(doc_id),
+                        int(s.size),
+                        int(rate),
+                        int(np.abs(s64).max()) if s.size else 0,
+                        int((s64 * s64).sum()),
+                        int((s64 * np.arange(s.size, dtype=np.int64)).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "doc_id", "n_samples", "sample_rate",
+                    "peak", "energy", "weighted_sum",
+                ],
+            )
+
+    out_schema = (
+        "doc_id long, n_samples int, sample_rate int,"
+        " peak int, energy long, weighted_sum long"
+    )
+    return df.select(id_col, payload_col).mapInPandas(fn, out_schema)
+
+
 def synth_png_payloads(
     df: DataFrame, text_col: str = "text", w: int = 8, h: int = 6, sep: str = "@"
 ) -> DataFrame:

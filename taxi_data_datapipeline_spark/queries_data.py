@@ -3367,6 +3367,59 @@ def q_multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_checksums(resized, payload_col="resized")
 
 
+@register(
+    "multimodal_wav_resample",
+    """
+WITH raw AS (
+  SELECT doc_id, i.i AS oidx, 2 * i.i AS sidx
+  FROM documents, LATERAL unnest(generate_series(0, 31)) AS i(i)),
+bytes AS (
+  SELECT r.doc_id, r.oidx,
+         CAST(('0x' || substr(md5(d.text || '~' || CAST((2 * r.sidx) // 16 AS VARCHAR)),
+                              ((2 * r.sidx) % 16) * 2 + 1, 2)) AS BIGINT)
+       + 256 * CAST(('0x' || substr(md5(d.text || '~' || CAST((2 * r.sidx + 1) // 16 AS VARCHAR)),
+                              ((2 * r.sidx + 1) % 16) * 2 + 1, 2)) AS BIGINT) AS v
+  FROM raw r JOIN documents d USING (doc_id)),
+sv AS (
+  SELECT doc_id, oidx,
+         CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s
+  FROM bytes)
+SELECT doc_id,
+       CAST(32 AS INT) AS n_samples,
+       CAST(4000 AS INT) AS sample_rate,
+       CAST(MAX(ABS(s)) AS INT) AS peak,
+       CAST(SUM(s * s) AS BIGINT) AS energy,
+       CAST(SUM(oidx * s) AS BIGINT) AS weighted_sum
+FROM sv GROUP BY doc_id
+""",
+)
+def q_multimodal_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL audio-resample stage under full oracle verification — the
+    WAV twin of multimodal_resize_real: synthesize a 64-sample 8 kHz
+    PCM clip per document (operators/multimodal.py:synth_wav_payloads),
+    DECODE it (RIFF chunk walk), nearest-neighbor resample to 4 kHz
+    (out sample i reads source index 2i — sample-drop downsampling),
+    RE-ENCODE at the new rate (resample_wav_payloads), decode again and
+    emit the audio-profile integers of the final stream (wav_checksums:
+    count, rate, peak, exact energy, position-weighted sum — the
+    weighted sum catches an off-by-one in the index mapping that peak
+    and energy can miss). The SQL oracle reproduces the resample in
+    pure integer index arithmetic on the md5 sample stream, verifying
+    decode -> resample -> encode -> decode end-to-end including the new
+    header's sample rate. Three chained Arrow-batched mapInPandas
+    stages, embarrassingly parallel over payload rows at 100 TB."""
+    from taxi_data_datapipeline_spark.operators.multimodal import (
+        resample_wav_payloads,
+        synth_wav_payloads,
+        wav_checksums,
+    )
+
+    docs = load(spark, sf_dir, "documents", fan_out=True)
+    payloads = synth_wav_payloads(docs)
+    resampled = resample_wav_payloads(payloads, out_rate=4000)
+    return wav_checksums(resampled, payload_col="resampled")
+
+
 # --- Neyman allocation for stratified sampling --------------------------------
 
 

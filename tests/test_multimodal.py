@@ -374,3 +374,27 @@ def test_resize_image_payloads_nearest_neighbor(spark):
     assert len(out) == 1
     dec = decode_png8(bytes(out[0]["resized"]))
     assert (dec == pix[::2, ::2]).all()
+
+
+def test_resample_wav_payloads_sample_drop(spark):
+    """decode->resample->encode against a direct numpy sample-drop: the
+    operator's output WAV decodes to exactly samples[::2] at the new
+    rate for an 8 kHz -> 4 kHz nearest-neighbor resample."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from taxi_data_datapipeline_spark.operators.multimodal import (
+        decode_wav16,
+        encode_wav16,
+        resample_wav_payloads,
+    )
+
+    rnd = np.random.RandomState(17)
+    s = rnd.randint(-32768, 32768, size=64).astype(np.int16)
+    df = spark.createDataFrame(
+        [Row(doc_id=1, payload=bytearray(encode_wav16(s, 8000)))]
+    )
+    out = resample_wav_payloads(df, out_rate=4000).collect()
+    dec, rate = decode_wav16(bytes(out[0]["resampled"]))
+    assert rate == 4000
+    assert (dec == s[::2]).all()
