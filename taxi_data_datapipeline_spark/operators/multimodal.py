@@ -556,6 +556,8 @@ def decode_bmp24(payload: bytes):
 
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
+    if len(payload) < _BMP_HEADER:
+        raise ValueError("truncated BMP header")
     data_off = struct.unpack_from("<I", payload, 10)[0]
     w, h = struct.unpack_from("<ii", payload, 18)
     bpp = struct.unpack_from("<H", payload, 28)[0]
@@ -716,8 +718,11 @@ def decode_png8(payload: bytes):
     off = len(_PNG_SIG)
     w = h = None
     idat = bytearray()
+    saw_end = False
     while off + 8 <= len(payload):
         (ln,) = struct.unpack_from(">I", payload, off)
+        if off + 12 + ln > len(payload):
+            raise ValueError("truncated PNG chunk")
         ctype = payload[off + 4 : off + 8]
         body = payload[off + 8 : off + 8 + ln]
         (crc,) = struct.unpack_from(">I", payload, off + 8 + ln)
@@ -735,10 +740,13 @@ def decode_png8(payload: bytes):
         elif ctype == b"IDAT":
             idat.extend(body)
         elif ctype == b"IEND":
+            saw_end = True
             break
         off += 12 + ln
     if w is None or not idat:
         raise ValueError("missing IHDR/IDAT chunk")
+    if not saw_end:
+        raise ValueError("missing IEND chunk (truncated PNG)")
     raw = zlib.decompress(bytes(idat))
     if len(raw) != h * (w + 1):
         raise ValueError("IDAT length mismatch")
@@ -858,6 +866,8 @@ def decode_wav16(payload: bytes):
     while off + 8 <= len(payload):
         cid, size = struct.unpack_from("<4sI", payload, off)
         body = payload[off + 8 : off + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated WAV chunk")
         if cid == b"fmt ":
             fmt, ch, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", body, 0)
             if fmt != 1 or ch != 1 or bits != 16:

@@ -398,3 +398,34 @@ def test_resample_wav_payloads_sample_drop(spark):
     dec, rate = decode_wav16(bytes(out[0]["resampled"]))
     assert rate == 4000
     assert (dec == s[::2]).all()
+
+
+def test_codec_truncation_always_valueerror():
+    """Every prefix-truncation of every codec's output raises ValueError —
+    never struct.error / numpy reshape errors — so a corrupted payload in
+    a 100 TB scan surfaces as a clean per-record error a pipeline can
+    quarantine, not an opaque worker crash."""
+    import numpy as np
+    import pytest
+
+    from taxi_data_datapipeline_spark.operators.multimodal import (
+        decode_bmp24,
+        decode_png8,
+        decode_wav16,
+        encode_bmp24,
+        encode_png8,
+        encode_wav16,
+    )
+
+    pix = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    samples = np.arange(-16, 16, dtype=np.int16)
+    cases = [
+        (encode_png8(pix), decode_png8),
+        (encode_bmp24(pix), decode_bmp24),
+        (encode_wav16(samples, 8000), decode_wav16),
+    ]
+    for payload, dec in cases:
+        for cut in range(1, len(payload), 3):
+            with pytest.raises(ValueError):
+                dec(payload[:cut])
+        dec(payload)  # the untruncated payload still decodes
