@@ -410,19 +410,39 @@ def synth_png_payloads(
 
 
 def image_checksums(
-    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    permissive: bool = False,
 ) -> DataFrame:
     """Decode image payloads (built-in codecs) and emit the integrity
     features (dimensions, pixel_sum, row-major position-weighted sum)
     from the DECODED array only — the verification tail every codec
-    round-trip query shares."""
+    round-trip query shares.
+
+    ``permissive=True`` is the production posture for a 100 TB scan over
+    crawled payloads (the same contract as Spark's PERMISSIVE JSON/CSV
+    parse modes): a payload that fails to decode yields a row with NULL
+    features and the error message in an ``error`` column instead of
+    failing the task — corrupt records are quarantined with
+    ``WHERE error IS NOT NULL``, never lost, and one bad byte cannot
+    kill a multi-hour job. The default strict mode keeps fail-fast
+    semantics for the oracle-verified round-trip queries."""
     import numpy as np
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             recs = []
             for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
-                pix = np.asarray(decode_image(bytes(p)), dtype=np.uint8)
+                try:
+                    pix = np.asarray(decode_image(bytes(p)), dtype=np.uint8)
+                except (ValueError, NotImplementedError) as ex:
+                    if not permissive:
+                        raise
+                    recs.append(
+                        (int(doc_id), None, None, None, None, str(ex)[:200])
+                    )
+                    continue
                 flat = pix.reshape(-1).astype(np.int64)
                 recs.append(
                     (
@@ -432,15 +452,25 @@ def image_checksums(
                         int(flat.sum()),
                         int((flat * np.arange(flat.size, dtype=np.int64)).sum()),
                     )
+                    + ((None,) if permissive else ())
                 )
-            yield pd.DataFrame(
-                recs,
-                columns=["doc_id", "width", "height", "pixel_sum", "weighted_sum"],
-            )
+            cols = ["doc_id", "width", "height", "pixel_sum", "weighted_sum"]
+            if permissive:
+                cols.append("error")
+            pdf_out = pd.DataFrame(recs, columns=cols)
+            # Nullable ints must ride Arrow as nullable dtypes, not the
+            # object/NaN-float coercion pandas defaults to.
+            for c in ("width", "height"):
+                pdf_out[c] = pdf_out[c].astype("Int32")
+            for c in ("pixel_sum", "weighted_sum"):
+                pdf_out[c] = pdf_out[c].astype("Int64")
+            yield pdf_out
 
     out_schema = (
         "doc_id long, width int, height int, pixel_sum long, weighted_sum long"
     )
+    if permissive:
+        out_schema += ", error string"
     return df.select(id_col, payload_col).mapInPandas(fn, out_schema)
 
 

@@ -429,3 +429,35 @@ def test_codec_truncation_always_valueerror():
             with pytest.raises(ValueError):
                 dec(payload[:cut])
         dec(payload)  # the untruncated payload still decodes
+
+
+def test_image_checksums_permissive_quarantine(spark):
+    """Permissive mode: corrupt payloads yield NULL features + error text
+    (the quarantine row) while good payloads decode normally in the same
+    batch; strict mode fails fast on the first corrupt record."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import Row
+
+    from taxi_data_datapipeline_spark.operators.multimodal import (
+        encode_png8,
+        image_checksums,
+    )
+
+    pix = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    good = encode_png8(pix)
+    corrupt = bytearray(good)
+    corrupt[40] ^= 0xFF  # CRC mismatch inside IDAT
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, payload=bytearray(good)),
+            Row(doc_id=2, payload=bytes(corrupt)),
+        ]
+    )
+
+    rows = {r["doc_id"]: r for r in image_checksums(df, permissive=True).collect()}
+    assert rows[1]["error"] is None and rows[1]["pixel_sum"] == int(pix.sum())
+    assert rows[2]["pixel_sum"] is None and "CRC" in rows[2]["error"]
+
+    with pytest.raises(Exception):
+        image_checksums(df, permissive=False).collect()
