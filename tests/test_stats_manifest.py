@@ -1,0 +1,105 @@
+"""File-stats manifest + data-skipping: the manifest's min/max per file
+is exact, pruning keeps exactly the overlapping files, and a pruned scan
+returns the same rows as a full-scan filter (skipping is a pure
+optimization)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from taxi_data_datapipeline_spark.sources.stats_manifest import (
+    build_stats_manifest,
+    prune_files,
+    scan_pruned,
+)
+
+
+@pytest.fixture(scope="module")
+def ranged_dir(spark, tmp_path_factory):
+    """orders split into 8 key-ranged files (repartitionByRange + sortWithinPartitions
+    => tight per-file o_orderkey min/max bands)."""
+    out = str(tmp_path_factory.mktemp("ranged") / "orders")
+    (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .repartitionByRange(8, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return out
+
+
+def _files(d):
+    return sorted(glob.glob(os.path.join(d, "*.parquet")))
+
+
+def test_manifest_minmax_exact(spark, ranged_dir):
+    files = _files(ranged_dir)
+    m = build_stats_manifest(spark, files, columns=["o_orderkey"]).cache()
+    rows = {r["file"]: r for r in m.collect()}
+    assert set(rows) == set(files)
+    total = 0
+    for f in files:
+        got = rows[f]
+        df = spark.read.parquet(f)
+        lo, hi, n = df.agg(
+            F.min("o_orderkey"), F.max("o_orderkey"), F.count(F.lit(1))
+        ).first()
+        assert int(got["min_val"]) == lo and int(got["max_val"]) == hi
+        assert got["n_rows"] == n and got["null_count"] == 0
+        total += n
+    assert total == spark.read.parquet(ranged_dir).count()
+
+
+def test_prune_keeps_exactly_overlapping_files(spark, ranged_dir):
+    files = _files(ranged_dir)
+    m = build_stats_manifest(spark, files, columns=["o_orderkey"]).cache()
+    stats = {
+        r["file"]: (int(r["min_val"]), int(r["max_val"])) for r in m.collect()
+    }
+    lo, hi = 100, 400
+    kept = set(prune_files(m, "o_orderkey", lo, hi, cast="bigint"))
+    expect = {f for f, (mn, mx) in stats.items() if mx >= lo and mn <= hi}
+    assert kept == expect
+    assert 0 < len(kept) < len(files)  # the test band must actually skip
+
+
+def test_scan_pruned_equals_full_scan_filter(spark, ranged_dir):
+    files = _files(ranged_dir)
+    m = build_stats_manifest(spark, files, columns=["o_orderkey"]).cache()
+    lo, hi = 100, 400
+    pruned = (
+        scan_pruned(spark, m, "o_orderkey", lo, hi, cast="bigint")
+        .filter(F.col("o_orderkey").between(lo, hi))
+    )
+    full = spark.read.parquet(ranged_dir).filter(
+        F.col("o_orderkey").between(lo, hi)
+    )
+    assert sorted(r["o_orderkey"] for r in pruned.collect()) == sorted(
+        r["o_orderkey"] for r in full.collect()
+    )
+    # Disjoint band -> schema-stable empty result.
+    empty = scan_pruned(spark, m, "o_orderkey", 10**12, None, cast="bigint")
+    assert empty.count() == 0
+    assert empty.schema == full.schema
+
+
+def test_missing_stats_files_are_kept(spark, ranged_dir):
+    files = _files(ranged_dir)
+    m = build_stats_manifest(spark, files, columns=["o_orderkey"])
+    # Simulate a stats-less file (e.g. written by an engine that skips
+    # statistics): null min/max must be KEPT by pruning.
+    m_nulled = m.withColumn(
+        "min_val",
+        F.when(F.col("file") == files[0], F.lit(None)).otherwise(F.col("min_val")),
+    ).withColumn(
+        "max_val",
+        F.when(F.col("file") == files[0], F.lit(None)).otherwise(F.col("max_val")),
+    )
+    kept = prune_files(m_nulled, "o_orderkey", 10**12, None, cast="bigint")
+    assert kept == [files[0]]
