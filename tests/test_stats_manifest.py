@@ -103,3 +103,25 @@ def test_missing_stats_files_are_kept(spark, ranged_dir):
     )
     kept = prune_files(m_nulled, "o_orderkey", 10**12, None, cast="bigint")
     assert kept == [files[0]]
+
+
+def test_refresh_is_incremental_and_drops_vanished(spark, ranged_dir):
+    from taxi_data_datapipeline_spark.sources.stats_manifest import (
+        refresh_stats_manifest,
+    )
+
+    files = _files(ranged_dir)
+    m0 = build_stats_manifest(spark, files[:5], columns=["o_orderkey"]).cache()
+    # Add 3 new files, drop 1 old: refreshed manifest covers exactly the
+    # current set, and the surviving old rows are reused verbatim.
+    current = files[1:]
+    m1 = refresh_stats_manifest(spark, m0, current, columns=["o_orderkey"])
+    got = {r["file"]: r for r in m1.collect()}
+    assert set(got) == set(current)
+    old = {r["file"]: r for r in m0.collect()}
+    for f in files[1:5]:
+        assert got[f]["min_val"] == old[f]["min_val"]
+        assert got[f]["max_val"] == old[f]["max_val"]
+    # No-op refresh returns the same coverage.
+    m2 = refresh_stats_manifest(spark, m1, current, columns=["o_orderkey"])
+    assert m2.count() == m1.count()
