@@ -2538,12 +2538,26 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# pq_encode and pq_adc_topk both train the identical codebook and code
+# matrix; memoize the (du, codebook, assignment) triple per (app,
+# sf_dir, params) so the second consumer reuses the trained chain
+# instead of re-running both Lloyd iterations (same benign-race memo
+# discipline as the pair-table / logistic-chain caches). The trained
+# codebook is checkpointed inside (tiny), so training executes once;
+# du/assignment stay lazy — they are scan-sized and deterministic.
+_PQ_CACHE: dict[tuple, tuple] = {}
+
+
 def _pq_train_encode(
     spark: SparkSession, sf_dir: str, k: int = 4, sub_dims: int = 8, iters: int = 2
 ):
     """Shared PQ machinery: returns (du, final codebook, final assignment)
     where du = (vec_id, sub, sdim, xu) fixed-point subvector units,
     codebook = (sub, cid, sdim, cu), assignment = (vec_id, sub, code, d2)."""
+    key = (spark.sparkContext.applicationId, sf_dir, k, sub_dims, iters)
+    cached = _PQ_CACHE.get(key)
+    if cached is not None:
+        return cached
     emb = load(spark, sf_dir, "embeddings", fan_out=True)
     du = (
         emb.select(
@@ -2583,7 +2597,14 @@ def _pq_train_encode(
             .groupBy("sub", F.col("code").alias("cid"), "sdim")
             .agg(F.expr("SUM(xu) div COUNT(*)").alias("cu"))
         )
-    return du, cb, assign_to(cb)
+    # The trained codebook is k*subspaces*sub_dims rows (~256): checkpoint
+    # it eagerly so the two Lloyd iterations execute ONCE per session and
+    # every consumer's plan starts from the materialized 256-row table
+    # instead of replaying the training lineage per action.
+    cb = cb.localCheckpoint(eager=True)
+    triple = (du, cb, assign_to(cb))
+    _PQ_CACHE[key] = triple
+    return triple
 
 
 def _pq_oracle(
@@ -2751,9 +2772,14 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = du.filter(F.col("vec_id") == 0).select(
         "sub", "sdim", F.col("xu").alias("qxu")
     )
+    # Rename the LUT's keys: assign and lut both descend from the SAME
+    # checkpointed codebook, so joining on same-named columns would trip
+    # Spark's ambiguous-self-join detector.
     lut = (
         cb.join(F.broadcast(q), ["sub", "sdim"])
-        .groupBy("sub", "cid")
+        .groupBy(
+            F.col("sub").alias("lut_sub"), F.col("cid").alias("lut_cid")
+        )
         .agg(
             F.sum((F.col("qxu") - F.col("cu")) * (F.col("qxu") - F.col("cu")))
             .cast("long")
@@ -2764,7 +2790,8 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign.filter(F.col("vec_id") != 0)
         .join(
             F.broadcast(lut),
-            (assign["sub"] == lut["sub"]) & (assign["code"] == lut["cid"]),
+            (assign["sub"] == lut["lut_sub"])
+            & (assign["code"] == lut["lut_cid"]),
         )
         .groupBy("vec_id")
         .agg(F.sum("lut_d2").cast("bigint").alias("adc_d2u"))
