@@ -72,23 +72,35 @@ def main() -> None:
     # pair-count table; the other graph-family queries are pushed to the
     # very end so they start after the build exists (reusing it costs
     # ~1 s) instead of blocking a pool thread on the build lock.
+    # Memo-builder discipline: pagerank_copurchase builds the shared
+    # pair-count table, minhash_lsh_dedup the shared verified-LSH pair
+    # table, logistic_gd the trained logistic chain, pq_encode the PQ
+    # codebook. Each launches FIRST; its cache consumers run in the late
+    # group so they find the memo built instead of racing 4 threads into
+    # 4 redundant builds (the benign race is correct but wastes the
+    # sharing).
     slow_first = [
-        "pagerank_copurchase",
-        "dedup_groups_cc", "dedup_groups_cc_star", "cluster_split",
+        "pagerank_copurchase", "minhash_lsh_dedup",
+        "logistic_gd", "pq_encode",
         "kmeans_iterate", "table_profile",
         "theil_sen_slope", "spearman_price_qty", "pca_power_iteration",
         "rake_keywords",
-        "simhash_pairs", "contamination_check", "minhash_lsh_dedup",
+        "simhash_pairs", "contamination_check",
         "kmeans_units", "simhash_pairs_checked", "embedding_ivf_topk",
         "multimodal_features_checked", "zipf_fit",
         "ngram_jaccard_blocked", "bigram_surprisal", "similarity_join_label",
         "stats_moments", "q21_waiting_supplier", "q1_pricing_summary",
+        "basket_similarity_join",
     ]
     graph_late = [
         "triangle_count", "label_propagation", "bfs_hops",
         "assoc_rules", "pagerank_weighted",
         "neighbor_jaccard", "modularity_communities", "item_cf_scores",
         "cf_holdout_hitrate",  # consumes the shared pair table too
+        # shared-LSH-pairs consumers (minhash_lsh_dedup builds the memo)
+        "dedup_groups_cc", "dedup_groups_cc_star", "cluster_split",
+        # trained-chain consumers
+        "logistic_calibration", "pq_adc_topk",
     ]
 
     times: dict[str, float] = {}
