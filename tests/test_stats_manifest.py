@@ -125,3 +125,28 @@ def test_refresh_is_incremental_and_drops_vanished(spark, ranged_dir):
     # No-op refresh returns the same coverage.
     m2 = refresh_stats_manifest(spark, m1, current, columns=["o_orderkey"])
     assert m2.count() == m1.count()
+
+
+def test_layout_determines_skipping_power(spark, ranged_dir, tmp_path):
+    """The 100 TB layout story, measured: the SAME data in a key-ranged
+    layout (repartitionByRange) prunes most files for a narrow band,
+    while a random (round-robin) layout prunes nothing — every file's
+    min/max straddles the band. This is why compaction with sorted
+    layout (operators/compact.py, Z-order keys) multiplies the
+    manifest's skipping power."""
+    out = str(tmp_path / "random")
+    (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .repartition(8)  # round-robin: every file spans the key range
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    rnd_files = _files(out)
+    rng_files = _files(ranged_dir)
+    m_rnd = build_stats_manifest(spark, rnd_files, columns=["o_orderkey"])
+    m_rng = build_stats_manifest(spark, rng_files, columns=["o_orderkey"])
+    lo, hi = 100, 400
+    kept_rnd = prune_files(m_rnd, "o_orderkey", lo, hi, cast="bigint")
+    kept_rng = prune_files(m_rng, "o_orderkey", lo, hi, cast="bigint")
+    assert len(kept_rnd) == len(rnd_files)  # random layout: no skipping
+    assert len(kept_rng) <= len(rng_files) // 2  # ranged layout: most skipped
