@@ -2378,6 +2378,117 @@ def q_kmeans_units(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SemDeDup threshold as an exact rational: cos >= 3/10 compared via
+# 100*dot^2 >= 9*|a|^2*|b|^2 with dot > 0 — no float cosine anywhere.
+_SEMDEDUP_NUM, _SEMDEDUP_DEN = 9, 100
+
+
+@register(
+    "semdedup",
+    _kmeans_units_oracle().rsplit("SELECT vec_id", 1)[0]
+    + f""",
+n2 AS (
+  SELECT vec_id, SUM(xu * xu) AS n2 FROM du GROUP BY vec_id),
+dup AS (
+  SELECT y.vec_id
+  FROM a4 x JOIN a4 y
+    ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+  JOIN du dx ON dx.vec_id = x.vec_id
+  JOIN du dy ON dy.vec_id = y.vec_id AND dy.dim = dx.dim
+  JOIN n2 nx ON nx.vec_id = x.vec_id
+  JOIN n2 ny ON ny.vec_id = y.vec_id
+  GROUP BY x.vec_id, y.vec_id, nx.n2, ny.n2
+  HAVING SUM(dx.xu * dy.xu) > 0
+     AND {_SEMDEDUP_DEN} * SUM(dx.xu * dy.xu) * SUM(dx.xu * dy.xu)
+         >= {_SEMDEDUP_NUM} * nx.n2 * ny.n2)
+SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM a4 a LEFT JOIN (SELECT DISTINCT vec_id FROM dup) d
+  ON a.vec_id = d.vec_id
+""",
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv 2303.09540): semantic deduplication
+    of an embedding corpus by CLUSTERING FIRST, then comparing pairs
+    only WITHIN clusters — k-means bounds the quadratic cosine stage to
+    per-cluster blocks, which is the whole trick that makes semantic
+    dedup feasible at corpus scale (k grows with the corpus, cluster
+    size stays ~constant, total pair work stays ~linear). Keep rule =
+    the paper's greedy: a vector is dropped when a LOWER-id vector in
+    its cluster is cosine-similar above the threshold.
+
+    Exactness: clustering is the fixed-point `lloyd_kmeans_units` chain
+    (same unrolled-CTE oracle as `kmeans_units`), and the cosine test
+    cos >= 3/10 is evaluated as the exact integer inequality
+    100*dot^2 >= 9*|a|^2*|b|^2 (dot > 0) over the 2^-20-unit vectors —
+    products reach ~2^92, carried as DECIMAL(38,0) on the Spark side and
+    HUGEINT internally in DuckDB; the OUTPUT stays BIGINT, so the driver
+    hasher never sees a wide type. No float cosine anywhere: the full
+    cluster -> pairwise -> survivorship chain is value-hash checked.
+
+    Scale shape: one self-join per cluster block (shuffle on cluster),
+    64-dim integer dots inside codegen'd zip_with/aggregate, and an
+    EXISTS-style left anti pattern for survivorship. At 100 TB: k ~
+    corpus/1k, the cluster id is the shuffle key, and hot clusters get
+    the same fanout cap treatment as LSH buckets."""
+    from taxi_data_datapipeline_spark.operators.clustering import (
+        lloyd_kmeans_units,
+    )
+
+    emb = load(spark, sf_dir, "embeddings", fan_out=True)
+    km = lloyd_kmeans_units(emb).select("vec_id", "cluster")
+    xu = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(float(1 << 20))),
+        ).alias("v"),
+    )
+    t = km.join(xu, "vec_id")
+    a = t.select(
+        F.col("vec_id").alias("ia"), "cluster", F.col("v").alias("va")
+    )
+    b = t.select(
+        F.col("vec_id").alias("ib"), "cluster", F.col("v").alias("vb")
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    norm2 = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("ia") < F.col("ib"))
+        .select(
+            "ib",
+            dot.alias("dot"),
+            norm2("va").alias("na2"),
+            norm2("vb").alias("nb2"),
+        )
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                d38(F.lit(_SEMDEDUP_DEN)) * d38(F.col("dot")) * d38(F.col("dot"))
+                >= d38(F.lit(_SEMDEDUP_NUM)) * d38(F.col("na2")) * d38(F.col("nb2"))
+            )
+        )
+        .select(F.col("ib").alias("vec_id"))
+        .distinct()
+        .withColumn("dup", F.lit(0).cast("bigint"))
+    )
+    return km.join(pairs, "vec_id", "left").select(
+        "vec_id",
+        F.col("cluster").cast("bigint").alias("cluster"),
+        F.coalesce(F.col("dup"), F.lit(1)).cast("bigint").alias("kept"),
+    )
+
+
 @register(
     "inverted_index",
     f"""
