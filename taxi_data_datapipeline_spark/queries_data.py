@@ -2378,6 +2378,105 @@ def q_kmeans_units(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dsir_importance",
+    f"""
+WITH tok AS (
+  SELECT doc_id, lang = 'en' AS tgt, unnest({_SQL_TOKS}) AS w
+  FROM documents),
+counts AS (
+  SELECT w,
+         SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+         SUM(CASE WHEN tgt THEN 0 ELSE 1 END) AS cr
+  FROM tok GROUP BY w),
+tots AS (
+  SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cr) AS BIGINT) AS nr,
+         COUNT(*) AS v
+  FROM counts),
+terms AS (
+  SELECT w,
+         CAST(ROUND(LN(CAST((c.ct + 1) * (t.nr + t.v) AS DOUBLE)
+                       / CAST((c.cr + 1) * (t.nt + t.v) AS DOUBLE)), 9)
+              AS DECIMAL(28,12)) AS term
+  FROM counts c CROSS JOIN tots t),
+scored AS (
+  SELECT k.doc_id, CAST(SUM(m.term) AS DOUBLE) AS importance,
+         COUNT(*) AS n_tokens
+  FROM tok k JOIN terms m ON k.w = m.w
+  WHERE NOT k.tgt
+  GROUP BY k.doc_id)
+SELECT doc_id, importance, n_tokens
+FROM scored
+ORDER BY importance DESC, doc_id
+LIMIT 150
+""",
+)
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scoring (Xie et al., "Data Selection for Language
+    Models via Importance Resampling", NeurIPS 2023): score every RAW
+    document by how target-like its token distribution is — per-token
+    log-ratio ln(p_target(w)/p_raw(w)) under add-1-smoothed unigram LMs
+    (the paper's hashed-n-gram features, with the n-gram hashing
+    degenerate at this vocab size), summed per document; the top-scored
+    raw docs are the ones importance resampling admits into the
+    training mix. Target = the 'en' slice, raw = everything else.
+
+    Exactness (the engine's rounded-transcendental convention, as in
+    logistic_gd's sigmoid and token_entropy): each per-VOCAB-WORD
+    log-ratio is computed once from identical integer counts — the
+    IEEE division of two exactly-represented products, then LN, then
+    ROUND(.,9) -> DECIMAL, so last-ulp libm differences between engines
+    are quantized away BEFORE the per-document summation, which is an
+    exact decimal fold. Output importance is one final decimal->double
+    cast; top-150 ties break on doc_id.
+
+    Scale shape: the vocabulary table (counts + terms) is
+    aggregate-sized and broadcast back onto the token stream — one
+    explode, one groupBy(w), one broadcast join, one groupBy(doc); at
+    100 TB the vocab table is the only state and the paper's hashed
+    features cap it at a fixed width."""
+    from taxi_data_datapipeline_spark.functions.text import tokens
+
+    docs = load(spark, sf_dir, "documents", fan_out=True)
+    tok = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("tgt"),
+        F.explode(tokens(F.col("text"))).alias("w"),
+    )
+    counts = tok.groupBy("w").agg(
+        F.sum(F.when(F.col("tgt"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("tgt"), 0).otherwise(1)).alias("cr"),
+    )
+    tots = counts.agg(
+        F.sum("ct").cast("bigint").alias("nt"),
+        F.sum("cr").cast("bigint").alias("nr"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    terms = counts.crossJoin(F.broadcast(tots)).select(
+        "w",
+        F.round(
+            F.log(
+                ((F.col("ct") + 1) * (F.col("nr") + F.col("v"))).cast("double")
+                / ((F.col("cr") + 1) * (F.col("nt") + F.col("v"))).cast("double")
+            ),
+            9,
+        )
+        .cast("decimal(28,12)")
+        .alias("term"),
+    )
+    return (
+        tok.filter(~F.col("tgt"))
+        .join(F.broadcast(terms), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("term").cast("double").alias("importance"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .orderBy(F.col("importance").desc(), "doc_id")
+        .limit(150)
+    )
+
+
 # SemDeDup threshold as an exact rational: cos >= 3/10 compared via
 # 100*dot^2 >= 9*|a|^2*|b|^2 with dot > 0 — no float cosine anywhere.
 _SEMDEDUP_NUM, _SEMDEDUP_DEN = 9, 100
