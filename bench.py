@@ -101,6 +101,8 @@ def main() -> None:
         "dedup_groups_cc", "dedup_groups_cc_star", "cluster_split",
         # trained-chain consumers
         "logistic_calibration", "pq_adc_topk",
+        # Lloyd-assignment consumer (kmeans_units builds the memo)
+        "semdedup",
     ]
 
     times: dict[str, float] = {}

@@ -2357,6 +2357,30 @@ FROM a{fin}
 """
 
 
+# kmeans_units and semdedup run the IDENTICAL fixed-point Lloyd chain
+# (k=4, 3 iterations over embeddings); the final assignment is row-count
+# = corpus, so checkpoint it once per (app, sf_dir) and share — without
+# this, every downstream action replays all three iterations through the
+# lazy lineage. Same memo discipline as the pair-table/LSH/logistic/PQ
+# caches (benign build race, deterministic integers).
+_KMEANS_UNITS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def kmeans_units_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from taxi_data_datapipeline_spark.operators.clustering import (
+        lloyd_kmeans_units,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _KMEANS_UNITS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    emb = load(spark, sf_dir, "embeddings", fan_out=True)
+    out = lloyd_kmeans_units(emb).localCheckpoint(eager=True)
+    _KMEANS_UNITS_CACHE[key] = out
+    return out
+
+
 @register("kmeans_units", _kmeans_units_oracle())
 def q_kmeans_units(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point Lloyd k-means (k=4, 3 iterations) with a FULL
@@ -2366,13 +2390,9 @@ def q_kmeans_units(spark: SparkSession, sf_dir: str) -> DataFrame:
     as any relational query (operators/clustering.py:lloyd_kmeans_units
     for the semantics and per-iteration scale shape). The float-domain
     production path stays ``kmeans_iterate``; this twin proves the
-    iteration logic itself."""
-    from taxi_data_datapipeline_spark.operators.clustering import (
-        lloyd_kmeans_units,
-    )
-
-    emb = load(spark, sf_dir, "embeddings", fan_out=True)
-    out = lloyd_kmeans_units(emb)
+    iteration logic itself. Assignment chain memoized and shared with
+    `semdedup` (kmeans_units_cached)."""
+    out = kmeans_units_cached(spark, sf_dir)
     return out.select(
         "vec_id", F.col("cluster").cast("bigint").alias("cluster"), "d2u"
     )
@@ -2530,12 +2550,8 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXISTS-style left anti pattern for survivorship. At 100 TB: k ~
     corpus/1k, the cluster id is the shuffle key, and hot clusters get
     the same fanout cap treatment as LSH buckets."""
-    from taxi_data_datapipeline_spark.operators.clustering import (
-        lloyd_kmeans_units,
-    )
-
     emb = load(spark, sf_dir, "embeddings", fan_out=True)
-    km = lloyd_kmeans_units(emb).select("vec_id", "cluster")
+    km = kmeans_units_cached(spark, sf_dir).select("vec_id", "cluster")
     xu = emb.select(
         "vec_id",
         F.transform(
