@@ -2562,8 +2562,10 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # made 100x pair work before this). The count() is one
     # metadata-cheap action; at sf<=0.1 the formula resolves to k=4,
     # exactly the constant the unrolled SQL oracle bakes in, so the
-    # sf0.01 gate compares identical algorithms.
-    k = max(4, emb.count() // 500)
+    # sf0.01 gate compares identical algorithms. Count the RAW scan, not
+    # the fanned-out frame — Spark answers it from parquet row-group
+    # metadata without executing the repartition.
+    k = max(4, load(spark, sf_dir, "embeddings").count() // 500)
     if k == 4:
         km = kmeans_units_cached(spark, sf_dir).select("vec_id", "cluster")
     else:
