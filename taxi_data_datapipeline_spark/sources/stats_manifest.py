@@ -79,6 +79,16 @@ def _footer_stats(paths: pd.Series, columns: list[str] | None) -> pd.DataFrame:
             except KeyError:
                 continue
             ok = acc["ok"] and acc["min"] is not None
+            # Only stats whose str() round-trips through a SQL CAST are
+            # trustworthy (numbers, strings, dates/timestamps, bools).
+            # bytes and other exotic stats stringify as repr garbage —
+            # record them as ABSENT so pruning conservatively keeps the
+            # file instead of comparing a mangled literal (which could
+            # WRONGLY skip it).
+            if ok and not isinstance(
+                acc["min"], (int, float, str, bool)
+            ) and not type(acc["min"]).__module__ == "datetime":
+                ok = False
             recs.append(
                 (
                     path,
@@ -134,7 +144,13 @@ def refresh_stats_manifest(
         r["file"] for r in manifest.select("file").distinct().collect()
     }
     fresh = sorted(current - known)
-    kept = manifest.filter(F.col("file").isin(list(current)))
+    # Semi-join against the current file list instead of a giant isin()
+    # expression — at 10^6 files an IN-list blows the expression tree;
+    # a broadcast-able one-column join does not.
+    cur_df = manifest.sparkSession.createDataFrame(
+        [(f,) for f in sorted(current)], "file string"
+    )
+    kept = manifest.join(F.broadcast(cur_df), "file", "left_semi")
     if not fresh:
         return kept
     return kept.unionByName(build_stats_manifest(spark, fresh, columns))

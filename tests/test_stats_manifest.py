@@ -150,3 +150,26 @@ def test_layout_determines_skipping_power(spark, ranged_dir, tmp_path):
     kept_rng = prune_files(m_rng, "o_orderkey", lo, hi, cast="bigint")
     assert len(kept_rnd) == len(rnd_files)  # random layout: no skipping
     assert len(kept_rng) <= len(rng_files) // 2  # ranged layout: most skipped
+
+
+def test_binary_stats_recorded_absent_and_kept(spark, tmp_path):
+    """Stats whose str() does not round-trip through a SQL CAST (binary
+    columns) are recorded ABSENT, so range pruning on them keeps every
+    file — a mangled repr literal must never cause a wrong skip."""
+    from pyspark.sql import Row
+
+    out = str(tmp_path / "bin")
+    spark.createDataFrame(
+        [Row(k=i, payload=bytes([i]) * 4) for i in range(100)]
+    ).repartition(4).write.mode("overwrite").parquet(out)
+    files = _files(out)
+    m = build_stats_manifest(spark, files, columns=["payload", "k"])
+    rows = m.collect()
+    assert all(
+        r["min_val"] is None for r in rows if r["column"] == "payload"
+    )
+    assert set(prune_files(m, "payload", "zzz", None)) == set(files)
+    # The sibling int column in the same files still prunes normally.
+    assert all(
+        r["min_val"] is not None for r in rows if r["column"] == "k"
+    )
