@@ -54,6 +54,9 @@ def main() -> None:
                     "which cancels in the ratio)")
     ap.add_argument("--small", default="/root/testdata/sf0.1")
     ap.add_argument("--big", default=os.path.join(REPO, ".scale", "sf1"))
+    ap.add_argument("--out", default="scale_ratio.json",
+                    help="output JSON filename (repo-relative) — name runs "
+                    "distinctly so a new run never clobbers a committed record")
     args = ap.parse_args()
 
     import __spark_entry__ as e
@@ -96,7 +99,7 @@ def main() -> None:
         print(f"| {name} | {t_small} | {t_big} | {ratio} | load {load0} |", flush=True)
 
     out = {"small": args.small, "big": args.big, "passes": args.passes, "rows": rows}
-    with open(os.path.join(REPO, "scale_ratio.json"), "w") as fh:
+    with open(os.path.join(REPO, args.out), "w") as fh:
         json.dump(out, fh, indent=1)
     worst = max((r.get("ratio") or 0) for r in rows) if rows else 0
     print(json.dumps({"n": len(rows), "worst_ratio": worst}))
