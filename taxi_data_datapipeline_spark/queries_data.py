@@ -4081,3 +4081,258 @@ def q_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("band", "threshold", "pairs_at_or_above")
     )
+
+
+# --- LSH screen evaluation + nucleus vocabulary coverage ----------------------
+
+# Portable minhash via the classic universal-hash family (Broder '97 /
+# Carter-Wegman): ONE md5 per gram -> 28-bit base hash h (7 hex chars; a
+# per-seed md5 would cost num_perm x the hashing), then num_perm affine
+# permutations m_i = (a_i*h + b_i) mod p with p prime < 2^28 so a_i*h fits
+# int64 exactly on both engines. Constants are Python-generated ONCE and
+# embedded in both the Spark plan and the oracle SQL — zero parity risk.
+_LSH_EVAL_PERMS = 32
+_LSH_EVAL_BANDS = 8
+_LSH_EVAL_ROWS = _LSH_EVAL_PERMS // _LSH_EVAL_BANDS
+_LSH_EVAL_P = 268435399  # largest prime below 2^28
+_LSH_EVAL_AB = [
+    (
+        (i * 2654435761 + 1) % _LSH_EVAL_P or 1,
+        (i * 40503 + 17) % _LSH_EVAL_P,
+    )
+    for i in range(_LSH_EVAL_PERMS)
+]
+_SQL_PHASH28 = "CAST(('0x' || substring(md5(gram), 1, 7)) AS BIGINT)"
+
+_SQL_LSH_EVAL_MINS = ",\n         ".join(
+    f"MIN(({a} * h + {b}) % {_LSH_EVAL_P}) AS m{i}"
+    for i, (a, b) in enumerate(_LSH_EVAL_AB)
+)
+_SQL_LSH_EVAL_BANDKEYS = "\n  UNION ALL\n".join(
+    "  SELECT doc_id, md5(concat_ws('|', '{b}', {ms})) AS key FROM sig".format(
+        b=b,
+        ms=", ".join(f"m{b * _LSH_EVAL_ROWS + r}" for r in range(_LSH_EVAL_ROWS)),
+    )
+    for b in range(_LSH_EVAL_BANDS)
+)
+
+
+@register(
+    "lsh_screen_eval",
+    f"""
+WITH g AS MATERIALIZED (SELECT doc_id, {_SQL_GRAMS} AS grams FROM documents),
+e AS MATERIALIZED (SELECT doc_id, unnest(grams) AS gram FROM g),
+eh AS (SELECT doc_id, {_SQL_PHASH28} AS h FROM e),
+sig AS (
+  SELECT doc_id,
+         {_SQL_LSH_EVAL_MINS}
+  FROM eh GROUP BY doc_id),
+bk AS (
+{_SQL_LSH_EVAL_BANDKEYS}),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bk a JOIN bk b ON a.key = b.key AND a.doc_id < b.doc_id),
+sz AS (SELECT doc_id, len(grams) AS s FROM g),
+pc AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+  FROM e x JOIN e y ON x.gram = y.gram AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id),
+truth AS MATERIALIZED (
+  SELECT p.doc_a, p.doc_b
+  FROM pc p JOIN sz a ON p.doc_a = a.doc_id JOIN sz b ON p.doc_b = b.doc_id
+  WHERE ROUND(CAST(p.c AS DOUBLE) / (a.s + b.s - p.c), 6) >= 0.5),
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand),
+tp AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_true_positives
+  FROM cand c JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+SELECT n_truth, n_candidates, n_true_positives,
+       CAST(1000000 * n_true_positives // NULLIF(n_candidates, 0) AS BIGINT)
+         AS precision_ppm,
+       CAST(1000000 * n_true_positives // NULLIF(n_truth, 0) AS BIGINT)
+         AS recall_ppm
+FROM nt, nc, tp
+""",
+)
+def q_lsh_screen_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the MinHash-LSH candidate screen against EXACT
+    ground truth — the "measure, don't guess" evaluation a corpus owner
+    runs before trusting a banding configuration at 100 TB.
+
+    Candidates: a portable-hash twin of the production banding
+    (32 permutations, 8 bands x 4 rows — `operators/dedup.py`), with the
+    classic universal-hash minhash family (Broder '97): one 28-bit md5
+    base hash per shingle + embedded-constant affine permutations mod a
+    prime — any engine reproduces the exact candidate set (same
+    checked-twin strategy as `simhash_pairs_checked`).
+
+    Ground truth: all pairs with exact 3-gram Jaccard >= 0.5, computed
+    ENTIRELY from the gram inverted index: shingle sets are distinct, so
+    the per-pair shared-gram count c IS |A intersect B| and Jaccard is the
+    pure arithmetic c/(sa+sb-c) — no array intersection, no pair needs
+    its gram sets co-located. Lossless for any threshold > 0 (J > 0
+    implies >= 1 shared gram) and bounded by gram co-occurrence
+    (1.3 M pair instances at sf0.1), never an n^2/2 cross join — the
+    oracle applies the identical formulation.
+
+    Output: one row of counts + precision/recall in ppm (integer DIV —
+    truncating on both engines). At 100 TB this runs on a sample; the
+    plan shape (hash-agg signatures, bucket self-join, bounded
+    inverted-index truth) is scale-stable."""
+    docs = load(spark, sf_dir, "documents", fan_out=True)
+    grams = docs.select(
+        "doc_id", ngram_shingles(F.col("text"), 3).alias("grams")
+    ).localCheckpoint(eager=True)
+    e = grams.select("doc_id", F.explode("grams").alias("gram"))
+    eh = e.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("gram")), 1, 7), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    sig = eh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_LSH_EVAL_P)).alias(
+                f"m{i}"
+            )
+            for i, (a, b) in enumerate(_LSH_EVAL_AB)
+        ]
+    )
+    band_keys = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.col(f"m{b * _LSH_EVAL_ROWS + r}") for r in range(_LSH_EVAL_ROWS)],
+            )
+        )
+        for b in range(_LSH_EVAL_BANDS)
+    ]
+    bk = sig.select("doc_id", F.explode(F.array(*band_keys)).alias("key"))
+    cand = (
+        bk.alias("a")
+        .join(
+            bk.alias("b"),
+            (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    pc = (
+        e.alias("x")
+        .join(
+            e.alias("y"),
+            (F.col("x.gram") == F.col("y.gram"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sz = grams.select("doc_id", F.size("grams").alias("s"))
+    truth = (
+        pc.join(sz.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sz.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(
+            F.round(
+                F.col("c").cast("double")
+                / (F.col("sa.s") + F.col("sb.s") - F.col("c")),
+                6,
+            )
+            >= 0.5
+        )
+        .select("doc_a", "doc_b")
+    )
+    n_t = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_c = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_tp = cand.join(truth, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("n_true_positives")
+    )
+    return (
+        n_t.crossJoin(n_c)
+        .crossJoin(n_tp)
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_true_positives",
+            F.when(
+                F.col("n_candidates") > 0,
+                F.expr("1000000 * n_true_positives DIV n_candidates"),
+            ).alias("precision_ppm"),
+            F.when(
+                F.col("n_truth") > 0,
+                F.expr("1000000 * n_true_positives DIV n_truth"),
+            ).alias("recall_ppm"),
+        )
+    )
+
+
+@register(
+    "nucleus_vocab_coverage",
+    rf"""
+WITH words AS (
+  SELECT source, lower(unnest({_SQL_TOKS})) AS word FROM documents),
+freqs AS (
+  SELECT source, word, COUNT(*) AS freq FROM words GROUP BY source, word),
+tot AS (
+  SELECT source, CAST(SUM(freq) AS BIGINT) AS total_tokens,
+         COUNT(*) AS n_words
+  FROM freqs GROUP BY source),
+cum AS (
+  SELECT source, freq,
+         CAST(SUM(freq) OVER (PARTITION BY source
+              ORDER BY freq DESC, word
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+  FROM freqs)
+SELECT t.source, t.total_tokens, t.n_words,
+       CAST(SUM(CASE WHEN cum.c - cum.freq < (95 * t.total_tokens + 99) // 100
+                     THEN 1 ELSE 0 END) AS BIGINT) AS vocab_p95
+FROM cum JOIN tot t ON cum.source = t.source
+GROUP BY t.source, t.total_tokens, t.n_words
+""",
+)
+def q_nucleus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-p (nucleus) vocabulary coverage per source: the smallest
+    frequency-ranked vocabulary prefix covering >= 95% of the source's
+    token mass — the tokenizer-budget / OOV-planning statistic computed
+    before committing a vocab size for training.
+
+    Minimal-k selection without an argmin pass: a row belongs to the
+    nucleus iff the cumulative mass BEFORE it (c - freq) is still short
+    of ceil(0.95 * total), so vocab_p95 is a plain conditional SUM over
+    the cumulative frame. The window is partitioned by source and runs
+    over the AGGREGATE-sized (source, word) frequency table — bounded by
+    vocab size, not corpus size — the same windows-over-aggregates rule
+    the engine applies everywhere. All arithmetic integer (ceil as
+    (95*T+99) DIV 100; both engines truncate)."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    freqs = (
+        d.select("source", F.explode(tokens(F.col("text"))).alias("w"))
+        .select("source", F.lower(F.col("w")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    tot = freqs.groupBy("source").agg(
+        F.sum("freq").alias("total_tokens"), F.count(F.lit(1)).alias("n_words")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("freq").desc(), F.col("word"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = freqs.select("source", "freq", F.sum("freq").over(w).alias("c"))
+    return (
+        cum.join(F.broadcast(tot), "source")
+        .groupBy("source", "total_tokens", "n_words")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("c") - F.col("freq")
+                    < F.expr("(95 * total_tokens + 99) DIV 100"),
+                    1,
+                ).otherwise(0)
+            ).alias("vocab_p95")
+        )
+    )
