@@ -82,3 +82,63 @@ def cumulative_counts(s: DataFrame, n_buckets: int = N_BUCKETS) -> DataFrame:
         (F.coalesce(F.col("pre1"), F.lit(0)) + F.col("cum1")).alias("f1"),
         (F.coalesce(F.col("pre2"), F.lit(0)) + F.col("cum2")).alias("f2"),
     )
+
+
+def grouped_cumulative_counts(
+    s: DataFrame, group_col: str = "grp", n_buckets: int = N_BUCKETS
+) -> DataFrame:
+    """Per-group variant of :func:`cumulative_counts`: ``s`` has columns
+    (``group_col``, value, c1) with DISTINCT values inside each group;
+    returns (``group_col``, value, c1, f1) where f1 is the inclusive
+    cumulative sum of c1 in ascending value order WITHIN the group.
+
+    Same three-stage shape, with the group key riding every stage: the
+    range bounds come from an aggregate-sized per-group min/max (broadcast
+    join, not a scalar crossJoin), the window partitions on (group,
+    bucket), and the bucket-prefix offsets come from the aggregate-sized
+    (group, bucket) total table. No partition ever holds more than one
+    bucket of one group — the per-group weighted-median / ECDF primitive
+    at 100 TB."""
+    mm = s.groupBy(group_col).agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    b = (
+        F.when(F.col("vmax") == F.col("vmin"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("vmin"))
+                    * F.lit(float(n_buckets))
+                    / (F.col("vmax") - F.col("vmin"))
+                ),
+                F.lit(n_buckets - 1),
+            )
+        )
+        .cast("int")
+    )
+    sb = s.join(F.broadcast(mm), group_col).withColumn("b", b)
+    wb = Window.partitionBy(group_col, "b").orderBy("value")
+    cum = sb.select(
+        group_col, "b", "value", "c1", F.sum("c1").over(wb).alias("cum1")
+    )
+    btot = sb.groupBy(group_col, "b").agg(F.sum("c1").alias("bc1"))
+    lower = btot.select(
+        F.col(group_col).alias("_g"),
+        F.col("b").alias("b_lo"),
+        F.col("bc1").alias("p1"),
+    )
+    prefix = (
+        btot.join(
+            F.broadcast(lower),
+            (F.col("_g") == F.col(group_col)) & (F.col("b_lo") < F.col("b")),
+            "left",
+        )
+        .groupBy(group_col, "b")
+        .agg(F.sum("p1").alias("pre1"))
+    )
+    return cum.join(F.broadcast(prefix), [group_col, "b"]).select(
+        group_col,
+        "value",
+        "c1",
+        (F.coalesce(F.col("pre1"), F.lit(0)) + F.col("cum1")).alias("f1"),
+    )

@@ -4423,3 +4423,65 @@ def q_cf_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"(n_hits * 1000000) DIV {n_customers}").alias("hitrate_ppm"),
         )
     )
+
+
+@register(
+    "weighted_median_price",
+    """
+WITH s AS (
+  SELECT l_returnflag AS returnflag, l_extendedprice AS v,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2),
+t AS (SELECT returnflag, CAST(SUM(w) AS BIGINT) AS total_weight
+      FROM s GROUP BY 1),
+c AS (SELECT returnflag, v,
+             CAST(SUM(w) OVER (PARTITION BY returnflag ORDER BY v)
+                  AS BIGINT) AS f
+      FROM s)
+SELECT c.returnflag, t.total_weight,
+       MIN(CASE WHEN c.f >= (t.total_weight + 1) // 2 THEN c.v END)
+         AS w_median
+FROM c JOIN t ON c.returnflag = t.returnflag
+GROUP BY c.returnflag, t.total_weight
+""",
+)
+def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group WEIGHTED median: the price at which half the
+    quantity-weighted mass sits at or below (lower weighted median,
+    threshold ceil(W/2) in integer arithmetic). The missing sibling of
+    percentile_prices (unweighted) and trimmed_mean_prices.
+
+    Scale shape: weights collapse to one row per DISTINCT (group, price)
+    first (map-side partial agg), then the per-group bucketed two-phase
+    cumulation (operators/cumulative.grouped_cumulative_counts) produces
+    the weighted CDF with no partition ever holding more than one bucket
+    of one group — the oracle states the same thing as the plain
+    per-group window cumsum. Selection is a conditional MIN over the
+    cumulative frame, not an argmin pass."""
+    from taxi_data_datapipeline_spark.operators.cumulative import (
+        grouped_cumulative_counts,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    s = (
+        li.groupBy(
+            F.col("l_returnflag").alias("grp"),
+            F.col("l_extendedprice").alias("value"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("c1"))
+    )
+    cum = grouped_cumulative_counts(s)
+    tot = s.groupBy("grp").agg(F.sum("c1").alias("total_weight"))
+    return (
+        cum.join(F.broadcast(tot), "grp")
+        .groupBy(F.col("grp").alias("returnflag"), F.col("total_weight"))
+        .agg(
+            F.min(
+                F.when(
+                    F.col("f1") >= F.expr("(total_weight + 1) DIV 2"),
+                    F.col("value"),
+                )
+            ).alias("w_median")
+        )
+        .select("returnflag", "total_weight", "w_median")
+    )

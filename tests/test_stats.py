@@ -156,3 +156,40 @@ def test_grid_dbscan_runs_and_covers_core_points(spark):
     total_cells = sum(r["n_cells"] for r in out)
     assert total_cells > 0
     assert all(r["n_locations"] >= r["n_cells"] for r in out)
+
+
+def test_grouped_cumulative_counts_match_group_window(spark):
+    """The per-group bucketed cumulation must equal a plain per-group
+    window cumsum on every prefix, including single-value groups."""
+    import random
+
+    from taxi_data_datapipeline_spark.operators.cumulative import (
+        grouped_cumulative_counts,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (f"g{rng.randint(0, 3)}", rng.uniform(-50.0, 50.0), rng.randint(1, 5))
+        for _ in range(400)
+    ] + [("solo", 3.25, 7)]
+    s = (
+        spark.createDataFrame(rows, "grp string, value double, a long")
+        .groupBy("grp", "value")
+        .agg(F.sum("a").alias("c1"))
+    )
+    got = {
+        (r["grp"], r["value"]): r["f1"]
+        for r in grouped_cumulative_counts(s).collect()
+    }
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    expect = {
+        (r["grp"], r["value"]): r["f1"]
+        for r in s.select(
+            "grp", "value", F.sum("c1").over(w).alias("f1")
+        ).collect()
+    }
+    assert got == expect

@@ -92,6 +92,8 @@ def main() -> None:
     ap.add_argument("--out-dir", default="/tmp/taxi_bench_out")
     ap.add_argument("--keep-data", action="store_true",
                     help="reuse an existing generated dataset")
+    ap.add_argument("--conf", action="append", default=[],
+                    help="extra spark conf k=v (repeatable), for A/B runs")
     args = ap.parse_args()
 
     if not (args.keep_data and os.path.isdir(args.data_dir)):
@@ -108,7 +110,8 @@ def main() -> None:
     )
     from taxi_data_datapipeline_spark.session import get_spark
 
-    spark = get_spark("pivot_throughput", cpus=args.workers)
+    extra = dict(kv.split("=", 1) for kv in args.conf)
+    spark = get_spark("pivot_throughput", cpus=args.workers, extra_conf=extra or None)
     cfg = PipelineConfig(
         input_path=args.data_dir,
         output_path=os.path.join(args.out_dir, "wide_table.parquet"),
