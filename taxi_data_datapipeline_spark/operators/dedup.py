@@ -98,16 +98,17 @@ def minhash_lsh_pairs(
     connected-components grouping needs. None = no cap (exact everywhere).
     """
     rows = num_perm // bands
-    # The gram-set frame feeds three consumers (signature derivation and
-    # both sides of the verification join); materialize it once so shingle
-    # extraction — the dominant map-side cost — runs once per document,
-    # not once per consumer. localCheckpoint (not persist): block cleanup
-    # is reference-tracked, so a 200-query session doesn't accumulate
-    # leaked cache entries (the r3 ADVICE leak class).
+    # The corpus-wide gram frame is NEVER materialized: caching 10^6+
+    # Java string arrays (≈3 KB/doc deserialized) hit a GC cliff between
+    # 1.6 M and 3.2 M docs (LSH stage 19 s -> 200 s at 2x the data in the
+    # curation probe). Shingling runs as a streaming map inside the
+    # signature aggregation — one pass over the corpus, nothing cached —
+    # and the verification join below re-shingles ONLY the candidate
+    # documents (a semi-join-pruned, candidate-sized set).
     grams = df.select(
         F.col(id_col).alias("_gid"),
         ngram_shingles(F.col(text_col), ngram).alias("grams"),
-    ).localCheckpoint(eager=True)
+    )
     # Explode-then-aggregate minhash: the num_perm seeded mins run as
     # codegen'd hash-aggregate columns with map-side partial aggregation —
     # vs. num_perm interpreted array traversals (each re-deriving the
@@ -131,6 +132,12 @@ def minhash_lsh_pairs(
         if max_bucket_fanout is None
         else _capped_pairs_expr(F.col("ids"), max_bucket_fanout)
     )
+    # Candidates are the SMALL frame (bounded by banding collisions +
+    # the fanout cap): checkpoint them, then re-shingle just the docs
+    # they mention. The semi join prunes BEFORE shingling, so the extra
+    # shingle pass costs O(candidate docs), not O(corpus) — and the only
+    # cached state is candidate-sized. localCheckpoint (not persist):
+    # block cleanup is reference-tracked (the r3 ADVICE leak class).
     cands = (
         buckets.groupBy("bk")
         .agg(F.collect_set("_id").alias("ids"))
@@ -138,8 +145,20 @@ def minhash_lsh_pairs(
         .select(F.explode(pairs).alias("p"))
         .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    ga, gb = grams.alias("ga"), grams.alias("gb")
+    cand_ids = cands.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("_gid")
+    ).distinct()
+    cand_grams = (
+        df.join(cand_ids, F.col(id_col) == F.col("_gid"), "left_semi")
+        .select(
+            F.col(id_col).alias("_gid"),
+            ngram_shingles(F.col(text_col), ngram).alias("grams"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ga, gb = cand_grams.alias("ga"), cand_grams.alias("gb")
     verified = (
         cands.join(ga, F.col("doc_a") == F.col("ga._gid"))
         .join(gb, F.col("doc_b") == F.col("gb._gid"))
