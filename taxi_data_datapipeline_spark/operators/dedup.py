@@ -476,10 +476,12 @@ def minhash_lsh_incremental(
 
     In production the old side's signatures/buckets would be a persisted
     table refreshed per ingest; here both sides derive in one job for
-    oracle-checkability. The shingle table is reused by three consumers
-    (signatures + both verify sides), so it is localCheckpoint-
-    materialized — block cleanup is reference-tracked, unlike persist(),
-    whose cache entries would outlive the call in a long session.
+    oracle-checkability. Only candidate-sized frames are ever
+    materialized (localCheckpoint — block cleanup is reference-tracked,
+    unlike persist()): the corpus-wide shingle table streams through the
+    signature aggregation uncached, and verification re-shingles just
+    the candidate documents behind a semi join (the GC-cliff fix shared
+    with minhash_lsh_pairs).
 
     Output: (new_doc, old_doc, jaccard >= threshold).
     """
@@ -493,9 +495,13 @@ def minhash_lsh_incremental(
             F.lit(1).alias("_new"),
         )
     )
+    # As in minhash_lsh_pairs: the corpus-wide gram frame is never
+    # materialized (the deserialized string arrays hit a GC cliff past
+    # ~2M docs); shingling streams through the signature aggregation, and
+    # verification re-shingles only candidate docs behind a semi join.
     grams = tagged.select(
         "_gid", "_new", ngram_shingles(F.col("_text"), ngram).alias("grams")
-    ).localCheckpoint(eager=True)
+    )
     exploded = grams.select("_gid", "_new", F.explode("grams").alias("gram"))
     sig = exploded.groupBy("_gid", "_new").agg(
         *[F.min(F.xxhash64("gram", F.lit(i))).alias(f"m{i}") for i in range(num_perm)]
@@ -545,9 +551,24 @@ def minhash_lsh_incremental(
         )
         .select("p.new_doc", "p.old_doc")
         .distinct()
+        # Eager: also forces the observe() metrics above to populate on
+        # the checkpoint action itself.
+        .localCheckpoint(eager=True)
     )
-    ga = grams.select(F.col("_gid").alias("old_doc"), F.col("grams").alias("og"))
-    gb = grams.select(F.col("_gid").alias("new_doc"), F.col("grams").alias("ng"))
+    cand_ids = cands.select(
+        F.explode(F.array("new_doc", "old_doc")).alias("_cid")
+    ).distinct()
+    cand_grams = (
+        tagged.join(cand_ids, F.col("_gid") == F.col("_cid"), "left_semi")
+        .select("_gid", ngram_shingles(F.col("_text"), ngram).alias("grams"))
+        .localCheckpoint(eager=True)
+    )
+    ga = cand_grams.select(
+        F.col("_gid").alias("old_doc"), F.col("grams").alias("og")
+    )
+    gb = cand_grams.select(
+        F.col("_gid").alias("new_doc"), F.col("grams").alias("ng")
+    )
     return (
         cands.join(ga, "old_doc")
         .join(gb, "new_doc")
