@@ -239,12 +239,19 @@ def blocked_jaccard_pairs(
     threshold > 0. Cost scales with sum over grams of df(gram)^2 within a
     block — bounded by the blocking, not by block^2 full-array scans.
     """
+    # The gram ARRAYS are never cached (the corpus-wide deserialized
+    # string-array cache is the GC cliff fixed in minhash_lsh_pairs);
+    # shingling streams once into the per-doc size frame — numeric,
+    # ~16 B/row, checkpointed because it feeds both join sides — and once
+    # into the exploded inverted index.
     g = df.select(
         *[F.col(c) for c in block_cols],
         F.col(id_col).alias("_id"),
         ngram_shingles(F.col(text_col), ngram).alias("grams"),
-    ).localCheckpoint(eager=True)  # 3 consumers: shingle once, ref-tracked cleanup
-    sizes = g.select("_id", F.size("grams").alias("sz"))
+    )
+    sizes = g.select("_id", F.size("grams").alias("sz")).localCheckpoint(
+        eager=True
+    )
     ex = g.select(*block_cols, "_id", F.explode("grams").alias("gram"))
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
