@@ -3674,6 +3674,106 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- portable HyperLogLog (derandomized, full oracle) -------------------------
+
+
+_HLL_P = 8  # 2^8 = 256 registers; rel. error ~ 1.04/sqrt(256) = 6.5%
+_HLL_M = 1 << _HLL_P
+# alpha_m * m^2 * 2^33, precomputed so BOTH engines evaluate ONE double
+# division on the exact-integer harmonic sum — bit-identical results.
+_HLL_NUM = (0.7213 / (1 + 1.079 / _HLL_M)) * _HLL_M * _HLL_M * float(1 << 33)
+
+
+@register(
+    "hll_portable_daily",
+    f"""
+WITH h AS (
+  SELECT CAST(ts AS DATE) AS day, user_id,
+         CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 2)) AS BIGINT)
+           AS bucket,
+         CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 3, 8)) AS BIGINT)
+           AS w
+  FROM events),
+r AS (
+  SELECT day, bucket,
+         MAX(CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END) AS mr
+  FROM h GROUP BY day, bucket),
+p AS (
+  SELECT day,
+         CAST(SUM(CAST(1 AS BIGINT) << (33 - mr)) AS BIGINT) AS s_present,
+         COUNT(*) AS n_present
+  FROM r GROUP BY day),
+x AS (SELECT day, COUNT(DISTINCT user_id) AS exact_distinct FROM h GROUP BY day)
+SELECT p.day, x.exact_distinct,
+       CAST({_HLL_M} - p.n_present AS BIGINT) AS n_zero,
+       CAST(p.s_present + ({_HLL_M} - p.n_present) * 8589934592 AS BIGINT)
+         AS harmonic_scaled,
+       {_HLL_NUM!r} / (p.s_present + ({_HLL_M} - p.n_present) * 8589934592)
+         AS hll_estimate
+FROM p JOIN x ON p.day = x.day
+""",
+)
+def q_hll_portable_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily distinct users via a PORTABLE HyperLogLog (Flajolet et al.
+    2007) under the FULL value-hash oracle — the derandomized companion
+    to the engine-native (rows-only) ``hll_daily_rollup``.
+
+    The whole sketch is an exact deterministic function of the data:
+    md5 splits into an 8-bit register index and a 32-bit word whose
+    leading-zero count (via ``length(bin(w))`` — identical semantics in
+    Spark and DuckDB) gives the register value; the harmonic mean is
+    kept EXACT as the integer sum of ``2^(33 - M_j)`` (max 2^41 * 256,
+    well inside bigint), absent registers contributing ``2^33`` each;
+    the single float op — ``alpha * m^2 * 2^33 / S`` with a precomputed
+    literal numerator — is one IEEE division, bit-identical across
+    engines. No ln()/pow() (libm results differ across engines), no
+    low-range linear-counting branch in the OUTPUT (``n_zero`` is
+    emitted so a consumer can apply it); ``exact_distinct`` rides along
+    so the ~6.5% error bound is visible in the result itself
+    (tests/test_sketches.py asserts it).
+
+    Scale shape: register build is ONE partial-aggregating groupBy on
+    (day, bucket) — 256 rows per day regardless of cardinality — then a
+    256->1 fold per day; the mergeability that makes HLL the standard
+    100 TB distinct-count sketch is exactly the MAX-merge the first
+    groupBy performs map-side."""
+    ev = load(spark, sf_dir, "events")
+    h = F.md5(F.col("user_id").cast("string"))
+    base = ev.select(
+        F.col("ts").cast("date").alias("day"),
+        "user_id",
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("bigint").alias("bucket"),
+        F.conv(F.substring(h, 3, 8), 16, 10).cast("bigint").alias("w"),
+    )
+    regs = (
+        base.withColumn(
+            "rho",
+            F.when(F.col("w") == 0, F.lit(33)).otherwise(
+                F.lit(33) - F.length(F.bin(F.col("w")))
+            ),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("mr"))
+    )
+    per_day = regs.groupBy("day").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 33 - mr)")).alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    exact = base.groupBy("day").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    s_total = F.col("s_present") + (_HLL_M - F.col("n_present")) * F.lit(
+        1 << 33
+    )
+    return per_day.join(exact, "day").select(
+        "day",
+        "exact_distinct",
+        (_HLL_M - F.col("n_present")).cast("bigint").alias("n_zero"),
+        s_total.cast("bigint").alias("harmonic_scaled"),
+        (F.lit(_HLL_NUM) / s_total.cast("double")).alias("hll_estimate"),
+    )
+
+
 # --- seasonal-residual anomaly detection --------------------------------------
 
 

@@ -3,6 +3,8 @@ of the exact answers they replace at scale."""
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import functions as F
 
 from taxi_data_datapipeline_spark.queries import QUERIES
@@ -63,3 +65,26 @@ def test_hll_rollup_matches_exact_and_direct(spark):
         # Union-of-daily-sketches must estimate within HLL error (lgK=12
         # default: ~1.6% rsd; cardinality here is tiny so near-exact).
         assert abs(est - exact) / max(exact, 1) < 0.05, (r["event_type"], est, exact)
+
+
+def test_hll_portable_within_error_bound(spark):
+    """The derandomized md5-HLL estimate stays within ~5 sigma of the
+    standard error (1.04/sqrt(256) = 6.5%) of the exact daily distinct
+    count, and its integer invariants hold: 256 registers account for
+    every bucket, and a day with few users keeps most registers at zero."""
+    rows = QUERIES["hll_portable_daily"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_zero"] <= 256
+        # harmonic sum is bounded by all-zero (256 * 2^33) below by >=1
+        assert 0 < r["harmonic_scaled"] <= 256 * (1 << 33)
+        # The query emits the RAW estimator plus n_zero (ln() is not
+        # bit-stable across engines, so the low-range branch is the
+        # consumer's); apply the canonical linear-counting correction
+        # here exactly as Flajolet et al. specify: E <= 2.5m with zero
+        # registers -> m * ln(m / V).
+        est = r["hll_estimate"]
+        if est <= 2.5 * 256 and r["n_zero"] > 0:
+            est = 256 * math.log(256 / r["n_zero"])
+        rel = abs(est - r["exact_distinct"]) / r["exact_distinct"]
+        assert rel < 5 * 1.04 / 16, (r["day"], rel)
