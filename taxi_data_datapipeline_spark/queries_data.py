@@ -3138,6 +3138,132 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- exact duplicated-substring spans (overlapping k-grams + islands) ----------
+
+
+_SPAN_K = 8  # token-gram length; duplicated runs >= K tokens are guaranteed hit
+
+
+@register(
+    "dup_span_islands",
+    rf"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x != '') AS tok
+  FROM documents),
+g AS (
+  SELECT doc_id, t.p AS p,
+         md5(array_to_string(tok[t.p + 1 : t.p + {_SPAN_K}], ' ')) AS fp
+  FROM d, UNNEST(range(0, GREATEST(len(tok) - {_SPAN_K - 1}, 0))) AS t(p)),
+dup AS (SELECT fp FROM g GROUP BY fp HAVING COUNT(*) > 1),
+dp AS (SELECT g.doc_id, g.p FROM g JOIN dup ON g.fp = dup.fp),
+isl AS (
+  SELECT doc_id, p,
+         MAX(p + {_SPAN_K - 1}) OVER (
+           PARTITION BY doc_id ORDER BY p
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM dp),
+lab AS (
+  SELECT doc_id, p,
+         CAST(SUM(CASE WHEN prev_end IS NULL OR p > prev_end + 1
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY p
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+  FROM isl),
+final AS (
+  SELECT doc_id, island,
+         MIN(p) AS start_tok,
+         MAX(p) + {_SPAN_K - 1} AS end_tok
+  FROM lab GROUP BY doc_id, island)
+SELECT doc_id, island, start_tok, end_tok,
+       end_tok - start_tok + 1 AS dup_tokens
+FROM final
+""",
+)
+def q_dup_span_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT duplicated-substring spans (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022 — the
+    ExactSubstr pass), re-expressed relationally: every OVERLAPPING
+    8-token gram is fingerprinted; a position is duplicated when its
+    gram occurs >= 2 times anywhere in the corpus (cross- or intra-
+    document, exactly the suffix-array criterion); per document the
+    duplicated positions merge into MAXIMAL spans by the gaps-and-islands
+    pattern (running MAX of span-end over the position order; a new
+    island starts where a position clears the previous reach). Any
+    duplicated run of >= K tokens is guaranteed detected, and the
+    reported [start_tok, end_tok] is its exact extent — the span the
+    ExactSubstr pass would cut, where `line_dedup`'s DISJOINT spans only
+    report block-aligned repeats and winnowing only fingerprints.
+
+    The suffix array of the paper is a single-machine structure; the
+    relational equivalent — gram explode, one groupBy(fp) HAVING count>1,
+    a fp semi join to recover positions, one per-doc window — is all
+    shuffle-bounded with high-cardinality md5 keys, which is the shape
+    that distributes. At 100 TB the gram table is the big intermediate
+    (n_tokens rows); it never materializes wider than (doc_id, p, fp)
+    and both shuffles partial-aggregate map-side.
+
+    Reference scope note: the reference engine has no text operators;
+    this extends the dedup family (SURVEY.md LLM-pipeline tier)."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    k = _SPAN_K
+    n_pos = F.size(F.col("tok")) - (k - 1)
+    grams = (
+        d.select("doc_id", toks.alias("tok"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    n_pos > 0,
+                    F.transform(
+                        F.sequence(F.lit(0), n_pos - 1),
+                        lambda p: F.struct(
+                            p.cast("long").alias("p"),
+                            F.md5(
+                                F.concat_ws(" ", F.slice(F.col("tok"), p + 1, k))
+                            ).alias("fp"),
+                        ),
+                    ),
+                ).otherwise(F.array())
+            ).alias("g"),
+        )
+        .select("doc_id", "g.p", "g.fp")
+    )
+    dup_fps = grams.groupBy("fp").agg(F.count(F.lit(1)).alias("n")).filter(
+        F.col("n") > 1
+    )
+    dpos = grams.join(dup_fps.select("fp"), "fp", "semi").select("doc_id", "p")
+    w_ord = Window.partitionBy("doc_id").orderBy("p")
+    prev_end = F.max(F.col("p") + (k - 1)).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lab = dpos.withColumn(
+        "island",
+        F.sum(
+            F.when(
+                prev_end.isNull() | (F.col("p") > prev_end + 1), 1
+            ).otherwise(0)
+        )
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint"),
+    )
+    return (
+        lab.groupBy("doc_id", "island")
+        .agg(
+            F.min("p").alias("start_tok"),
+            (F.max("p") + (k - 1)).alias("end_tok"),
+        )
+        .select(
+            "doc_id",
+            "island",
+            "start_tok",
+            "end_tok",
+            (F.col("end_tok") - F.col("start_tok") + 1).alias("dup_tokens"),
+        )
+    )
+
+
 # --- winnowing document fingerprints ------------------------------------------
 
 

@@ -243,3 +243,39 @@ def test_incremental_capped_buckets_only_counts_candidate_producing(spark):
     out = minhash_lsh_incremental(old, new_near, observation=obs2).count()
     assert obs2.get["capped_buckets"] > 0
     assert out > 0  # the capped screen still surfaced the near-dup pairs
+
+
+def test_dup_span_islands_exact_extents(spark, tmp_path):
+    """ExactSubstr-style spans: duplicated >=8-token runs are reported at
+    their exact maximal extent; overlapping duplicated grams merge into
+    one island; unique docs report nothing."""
+    run10 = " ".join(f"s{i}" for i in range(10))  # shared 10-token run
+    run8 = " ".join(f"r{i}" for i in range(8))  # shared 8-token run
+    rows = [
+        # two copies of run8 inside one doc, split by 5 unique tokens:
+        # islands [0,7] and [13,20]
+        (0, run8 + " u0 u1 u2 u3 u4 " + run8),
+        # run8 once more in another doc at offset 2: island [2,9]
+        (1, "v0 v1 " + run8 + " v2"),
+        # all-unique doc: no duplicated gram, no output rows
+        (2, " ".join(f"w{i}" for i in range(12))),
+        # 10-token run shared by two docs: positions 0,1,2 all duplicated
+        # -> ONE island [0,9] (maximal extent, not three 8-token spans)
+        (3, run10),
+        (4, run10),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    from taxi_data_datapipeline_spark.queries import QUERIES
+
+    got = {
+        (r["doc_id"], r["island"]): (r["start_tok"], r["end_tok"], r["dup_tokens"])
+        for r in QUERIES["dup_span_islands"](spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        (0, 1): (0, 7, 8),
+        (0, 2): (13, 20, 8),
+        (1, 1): (2, 9, 8),
+        (3, 1): (0, 9, 10),
+        (4, 1): (0, 9, 10),
+    }
