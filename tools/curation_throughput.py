@@ -64,6 +64,14 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--quality", type=float, default=0.25)
     ap.add_argument("--keep-out", default=None, help="keep shard output here")
+    ap.add_argument(
+        "--near",
+        type=float,
+        default=0.0,
+        help="fraction of unique docs made 3-variant NEAR-dup groups "
+        "(exercises LSH verification + CC + cluster survivorship "
+        "proportionally to corpus size)",
+    )
     args = ap.parse_args()
 
     spark = get_spark("curation_throughput", cpus=args.cpus)
@@ -75,7 +83,9 @@ def main() -> None:
     load0 = os.getloadavg()[0]
     # --- corpus generation (NOT part of the timed pipeline) -----------------
     t0 = time.time()
-    synth_corpus(spark, args.docs, args.hot).write.mode("overwrite").parquet(
+    synth_corpus(spark, args.docs, args.hot, near_frac=args.near).write.mode(
+        "overwrite"
+    ).parquet(
         corpus_dir
     )
     t_gen = time.time() - t0
@@ -152,6 +162,7 @@ def main() -> None:
         "pipeline_sec": round(t_pipeline, 1),
         "cpus": args.cpus,
         "fanout_cap": args.fanout,
+        "near_frac": args.near,
         "loadavg": [round(load0, 1), round(load1, 1)],
     }
     print(json.dumps(out), flush=True)

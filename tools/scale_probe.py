@@ -27,15 +27,42 @@ from taxi_data_datapipeline_spark.session import get_spark
 from taxi_data_datapipeline_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
 
 
-def synth_corpus(spark, n_docs: int, hot: int, dup_frac: float = 0.2):
+def synth_corpus(
+    spark, n_docs: int, hot: int, dup_frac: float = 0.2, near_frac: float = 0.0
+):
     """n_docs synthetic docs: 40-token texts drawn from a 5000-word vocab by
     seeded hash (deterministic, no RNG state); the last dup_frac of ids
     repeat earlier texts (exact dups); the first ``hot`` ids share one
-    template (the LSH hot bucket)."""
-    eff = (F.col("id") % int(n_docs * (1 - dup_frac))).alias("eff")
+    template (the LSH hot bucket).
+
+    ``near_frac`` > 0 additionally makes that fraction of the UNIQUE id
+    range NEAR-duplicates: ids [hot, hot + near_n) form groups of 3
+    variants that share a group-seeded 40-token text except positions
+    {2v, 2v+1} (variant-specific tokens) — within-group Jaccard ~
+    36/44 = 0.82, above the 0.5 LSH threshold with detection probability
+    ~0.99 at 32 perms / 8x4 bands. This makes the LSH verification,
+    connected-components and cluster-survivorship tiers do real
+    corpus-proportional work (the default corpus's near-dup tier
+    collapses to 2 docs after exact dedup). Variants derive from ``eff``
+    so the exact-dup tail reproduces them bit-identically."""
+    n_eff = int(n_docs * (1 - dup_frac))
+    near_n = int(n_eff * near_frac)
+    eff = (F.col("id") % n_eff).alias("eff")
     words = F.transform(
         F.sequence(F.lit(0), F.lit(39)),
         lambda j: F.concat(F.lit("w"), F.pmod(F.xxhash64(F.col("eff"), j), F.lit(5000))),
+    )
+    group = (F.col("eff") - hot) / F.lit(3)
+    grp = F.floor(group).cast("long")
+    var = F.pmod(F.col("eff") - hot, F.lit(3))
+    near_words = F.transform(
+        F.sequence(F.lit(0), F.lit(39)),
+        lambda j: F.when(
+            (j == var * 2) | (j == var * 2 + 1),
+            F.concat(F.lit("n"), F.pmod(F.xxhash64(F.col("eff"), j), F.lit(100000))),
+        ).otherwise(
+            F.concat(F.lit("w"), F.pmod(F.xxhash64(grp, j, F.lit(7)), F.lit(5000)))
+        ),
     )
     text = F.when(
         F.col("doc_id") < hot,
@@ -43,7 +70,13 @@ def synth_corpus(spark, n_docs: int, hot: int, dup_frac: float = 0.2):
             F.lit("template header all pages share this exact boilerplate text body "),
             F.concat_ws(" ", F.lit("page"), F.pmod(F.col("doc_id"), F.lit(2)).cast("string")),
         ),
-    ).otherwise(F.concat_ws(" ", words))
+    )
+    if near_n > 0:
+        text = text.when(
+            (F.col("eff") >= hot) & (F.col("eff") < hot + near_n),
+            F.concat_ws(" ", near_words),
+        )
+    text = text.otherwise(F.concat_ws(" ", words))
     return (
         spark.range(n_docs)
         .select(F.col("id").alias("doc_id"), eff)
