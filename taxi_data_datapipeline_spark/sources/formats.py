@@ -56,11 +56,19 @@ def write_csv(
 ) -> None:
     """CSV sink. ``compression='gzip'`` produces UNSPLITTABLE files —
     acceptable for export, wrong for re-ingestion at scale (use 'none'
-    or write ORC/parquet instead)."""
+    or write ORC/parquet instead).
+
+    Spark's CSV WRITER trims leading/trailing whitespace by default
+    (``ignoreLeadingWhiteSpace``/``ignoreTrailingWhiteSpace`` default
+    true on write, unlike read) — silent data corruption for padded
+    strings. Both are pinned false here so the sink is value-faithful
+    (tests/test_formats.py::test_csv_roundtrip_hostile_strings)."""
     (
         df.write.mode("overwrite")
         .option("header", str(header).lower())
         .option("compression", compression)
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
         .csv(path)
     )
 

@@ -97,3 +97,52 @@ def test_text_source_lines(spark, tmp_path):
     assert sorted(r.value for r in df.collect()) == ["alpha", "beta", "gamma"]
     whole = read_text(spark, str(p), whole=True)
     assert whole.count() == 2
+
+
+def test_csv_roundtrip_hostile_strings(spark, tmp_path):
+    """CSV quoting must survive the strings that break naive writers:
+    embedded delimiters, double quotes, newlines (multiLine read),
+    leading/trailing whitespace, unicode, empty vs NULL. Doubles must
+    round-trip bit-exactly via shortest-repr formatting."""
+    rows = [
+        (0, 'plain', 1.5),
+        (1, 'comma, inside', -0.1),
+        (2, 'quote " inside', 2.0 ** -1074),      # min subnormal
+        (3, 'both ", and\nnewline', 1.7976931348623157e308),
+        (4, '  padded  ', 0.1 + 0.2),             # classic non-exact decimal
+        (5, 'unicode: naïve café 駅 🚕', -0.0),
+        (6, '', float('inf')),
+        (7, None, None),
+        (8, 'trailing\\backslash\\', 6.02214076e23),
+    ]
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("s", StringType()),
+            StructField("x", DoubleType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    path = str(tmp_path / "hostile_csv")
+    write_csv(df, path)
+    back = (
+        read_csv(spark, path, schema, multiLine="true")
+        .drop(CORRUPT_COL)
+        .orderBy("id")
+        .collect()
+    )
+    orig = df.orderBy("id").collect()
+    assert len(back) == len(orig)
+    for a, b in zip(orig, back):
+        assert a["id"] == b["id"]
+        # Spark's CSV sink writes empty string and NULL identically by
+        # default (emptyValue == nullValue == "") — both read back NULL.
+        expect_s = a["s"] if a["s"] else None
+        assert b["s"] == expect_s, (a["id"], a["s"], b["s"])
+        if a["x"] is None:
+            assert b["x"] is None
+        else:
+            import math
+            assert math.isnan(b["x"]) if math.isnan(a["x"]) else (
+                repr(a["x"]) == repr(b["x"])
+            ), (a["id"], a["x"], b["x"])
