@@ -66,3 +66,47 @@ def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
     df = spark.read.option("mergeSchema", "true").parquet(gen)
     assert set(df.columns) == {"id", "a", "b", "g"}
     assert df.filter(F.col("b").isNull()).count() == 3
+
+
+def test_jsonl_roundtrip_hostile_strings(spark, tmp_path):
+    """JSON escaping must keep hostile payloads line-splittable and
+    value-faithful: embedded newlines, quotes, backslashes, unicode,
+    empty string (JSON keeps it distinct from NULL, unlike CSV), padded
+    whitespace, and bit-exact doubles."""
+    from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+    rows = [
+        (0, "line\nbreak and \"quote\" and \\backslash\\", 0.1 + 0.2),
+        (1, "unicode: naïve café 駅 🚕", 2.0 ** -1074),
+        (2, "  padded  ", 1.7976931348623157e308),
+        (3, "", -0.0),
+        (4, None, None),
+    ]
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("s", StringType()),
+            StructField("x", DoubleType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    path = str(tmp_path / "hostile_jsonl")
+    df.write.mode("overwrite").json(path)
+    back = read_jsonl(spark, path, schema)
+    good, bad = split_quarantine(back)
+    assert bad.count() == 0
+    got = {r["id"]: (r["s"], r["x"]) for r in good.collect()}
+    for rid, s, x in rows:
+        gs, gx = got[rid]
+        assert gs == s, (rid, s, gs)
+        if x is None:
+            assert gx is None
+        else:
+            assert repr(gx) == repr(x), (rid, x, gx)
+    # every written line is one JSON object — embedded newlines escaped,
+    # so the files stay line-splittable
+    import glob
+    n_lines = sum(
+        sum(1 for _ in open(f)) for f in glob.glob(f"{path}/part-*.json")
+    )
+    assert n_lines == len(rows)
