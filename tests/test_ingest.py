@@ -230,3 +230,41 @@ def test_sniff_fallback_reads_footer_hostile_file(spark, tmp_path):
     assert {r.pickup_place for r in rows} == {"132", "7"}
     assert all(r.taxi_type == "yellow" for r in rows)
     assert all(r.pickup_datetime is not None for r in rows)
+
+
+def test_sniff_fallback_groups_by_full_declared_schema(spark, tmp_path):
+    """Two footer-hostile files whose DETECTED columns and datetime type
+    match but whose location column differs physically (int64 vs string)
+    must not share one declared-schema scan — last-writer-wins on the
+    group's declared schema would misread or fail the other file. The
+    group key includes every pruned field's type, so each file scans
+    with its own declared schema and both normalize correctly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def write_hostile(path, loc_array):
+        pq.write_table(
+            pa.table(
+                {
+                    "tpep_pickup_datetime": pa.array(
+                        [1_675_240_200_000_000] * 2, pa.timestamp("us")
+                    ),
+                    "PULocationID": loc_array,
+                    "Extra": pa.array([1, 2], pa.int64()),
+                    "extra": pa.array([3, 4], pa.int64()),
+                }
+            ),
+            path,
+        )
+
+    p_int = str(tmp_path / "yellow_tripdata_2023-02.parquet")
+    p_str = str(tmp_path / "yellow_tripdata_2023-02b.parquet")
+    write_hostile(p_int, pa.array([132, 7], pa.int64()))
+    write_hostile(p_str, pa.array(["214", "88"], pa.string()))
+
+    df, report = normalize_trips(spark, [p_int, p_str])
+    assert report.skipped == []
+    assert set(report.resolved) == {p_int, p_str}
+    rows = df.collect()
+    assert len(rows) == 4
+    assert {r.pickup_place for r in rows} == {"132", "7", "214", "88"}
