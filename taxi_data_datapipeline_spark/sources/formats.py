@@ -83,6 +83,17 @@ def read_orc(spark: SparkSession, path: str, **options: str) -> DataFrame:
 
 
 def write_orc(df: DataFrame, path: str, compression: str = "zlib") -> None:
+    """ORC sink.
+
+    Known fidelity hole in the underlying Spark/ORC writer (pinned by
+    ``tests/test_formats.py::test_orc_pre_epoch_boundary_microsecond``):
+    timestamps in the LAST SECOND BEFORE THE EPOCH — (1969-12-31
+    23:59:59.000000, 1970-01-01 00:00:00) exclusive of the whole second
+    — come back shifted +1 s (the writer truncates seconds toward zero,
+    so the -1 s borrow for the fractional part is lost exactly when the
+    truncated value is 0). Every other pre-epoch fractional timestamp
+    round-trips correctly, and parquet is unaffected — route pre-1970
+    sub-second data through parquet."""
     (
         df.write.mode("overwrite")
         .option("compression", compression)

@@ -146,3 +146,43 @@ def test_csv_roundtrip_hostile_strings(spark, tmp_path):
             assert math.isnan(b["x"]) if math.isnan(a["x"]) else (
                 repr(a["x"]) == repr(b["x"])
             ), (a["id"], a["x"], b["x"])
+
+
+def test_orc_pre_epoch_boundary_microsecond(spark, tmp_path):
+    """Documents an UPSTREAM Spark/ORC writer bug so a silent fix (or
+    regression elsewhere) is noticed: fractional timestamps inside the
+    final second before the epoch come back +1 s from an ORC round trip
+    (seconds truncate toward zero, losing the -1 s borrow); every
+    neighboring value and the parquet path are exact. write_orc's
+    docstring routes pre-1970 sub-second data to parquet."""
+    import datetime
+
+    from pyspark.sql.types import TimestampType
+
+    boundary = datetime.datetime(1969, 12, 31, 23, 59, 59, 999999)
+    neighbors = [
+        datetime.datetime(1969, 12, 31, 23, 59, 59),          # whole second
+        datetime.datetime(1969, 12, 31, 23, 59, 58, 999999),  # prior second
+        datetime.datetime(1970, 1, 1, 0, 0, 0, 1),            # after epoch
+        datetime.datetime(1902, 1, 1, 3, 4, 5, 123456),       # deep pre-epoch
+    ]
+    schema = StructType(
+        [StructField("id", LongType()), StructField("ts", TimestampType())]
+    )
+    rows = [(0, boundary)] + [(i + 1, n) for i, n in enumerate(neighbors)]
+    df = spark.createDataFrame(rows, schema)
+    orc_path = str(tmp_path / "orc_ts")
+    write_orc(df, orc_path)
+    back = {r["id"]: r["ts"] for r in read_orc(spark, orc_path).collect()}
+    # neighbors are exact
+    for i, n in enumerate(neighbors):
+        assert back[i + 1] == n, (n, back[i + 1])
+    # the boundary microsecond is the documented upstream corruption:
+    # +1 s shift. If this assert starts failing with back[0] == boundary,
+    # the upstream bug is fixed — delete the warning in write_orc.
+    assert back[0] == boundary + datetime.timedelta(seconds=1)
+    # parquet control: exact
+    pq_path = str(tmp_path / "pq_ts")
+    df.write.mode("overwrite").parquet(pq_path)
+    bp = {r["id"]: r["ts"] for r in spark.read.parquet(pq_path).collect()}
+    assert all(bp[i] == ts for i, ts in rows)
