@@ -3331,3 +3331,92 @@ def _install_cc_star_oracle() -> None:
 
 
 _install_cc_star_oracle()
+
+
+# --- streaming portable-HLL register build ------------------------------------
+
+
+@register(
+    "streaming_hll_registers",
+    f"""
+WITH h AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 2)) AS BIGINT)
+           AS bucket,
+         CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 3, 8)) AS BIGINT)
+           AS w
+  FROM events),
+r AS (
+  SELECT day, bucket,
+         MAX(CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END) AS mr
+  FROM h GROUP BY day, bucket),
+p AS (
+  SELECT day,
+         CAST(SUM(CAST(1 AS BIGINT) << (33 - mr)) AS BIGINT) AS s_present,
+         COUNT(*) AS n_present
+  FROM r GROUP BY day)
+SELECT day,
+       CAST(256 - n_present AS BIGINT) AS n_zero,
+       CAST(s_present + (256 - n_present) * 8589934592 AS BIGINT)
+         AS harmonic_scaled,
+       404351522913636.8 / (s_present + (256 - n_present) * 8589934592)
+         AS hll_estimate
+FROM p
+""",
+)
+def q_streaming_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The portable-HLL register build (see ``hll_portable_daily``)
+    executed through Structured Streaming: the register table is a
+    per-(window, bucket) MAX — HLL's merge operation IS max, so the
+    streaming state is 256 bigints per open day regardless of stream
+    cardinality, and late events fold in associatively under the
+    watermark. File stream -> 1-day tumbling window -> MAX(rho) state ->
+    AvailableNow drain; the drained register table then folds to the
+    estimate in one batch aggregation (exact-integer harmonic sum, one
+    literal float division — identical arithmetic to the batch twin, so
+    the SAME DuckDB oracle checks the streaming path bit-for-bit).
+
+    This is the canonical streaming-sketch architecture at 100 TB:
+    registers live in the state store (bounded), snapshots are mergeable
+    across streams/partitions/restarts, and the expensive fold runs only
+    at read time."""
+    raw = _stream_events(spark, sf_dir)
+    h = F.md5(F.col("user_id").cast("string"))
+    proj = raw.select(
+        "ts",
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("bigint").alias("bucket"),
+        F.conv(F.substring(h, 3, 8), 16, 10).cast("bigint").alias("w"),
+    ).withColumn(
+        "rho",
+        F.when(F.col("w") == 0, F.lit(33)).otherwise(
+            F.lit(33) - F.length(F.bin(F.col("w")))
+        ),
+    )
+    regs = (
+        proj.withWatermark("ts", "2 days")
+        .groupBy(F.window("ts", "1 day").alias("win"), "bucket")
+        .agg(F.max("rho").alias("mr"))
+    )
+    name = f"stream_hll_{next(_stream_counter)}"
+    q = (
+        regs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    drained = spark.table(name).select(
+        F.col("win.start").cast("date").alias("day"), "bucket", "mr"
+    )
+    per_day = drained.groupBy("day").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 33 - mr)")).alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    s_total = F.col("s_present") + (256 - F.col("n_present")) * F.lit(1 << 33)
+    return per_day.select(
+        "day",
+        (256 - F.col("n_present")).cast("bigint").alias("n_zero"),
+        s_total.cast("bigint").alias("harmonic_scaled"),
+        (F.lit(404351522913636.8) / s_total.cast("double")).alias("hll_estimate"),
+    )
