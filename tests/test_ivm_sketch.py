@@ -1,0 +1,115 @@
+"""Incremental view maintenance + mergeable histogram quantiles.
+
+The DuckDB gate already value-hash-checks both queries end-to-end; these
+tests pin the properties the hash can't see:
+
+* IVM: the signed-partial merge survives ANY batch split of the same
+  changelog (associativity/commutativity — the property that makes the
+  maintenance distributable), a delete that empties a group drops it,
+  and an update shifts revenue by exactly the delta.
+* Histogram quantiles: the interpolated estimate is within one bucket
+  width of the exact percentile (the sketch's error bound), and the
+  histogram pass shuffles bucket-sized, not row-sized, data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from taxi_data_datapipeline_spark.queries import QUERIES
+from taxi_data_datapipeline_spark.queries_incremental import _signed_partial
+
+SF = "/root/testdata/sf0.001"
+
+
+def _mk_changelog(spark, rows):
+    return spark.createDataFrame(
+        rows, "o_orderpriority string, omonth int, o_totalprice double, w long"
+    )
+
+
+def _merge(*partials):
+    out = partials[0]
+    for p in partials[1:]:
+        out = out.unionByName(p)
+    return (
+        out.groupBy("o_orderpriority", "omonth")
+        .agg(
+            F.sum("n_live").cast("long").alias("n_live"),
+            (F.sum("rev_cents").cast("double") / 100).alias("revenue"),
+        )
+        .filter(F.col("n_live") > 0)
+    )
+
+
+def test_ivm_merge_is_batch_split_invariant(spark):
+    rows = [
+        ("HIGH", 1, 100.0, 1),
+        ("HIGH", 1, 50.0, 1),
+        ("LOW", 2, 30.0, 1),
+        # update HIGH/1 100.0 -> 120.0 (retract + insert)
+        ("HIGH", 1, 100.0, -1),
+        ("HIGH", 1, 120.0, 1),
+        # delete the only LOW/2 row: group must vanish
+        ("LOW", 2, 30.0, -1),
+    ]
+    # One batch vs three batches vs reversed order — identical view.
+    views = [
+        _merge(_signed_partial(_mk_changelog(spark, rows))),
+        _merge(*[_signed_partial(_mk_changelog(spark, rows[i : i + 2]))
+                 for i in range(0, 6, 2)]),
+        _merge(_signed_partial(_mk_changelog(spark, rows[::-1]))),
+    ]
+    results = [sorted(map(tuple, v.collect())) for v in views]
+    assert results[0] == results[1] == results[2]
+    assert results[0] == [("HIGH", 1, 2, 170.0)]  # LOW/2 dropped, update applied
+
+
+def test_ivm_query_matches_scratch_recompute(spark):
+    view = QUERIES["mv_incremental_revenue"](spark, SF)
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    survived = (
+        orders.filter(F.col("o_orderkey") % 7 != 3)
+        .withColumn(
+            "price",
+            F.when(
+                (F.col("o_orderkey") % 11 == 5), F.col("o_totalprice") + 10.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .groupBy("o_orderpriority", F.month("o_orderdate").alias("omonth"))
+        .agg(
+            F.count(F.lit(1)).alias("n_live"),
+            (
+                F.sum((F.col("price") * 100).cast("decimal(38,0)")).cast("double")
+                / 100
+            ).alias("revenue"),
+        )
+    )
+    assert sorted(map(tuple, view.collect())) == sorted(
+        map(tuple, survived.collect())
+    )
+
+
+def test_histogram_quantile_error_bound(spark):
+    out = {r["q"]: r for r in QUERIES["histogram_quantile_estimate"](spark, SF).collect()}
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    mn, mx = li.agg(
+        F.min("l_extendedprice"), F.max("l_extendedprice")
+    ).first()
+    width = (mx - mn) / 256.0 + 0.01
+    exact = li.agg(
+        F.expr(
+            "percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.9, 0.99))"
+        )
+    ).first()[0]
+    for q, ex in zip((0.25, 0.5, 0.75, 0.9, 0.99), exact):
+        assert abs(out[q]["estimate"] - ex) <= width, (q, out[q]["estimate"], ex)
+
+
+def test_histogram_shuffle_is_bucket_sized(spark):
+    # The aggregate above the scan must group by the 256-ary bucket (a
+    # partial_count per bucket per partition), never shuffle raw rows.
+    plan = QUERIES["histogram_quantile_estimate"](
+        spark, SF
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan or "partial count" in plan.lower()
