@@ -1,0 +1,140 @@
+"""Storage-layout queries: hive-partitioned writes with partition-pruned
+reads, and schema evolution across parquet file generations.
+
+At 100 TB the dominant cost is usually the SCAN, and the two levers that
+cut it without touching the query are (a) directory layout — a
+hive-partitioned table turns a date predicate into a listing-time prune
+that never opens the non-matching files' footers — and (b) tolerating
+schema drift in place, so a new column doesn't force a full rewrite of
+petabytes of history. Both are exercised here under the full value-hash
+oracle: each query round-trips real table data through the layout and
+aggregates the read-back frame, while the oracle computes the identical
+aggregate straight from the original parquet.
+
+Reference parity: the reference pipeline globs flat monthly files and
+re-reads everything per run (pivot_all_files.py's directory walk); these
+queries are the layout-aware upgrade path a Spark deployment would take.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from taxi_data_datapipeline_spark.queries import load, register
+
+
+def _layout_dir(sf_dir: str, name: str) -> str:
+    """Fixed per-(query, sf_dir) scratch dir; overwrite-mode writes keep
+    reruns from accumulating files (same convention as queries_formats)."""
+    tag = re.sub(r"[^A-Za-z0-9_.-]", "_", os.path.abspath(sf_dir).strip("/"))
+    d = os.path.join(tempfile.gettempdir(), "spark_graft_layout", f"{name}_{tag}")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+@register(
+    "partitioned_scan_prune",
+    """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value * 100 AS DECIMAL(38,0))) AS DOUBLE) / 100 AS sum_value
+FROM events
+WHERE CAST(ts AS DATE) >= DATE '2024-01-08'
+  AND CAST(ts AS DATE) <= DATE '2024-01-14'
+GROUP BY event_type
+""",
+)
+def q_partitioned_scan_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events written hive-partitioned by day, then read back with a date
+    predicate that prunes at LISTING time: the filter matches the
+    partition column, so non-matching directories are skipped before any
+    footer is opened — `tests/test_layout.py` pins that the scan's
+    inputFiles() contain only the seven matching day directories. This is
+    the layout the reference's month-globbing filename convention
+    (yellow_tripdata_YYYY-MM) approximates by hand; hive partitioning
+    makes it a catalog property the optimizer applies to EVERY query.
+    Scale note: the write shuffles by day so each partition directory is
+    one file at this size (repartition before partitionBy avoids the
+    files-per-task x partitions small-file explosion at 1000 executors)."""
+    out = _layout_dir(sf_dir, "events_by_day")
+    events = load(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    (
+        events.repartition("event_date")
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).filter(
+        (F.col("event_date") >= F.lit("2024-01-08"))
+        & (F.col("event_date") <= F.lit("2024-01-14"))
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.sum((F.col("value") * 100).cast("decimal(38,0)")).cast("double")
+            / 100
+        ).alias("sum_value"),
+    )
+
+
+@register(
+    "schema_evolution_union",
+    """
+WITH tagged AS (
+  SELECT o_totalprice,
+         CASE WHEN o_orderkey % 2 = 1
+              THEN 'ch' || CAST(o_orderkey % 3 AS VARCHAR)
+              ELSE NULL END AS o_channel
+  FROM orders
+)
+SELECT COALESCE(o_channel, 'pre-migration') AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(38,0))) AS DOUBLE) / 100
+         AS revenue
+FROM tagged
+GROUP BY 1
+""",
+)
+def q_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two parquet generations of the orders table — a legacy file
+    written before the ``o_channel`` column existed and an evolved file
+    carrying it — read back as ONE frame with ``mergeSchema=true``:
+    Spark unions the footer schemas and fills the missing column with
+    NULL for legacy files, so history never needs rewriting when a
+    column lands. The aggregate groups on COALESCE(o_channel,
+    'pre-migration'), which value-hash-checks both the evolved rows'
+    channel values AND the null-fill semantics of the legacy rows.
+    Scale note: schema merge reads ONE footer per distinct file schema
+    set (spark.sql.parquet.mergeSchema does a distributed footer
+    collect); the data pages of unqueried columns are never read."""
+    base = _layout_dir(sf_dir, "orders_evolution")
+    legacy_dir, evolved_dir = f"{base}/legacy", f"{base}/evolved"
+    orders = load(spark, sf_dir, "orders")
+    legacy = orders.filter(F.col("o_orderkey") % 2 == 0)
+    evolved = orders.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+        "o_channel",
+        F.concat(F.lit("ch"), (F.col("o_orderkey") % 3).cast("string")),
+    )
+    legacy.write.mode("overwrite").parquet(legacy_dir)
+    evolved.write.mode("overwrite").parquet(evolved_dir)
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        legacy_dir, evolved_dir
+    )
+    return merged.groupBy(
+        F.coalesce(F.col("o_channel"), F.lit("pre-migration")).alias("channel")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (
+            F.sum((F.col("o_totalprice") * 100).cast("decimal(38,0)")).cast(
+                "double"
+            )
+            / 100
+        ).alias("revenue"),
+    )
