@@ -4585,3 +4585,139 @@ def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("returnflag", "total_weight", "w_median")
     )
+
+
+# --- KMV (k-minimum-values) distinct sketch with set operations --------------
+#
+# The HLL entries estimate |A| but cannot intersect; the KMV / theta-sketch
+# family (Bar-Yossef et al. 2002; Dasgupta et al., the DataSketches theta
+# sketch) keeps the k SMALLEST hash values of a set, and those k values
+# support union (merge-and-trim), intersection (membership of the union's
+# k-mins in both input sketches), and cardinality ((k-1)/u_k). State is k
+# 8-byte values regardless of input size; merges are associative — the
+# shape that rolls up distinct-with-intersection across 1000 executors.
+
+_KMV_K = 256
+_KMV_DEN = float(1 << 60)  # hash domain: 15 md5 hex chars = 60 bits
+
+
+@register(
+    "kmv_set_sketch",
+    f"""
+WITH ah AS (
+  SELECT DISTINCT CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))
+                       AS BIGINT) AS h
+  FROM lineitem WHERE l_returnflag = 'R'),
+bh AS (
+  SELECT DISTINCT CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))
+                       AS BIGINT) AS h
+  FROM lineitem WHERE l_returnflag = 'A'),
+sa AS (SELECT h FROM ah ORDER BY h LIMIT {_KMV_K}),
+sb AS (SELECT h FROM bh ORDER BY h LIMIT {_KMV_K}),
+su AS (
+  SELECT h FROM (SELECT DISTINCT h FROM (SELECT h FROM sa UNION ALL SELECT h FROM sb))
+  ORDER BY h LIMIT {_KMV_K}),
+rho AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS rho FROM su
+  WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)),
+mx AS (
+  SELECT (SELECT MAX(h) FROM sa) AS max_a,
+         (SELECT MAX(h) FROM sb) AS max_b,
+         (SELECT MAX(h) FROM su) AS max_u),
+exact AS (
+  SELECT COUNT(DISTINCT l_orderkey) FILTER (l_returnflag = 'R') AS exact_a,
+         COUNT(DISTINCT l_orderkey) FILTER (l_returnflag = 'A') AS exact_b,
+         COUNT(DISTINCT l_orderkey) FILTER (l_returnflag IN ('R', 'A')) AS exact_union
+  FROM lineitem)
+SELECT {_KMV_K} AS k,
+       CAST({_KMV_K - 1} AS DOUBLE) * {_KMV_DEN!r} / CAST(mx.max_a AS DOUBLE) AS est_a,
+       CAST({_KMV_K - 1} AS DOUBLE) * {_KMV_DEN!r} / CAST(mx.max_b AS DOUBLE) AS est_b,
+       CAST({_KMV_K - 1} AS DOUBLE) * {_KMV_DEN!r} / CAST(mx.max_u AS DOUBLE) AS est_union,
+       CAST(rho.rho AS DOUBLE) / {float(_KMV_K)!r} AS est_jaccard,
+       (CAST(rho.rho AS DOUBLE) / {float(_KMV_K)!r})
+         * (CAST({_KMV_K - 1} AS DOUBLE) * {_KMV_DEN!r} / CAST(mx.max_u AS DOUBLE))
+         AS est_intersect,
+       CAST(exact.exact_a AS BIGINT) AS exact_a,
+       CAST(exact.exact_b AS BIGINT) AS exact_b,
+       CAST(exact.exact_union AS BIGINT) AS exact_union,
+       CAST(exact.exact_a + exact.exact_b - exact.exact_union AS BIGINT)
+         AS exact_intersect
+FROM rho, mx, exact
+""",
+)
+def q_kmv_set_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct sketches over two order-key sets (returnflag R vs A):
+    per-set k-minimum hash values, merged to a union sketch, with
+    cardinality, Jaccard, and INTERSECTION estimates next to the exact
+    answers. Every union-sketch value that belongs to A is necessarily
+    within A's k smallest (the union's k-th min <= A's k-th min), so
+    membership tests run against the k-sized sketches — never the data.
+
+    Derandomized: the hash is md5 -> 60-bit integer, identical in DuckDB,
+    so estimates value-hash-match bit-for-bit. Scale shape: the only
+    corpus-sized work is a map-side-combined distinct on the 8-byte hash
+    column followed by TakeOrdered(k) (per-partition top-k, k*partitions
+    rows to the driver-side merge); everything downstream is k-row
+    frames. Estimate quality is pinned by the unit test (rel. error
+    within ~4/sqrt(k) of exact on all four set measures)."""
+    li = load(spark, sf_dir, "lineitem")
+
+    def kmins(flag: str) -> DataFrame:
+        h = F.conv(
+            F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        return (
+            li.filter(F.col("l_returnflag") == flag)
+            .select(h.alias("h"))
+            .distinct()
+            .orderBy("h")
+            .limit(_KMV_K)
+        )
+
+    sa, sb = kmins("R"), kmins("A")
+    su = sa.unionAll(sb).distinct().orderBy("h").limit(_KMV_K)
+    rho = (
+        su.join(sa, "h", "left_semi")
+        .join(sb, "h", "left_semi")
+        .agg(F.count(F.lit(1)).alias("rho"))
+    )
+    mx = (
+        sa.agg(F.max("h").alias("max_a"))
+        .crossJoin(sb.agg(F.max("h").alias("max_b")))
+        .crossJoin(su.agg(F.max("h").alias("max_u")))
+    )
+    exact = li.filter(F.col("l_returnflag").isin("R", "A")).agg(
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_orderkey"))
+        ).alias("exact_a"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "A", F.col("l_orderkey"))
+        ).alias("exact_b"),
+        F.count_distinct("l_orderkey").alias("exact_union"),
+    )
+
+    def est(maxcol: str):
+        return (
+            F.lit(float(_KMV_K - 1)) * F.lit(_KMV_DEN)
+            / F.col(maxcol).cast("double")
+        )
+
+    jac = F.col("rho").cast("double") / F.lit(float(_KMV_K))
+    return (
+        rho.crossJoin(mx)
+        .crossJoin(exact)
+        .select(
+            F.lit(_KMV_K).alias("k"),
+            est("max_a").alias("est_a"),
+            est("max_b").alias("est_b"),
+            est("max_u").alias("est_union"),
+            jac.alias("est_jaccard"),
+            (jac * est("max_u")).alias("est_intersect"),
+            F.col("exact_a").cast("long").alias("exact_a"),
+            F.col("exact_b").cast("long").alias("exact_b"),
+            F.col("exact_union").cast("long").alias("exact_union"),
+            (F.col("exact_a") + F.col("exact_b") - F.col("exact_union"))
+            .cast("long")
+            .alias("exact_intersect"),
+        )
+    )

