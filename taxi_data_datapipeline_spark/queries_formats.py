@@ -37,6 +37,8 @@ from pyspark.sql.types import (
 
 from taxi_data_datapipeline_spark.queries import load, register
 from taxi_data_datapipeline_spark.sources.formats import (
+    read_xml,
+    write_xml,
     read_csv,
     read_orc,
     write_csv,
@@ -246,3 +248,58 @@ def q_jsonl_roundtrip_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint").alias("content_sum"),
     )
     return per_lang.unionByName(corrupt)
+
+
+_CUSTOMER_XML_SCHEMA = StructType(
+    [
+        StructField("c_custkey", LongType()),
+        StructField("c_name", StringType()),
+        StructField("c_nationkey", LongType()),
+        StructField("c_acctbal", DoubleType()),
+        StructField("c_mktsegment", StringType()),
+    ]
+)
+
+
+@register(
+    "xml_roundtrip_agg",
+    """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(c_acctbal * 100 AS DECIMAL(38,0))) AS DOUBLE) / 100
+         AS sum_acctbal,
+       CAST(SUM(c_custkey) AS BIGINT) AS sum_key,
+       MIN(c_name) AS first_name,
+       MAX(c_name) AS last_name
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def q_xml_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer -> XML sink -> declared-schema XML scan -> segment
+    aggregate. Spark 4 ships the XML datasource natively (the old
+    spark-xml package, folded in), which is where a complete engine
+    meets B2B/legacy feeds. The value-hash catches the XML-specific
+    loss modes: doubles must print as shortest-round-trip strings and
+    parse back bit-identically, text must survive entity escaping, and
+    absent-element null semantics must not invent or drop rows — the
+    oracle aggregates the original parquet directly. Declared schema
+    only (in XML every scalar is text; inference would read the corpus
+    twice and still guess)."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    path = _rt_dir(sf_dir, "xml_rt")
+    write_xml(cust, path, row_tag="customer")
+    back = read_xml(spark, path, _CUSTOMER_XML_SCHEMA, row_tag="customer")
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        _money_sum("c_acctbal", "sum_acctbal"),
+        F.sum("c_custkey").alias("sum_key"),
+        F.min("c_name").alias("first_name"),
+        F.max("c_name").alias("last_name"),
+    )

@@ -106,3 +106,28 @@ def read_text(spark: SparkSession, path: str, whole: bool = False) -> DataFrame:
     custom parsers. ``whole=True`` yields one row per FILE, which is the
     unsplittable mode: only for small sidecar files, never the corpus."""
     return spark.read.text(path, wholetext=whole)
+
+
+def read_xml(
+    spark: SparkSession, path: str, schema: StructType, row_tag: str, **options: str
+) -> DataFrame:
+    """XML scan (Spark 4 built-in datasource) with a DECLARED schema —
+    same posture as read_csv: schema inference over XML is an extra
+    full pass AND type-guessy (everything is text in XML; only the
+    declared schema says '42' is a bigint, not a string). Row elements
+    are matched by ``row_tag``; files split at row boundaries, so large
+    documents scan in parallel like any text format."""
+    reader = spark.read.format("xml").schema(schema).option("rowTag", row_tag)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def write_xml(df: DataFrame, path: str, row_tag: str, **options: str) -> None:
+    """XML sink. Nulls are written as ABSENT elements (the reader's
+    declared schema restores them as NULL); special characters are
+    entity-escaped by the writer, so text round-trips losslessly."""
+    writer = df.write.mode("overwrite").format("xml").option("rowTag", row_tag)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save(path)
