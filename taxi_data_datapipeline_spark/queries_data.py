@@ -4437,3 +4437,84 @@ def q_nucleus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("vocab_p95")
         )
     )
+
+
+@register(
+    "rolling_origin_cv",
+    """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(o_totalprice * 100 AS DECIMAL(38,0))) AS cents
+  FROM orders GROUP BY 1),
+idx AS (
+  SELECT day, cents,
+         ROW_NUMBER() OVER (ORDER BY day) AS i,
+         COUNT(*) OVER () AS n
+  FROM daily),
+folds AS (SELECT UNNEST([1, 2, 3]) AS fold),
+assign AS (
+  SELECT f.fold,
+         CASE WHEN i.i <= (i.n * (5 + f.fold)) // 10 THEN 'train'
+              WHEN i.i <= LEAST((i.n * (5 + f.fold)) // 10 + i.n // 10, i.n)
+              THEN 'test' END AS role,
+         i.day, i.cents
+  FROM idx i, folds f)
+SELECT fold, role,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       MIN(day) AS first_day, MAX(day) AS last_day,
+       CAST(SUM(cents) AS DOUBLE) / 100 AS revenue
+FROM assign WHERE role IS NOT NULL
+GROUP BY fold, role
+""",
+)
+def q_rolling_origin_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin (expanding-window) cross-validation folds for
+    time-series models: fold k trains on the first (50+10k)% of days and
+    tests on the following 10% — the temporally-sound alternative to
+    random K-fold, which leaks the future into training. Assignment is
+    pure rank arithmetic on the day index (integer division, no RNG), so
+    folds are reproducible on any engine and stable as history grows
+    only by appending. Output is the per-fold/role day span and revenue
+    mass, i.e. the exact cut sheet a training job consumes. The daily
+    rollup shuffles once; the day-index window runs over the tiny daily
+    frame, and fold fan-out is a 3-row broadcast cross join."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum((F.col("o_totalprice") * 100).cast("decimal(38,0)")).alias(
+                "cents"
+            )
+        )
+    )
+    w = Window.orderBy("day")
+    idx = daily.select(
+        "day",
+        "cents",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+    folds = spark.range(1, 4).select(F.col("id").cast("int").alias("fold"))
+    cut = F.expr("(n * (5 + fold)) DIV 10")
+    hi = F.least(cut + F.expr("n DIV 10"), F.col("n"))
+    assign = idx.crossJoin(F.broadcast(folds)).select(
+        "fold",
+        F.when(F.col("i") <= cut, F.lit("train"))
+        .when(F.col("i") <= hi, F.lit("test"))
+        .alias("role"),
+        "day",
+        "cents",
+    )
+    return (
+        assign.filter(F.col("role").isNotNull())
+        .groupBy("fold", "role")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.min("day").alias("first_day"),
+            F.max("day").alias("last_day"),
+            (F.sum("cents").cast("double") / 100).alias("revenue"),
+        )
+    )

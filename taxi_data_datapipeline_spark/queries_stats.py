@@ -4721,3 +4721,92 @@ def q_kmv_set_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("exact_intersect"),
         )
     )
+
+
+# --- Approximate query processing (BlinkDB-style sampled aggregates) ---------
+
+
+@register(
+    "aqp_group_revenue",
+    """
+WITH base AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(('0x' || substring(
+             md5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)),
+             1, 8)) AS BIGINT) % 10 AS coin
+  FROM lineitem),
+samp AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n_sample,
+         SUM(cents) AS s,
+         SUM(CAST(cents AS DECIMAL(38,0)) * cents) AS ssq
+  FROM base WHERE coin = 3 GROUP BY l_returnflag),
+exact AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n_exact,
+         CAST(SUM(cents) AS DOUBLE) / 100.0 AS exact_revenue
+  FROM base GROUP BY l_returnflag)
+SELECT s.l_returnflag,
+       s.n_sample, e.n_exact,
+       CAST(s.s AS DOUBLE) * 10.0 / 100.0 AS est_revenue,
+       sqrt(90.0 * CAST(s.ssq AS DOUBLE)) / 100.0 AS se_revenue,
+       e.exact_revenue
+FROM samp s JOIN exact e ON s.l_returnflag = e.l_returnflag
+""",
+)
+def q_aqp_group_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing over a deterministic 10% row sample
+    (BlinkDB / AQUA lineage): per-group revenue estimated from the
+    sample with a Horvitz-Thompson inverse-probability weight (x10) and
+    a standard error from the Bernoulli-sampling variance
+    Var = ((1-p)/p^2) * sum(x_i^2), next to the exact answer.
+
+    The sampling coin is md5 of the row's natural key — deterministic,
+    engine-portable, and stable under repartitioning (unlike
+    TABLESAMPLE / sample(), which are per-partition-seeded) — so the
+    entire estimate INCLUDING the error bar value-hash-matches DuckDB.
+    Scale shape: the sample filter is map-side (evaluated in the scan
+    stage, 90% of rows never reach the aggregate); at 100 TB this is
+    the interactive tier — a 10x cheaper scan for a ~3-sigma-bounded
+    answer, with the exact branch here only to exhibit the error."""
+    li = load(spark, sf_dir, "lineitem")
+    key = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit(":"),
+        F.col("l_linenumber").cast("string"),
+    )
+    base = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        (
+            F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % 10
+        ).alias("coin"),
+    )
+    samp = (
+        base.filter(F.col("coin") == 3)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_sample"),
+            F.sum("cents").alias("s"),
+            F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias(
+                "ssq"
+            ),
+        )
+    )
+    exact = base.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        (F.sum("cents").cast("double") / F.lit(100.0)).alias("exact_revenue"),
+    )
+    return samp.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        "n_sample",
+        "n_exact",
+        (F.col("s").cast("double") * F.lit(10.0) / F.lit(100.0)).alias(
+            "est_revenue"
+        ),
+        (
+            F.sqrt(F.lit(90.0) * F.col("ssq").cast("double")) / F.lit(100.0)
+        ).alias("se_revenue"),
+        "exact_revenue",
+    )

@@ -113,3 +113,27 @@ def test_histogram_shuffle_is_bucket_sized(spark):
         spark, SF
     )._jdf.queryExecution().executedPlan().toString()
     assert "partial_count" in plan or "partial count" in plan.lower()
+
+
+def test_aqp_estimate_within_error_bars(spark):
+    rows = QUERIES["aqp_group_revenue"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        # Bernoulli-sampling CLT: exact within 5 standard errors, and the
+        # sample is ~10% of rows (binomial 5-sigma bounds at these n).
+        assert abs(r["est_revenue"] - r["exact_revenue"]) <= 5 * r["se_revenue"]
+        frac = r["n_sample"] / r["n_exact"]
+        assert 0.03 < frac < 0.2, frac
+
+
+def test_rolling_origin_folds_are_temporally_sound(spark):
+    rows = {(r["fold"], r["role"]): r for r in QUERIES["rolling_origin_cv"](spark, SF).collect()}
+    for fold in (1, 2, 3):
+        tr, te = rows[(fold, "train")], rows[(fold, "test")]
+        # test strictly follows train, contiguously
+        assert tr["last_day"] < te["first_day"]
+        # expanding window: each fold trains on strictly more days
+        if fold > 1:
+            assert tr["n_days"] > rows[(fold - 1, "train")]["n_days"]
+            # and fold k's test start is after fold k-1's
+            assert te["first_day"] > rows[(fold - 1, "test")]["first_day"]
