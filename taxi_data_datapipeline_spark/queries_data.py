@@ -4518,3 +4518,84 @@ def q_rolling_origin_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("cents").cast("double") / 100).alias("revenue"),
         )
     )
+
+
+@register(
+    "token_budget_mix",
+    """
+WITH s AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS chars
+  FROM documents GROUP BY source
+), sh AS (
+  SELECT source, chars,
+         ROUND(POWER(CAST(chars AS DOUBLE), 0.7)
+               / SUM(POWER(CAST(chars AS DOUBLE), 0.7)) OVER (), 6) AS share
+  FROM s
+), base AS (
+  SELECT source, chars, share,
+         CAST(FLOOR(1000000 * share) AS BIGINT) AS alloc_base,
+         1000000 * share - FLOOR(1000000 * share) AS rem
+  FROM sh
+), ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rr,
+         1000000 - SUM(alloc_base) OVER () AS leftover
+  FROM base
+)
+SELECT source, chars, share,
+       alloc_base,
+       CAST(CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT) AS extra,
+       alloc_base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS alloc_final
+FROM ranked
+""",
+)
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget allocation across sources by temperature-weighted
+    largest-remainder apportionment: each source's share is
+    chars^0.7 / sum(chars^0.7) (the multilingual-mixing temperature that
+    upsamples small sources), the 1M-token budget is floored per source,
+    and the leftover tokens go one-by-one to the largest fractional
+    remainders — the classic Hamilton method, which guarantees the
+    allocations sum EXACTLY to the budget (pinned by the unit test; a
+    naive round() can over- or under-spend). Shares are rounded to 6
+    decimals before any integer arithmetic (the engine's
+    rounded-transcendental convention) so the floor boundary is the
+    same bit pattern in both engines. Planning-table sized: one shuffle
+    to the per-source rollup, then window math over a handful of rows."""
+    d = load(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(F.sum("n_chars").cast("bigint").alias("chars"))
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pw = F.pow(F.col("chars").cast("double"), F.lit(0.7))
+    sh = s.select(
+        "source",
+        "chars",
+        F.round(pw / F.sum(pw).over(wall), 6).alias("share"),
+    )
+    base = sh.select(
+        "source",
+        "chars",
+        "share",
+        F.floor(F.lit(1000000) * F.col("share")).cast("long").alias("alloc_base"),
+        (
+            F.lit(1000000) * F.col("share")
+            - F.floor(F.lit(1000000) * F.col("share"))
+        ).alias("rem"),
+    )
+    ranked = base.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("rem").desc(), "source"))
+        .alias("rr"),
+        (F.lit(1000000) - F.sum("alloc_base").over(wall)).alias("leftover"),
+    )
+    extra = F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+    return ranked.select(
+        "source",
+        "chars",
+        "share",
+        "alloc_base",
+        extra.cast("long").alias("extra"),
+        (F.col("alloc_base") + extra).alias("alloc_final"),
+    )

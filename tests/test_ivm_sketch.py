@@ -137,3 +137,14 @@ def test_rolling_origin_folds_are_temporally_sound(spark):
             assert tr["n_days"] > rows[(fold - 1, "train")]["n_days"]
             # and fold k's test start is after fold k-1's
             assert te["first_day"] > rows[(fold - 1, "test")]["first_day"]
+
+
+def test_token_budget_allocations_sum_to_budget(spark):
+    rows = QUERIES["token_budget_mix"](spark, SF).collect()
+    assert sum(r["alloc_final"] for r in rows) == 1_000_000
+    assert all(r["alloc_final"] >= r["alloc_base"] >= 0 for r in rows)
+    # temperature < 1 upsamples small sources: allocation shares are
+    # flatter than raw char shares (smallest source gets MORE than raw).
+    total_chars = sum(r["chars"] for r in rows)
+    smallest = min(rows, key=lambda r: r["chars"])
+    assert smallest["alloc_final"] / 1_000_000 > smallest["chars"] / total_chars
