@@ -4810,3 +4810,109 @@ def q_aqp_group_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("se_revenue"),
         "exact_revenue",
     )
+
+
+# --- point-in-polygon (ray casting, engine-exact arithmetic) ------------------
+
+_PIP_VERTS = [
+    (-74.9, 40.15),
+    (-73.3, 40.25),
+    (-74.1, 40.55),
+    (-73.6, 40.95),
+    (-74.95, 40.85),
+]
+_PIP_EDGES = [
+    (x1, y1, x2, y2)
+    for (x1, y1), (x2, y2) in zip(_PIP_VERTS, _PIP_VERTS[1:] + _PIP_VERTS[:1])
+]
+
+
+def _pip_edges_sql() -> str:
+    rows = ", ".join(f"({x1!r}, {y1!r}, {x2!r}, {y2!r})" for x1, y1, x2, y2 in _PIP_EDGES)
+    return f"(VALUES {rows}) AS e(x1, y1, x2, y2)"
+
+
+@register(
+    "point_in_polygon",
+    f"""
+WITH pts AS (
+  SELECT value, COUNT(*) AS n,
+         CAST(value * 0.01 + 40.0 AS DOUBLE) AS lat,
+         CAST(value * -0.02 - 73.0 AS DOUBLE) AS lon
+  FROM events GROUP BY value
+),
+cross_tests AS (
+  SELECT p.value, p.n,
+         CASE WHEN ((e.y1 > p.lat) <> (e.y2 > p.lat))
+               AND p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) + e.x1
+              THEN 1 ELSE 0 END AS crossed
+  FROM pts p, {_pip_edges_sql()}
+),
+verdict AS (
+  SELECT value, n, SUM(crossed) % 2 = 1 AS inside
+  FROM cross_tests GROUP BY value, n
+)
+SELECT inside,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM verdict GROUP BY inside
+""",
+)
+def q_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon containment by ray casting (crossing-number),
+    against a non-convex pentagon: for each distinct point, count the
+    polygon edges a horizontal ray crosses; odd = inside. The edge test
+    is four arithmetic ops and two comparisons on IEEE doubles built
+    from the same literals in both engines, so even this geometric
+    predicate value-hash-matches — no geo library, no epsilon.
+
+    Scale shape: points dedupe first (grid-bounded, not event-bounded),
+    then join a BROADCAST 5-row edge table — the crossing counts are a
+    map-side expand of x5 followed by one bounded aggregation. A real
+    polygon layer (thousands of fences) would first block points and
+    polygon bounding boxes to the same grid cells (`geo_radius_nn`'s
+    cell join), then run this exact predicate per candidate pair."""
+    ev = load(spark, sf_dir, "events")
+    pts = (
+        ev.groupBy("value")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "value",
+            "n",
+            (F.col("value") * 0.01 + 40.0).alias("lat"),
+            (F.col("value") * -0.02 - 73.0).alias("lon"),
+        )
+    )
+    edges = spark.createDataFrame(
+        _PIP_EDGES, "x1 double, y1 double, x2 double, y2 double"
+    )
+    crossed = (
+        pts.crossJoin(F.broadcast(edges))
+        .select(
+            "value",
+            "n",
+            F.when(
+                ((F.col("y1") > F.col("lat")) != (F.col("y2") > F.col("lat")))
+                & (
+                    F.col("lon")
+                    < (F.col("x2") - F.col("x1"))
+                    * (F.col("lat") - F.col("y1"))
+                    / (F.col("y2") - F.col("y1"))
+                    + F.col("x1")
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("crossed"),
+        )
+    )
+    verdict = crossed.groupBy("value", "n").agg(
+        (F.sum("crossed") % 2 == 1).alias("inside")
+    )
+    return verdict.groupBy("inside").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("n").cast("long").alias("n_events"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
