@@ -4916,3 +4916,126 @@ def q_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     )
+
+
+@register(
+    "grouped_histogram_quantiles",
+    """
+WITH c AS (
+  SELECT l_returnflag AS grp,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+),
+bounds AS (
+  SELECT grp, MIN(cents) AS mn, MAX(cents) - MIN(cents) + 1 AS span,
+         COUNT(*) AS n
+  FROM c GROUP BY grp
+),
+hist AS (
+  SELECT c.grp, ((c.cents - b.mn) * 256) // b.span AS bucket, COUNT(*) AS cnt
+  FROM c JOIN bounds b ON c.grp = b.grp
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT grp, bucket, cnt,
+         SUM(cnt) OVER (PARTITION BY grp ORDER BY bucket) AS cum,
+         SUM(cnt) OVER (PARTITION BY grp ORDER BY bucket) - cnt AS cum_before
+  FROM hist
+),
+qs AS (SELECT UNNEST([0.5, 0.95]) AS q),
+targets AS (
+  SELECT b.grp, qs.q, CAST(ceil(qs.q * b.n) AS BIGINT) AS target, b.mn, b.span
+  FROM qs, bounds b
+),
+chosen AS (
+  SELECT t.grp, t.q, t.target, t.mn, t.span, MIN(c.bucket) AS bucket
+  FROM targets t JOIN cum c ON c.grp = t.grp AND c.cum >= t.target
+  GROUP BY t.grp, t.q, t.target, t.mn, t.span
+)
+SELECT ch.grp AS returnflag, ch.q,
+       ch.target AS target_rank,
+       ch.bucket,
+       (CAST(ch.mn AS DOUBLE)
+        + CAST(ch.bucket AS DOUBLE) * (CAST(ch.span AS DOUBLE) / 256.0)
+        + (CAST(ch.target - c.cum_before AS DOUBLE) / CAST(c.cnt AS DOUBLE))
+          * (CAST(ch.span AS DOUBLE) / 256.0)) / 100.0 AS estimate
+FROM chosen ch JOIN cum c ON c.grp = ch.grp AND c.bucket = ch.bucket
+""",
+)
+def q_grouped_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP mergeable histogram quantiles — the production shape of
+    `histogram_quantile_estimate` (p50/p95 per tenant/flag/day): each
+    group gets its own min/max-anchored 256-bucket integer-cent
+    histogram, built in one pass with map-side combine, so the shuffle
+    carries <=256 rows per group per partition no matter how many rows
+    feed it and no group ever sorts its values. Windows partition BY
+    GROUP (bounded per-partition work — the audit-clean form of the
+    cumulative scan); interpolation arithmetic is the shared expression
+    tree, so estimates value-hash across engines."""
+    li = load(spark, sf_dir, "lineitem")
+    c = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    bounds = c.groupBy("grp").agg(
+        F.min("cents").alias("mn"),
+        (F.max("cents") - F.min("cents") + 1).alias("span"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    hist = (
+        c.join(F.broadcast(bounds), "grp")
+        .select("grp", F.expr("((cents - mn) * 256) DIV span").alias("bucket"))
+        .groupBy("grp", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("grp").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.select(
+        "grp",
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("cum_before"),
+    )
+    targets = bounds.select(
+        "grp",
+        F.explode(F.array(F.lit(0.5), F.lit(0.95))).alias("q"),
+        "n",
+        "mn",
+        "span",
+    ).select(
+        "grp",
+        "q",
+        F.ceil(F.col("q") * F.col("n")).cast("long").alias("target"),
+        "mn",
+        "span",
+    )
+    chosen = (
+        F.broadcast(targets)
+        .join(cum.select("grp", "bucket", "cum"),
+              (targets["grp"] == cum["grp"]) & (F.col("cum") >= F.col("target")))
+        .drop(cum["grp"])
+        .groupBy("grp", "q", "target", "mn", "span")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    width = F.col("span").cast("double") / F.lit(256.0)
+    est_cents = (
+        F.col("mn").cast("double")
+        + F.col("bucket").cast("double") * width
+        + (
+            (F.col("target") - F.col("cum_before")).cast("double")
+            / F.col("cnt").cast("double")
+        )
+        * width
+    )
+    return (
+        chosen.join(cum.select("grp", "bucket", "cnt", "cum_before"), ["grp", "bucket"])
+        .select(
+            F.col("grp").alias("returnflag"),
+            "q",
+            F.col("target").alias("target_rank"),
+            "bucket",
+            (est_cents / F.lit(100.0)).alias("estimate"),
+        )
+    )
