@@ -3420,3 +3420,185 @@ def q_streaming_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
         s_total.cast("bigint").alias("harmonic_scaled"),
         (F.lit(404351522913636.8) / s_total.cast("double")).alias("hll_estimate"),
     )
+
+
+@register(
+    "interval_coverage",
+    """
+WITH iv AS (
+  SELECT user_id, ts AS s, ts + INTERVAL 5 MINUTE AS e
+  FROM events
+),
+marked AS (
+  SELECT user_id, s, e,
+         CASE WHEN s > MAX(e) OVER (
+                PARTITION BY user_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              OR MAX(e) OVER (
+                PARTITION BY user_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+islands AS (
+  SELECT user_id, s, e,
+         SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM marked
+),
+merged AS (
+  SELECT user_id, island, MIN(s) AS island_start, MAX(e) AS island_end
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(epoch_us(island_end) - epoch_us(island_start)) AS BIGINT)
+            // 1000000 AS covered_seconds,
+       MIN(island_start) AS first_start,
+       MAX(island_end) AS last_end
+FROM merged GROUP BY user_id
+""",
+)
+def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union length of overlapping intervals per user (each event opens a
+    5-minute activity window): the sweep-line classic, relationally — a
+    running MAX(end) window marks rows that start PAST everything seen
+    before (new island), a running SUM of those marks numbers the
+    islands, and merged islands report exact covered seconds. This is
+    the measure sessionization can't give (a session's span counts idle
+    gaps shorter than the gap parameter; coverage counts only covered
+    time) and the one dedup can't either (overlap is partial, not
+    exact). Integer epoch-microsecond arithmetic end to end. One
+    shuffle on user_id; both windows and the island rollup reuse that
+    partitioning."""
+    ev = load(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("e"),
+    )
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(
+            F.max("e").over(wprev).isNull()
+            | (F.col("s") > F.max("e").over(wprev)),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = marked.select(
+        "user_id", "s", "e", F.sum("new_island").over(wrun).alias("island")
+    )
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("island_start"), F.max("e").alias("island_end")
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum(
+                F.unix_micros("island_end") - F.unix_micros("island_start")
+            )
+            .cast("long")
+            .alias("us_total"),
+            F.min("island_start").alias("first_start"),
+            F.max("island_end").alias("last_end"),
+        )
+        .select(
+            "user_id",
+            "n_islands",
+            F.expr("us_total DIV 1000000").alias("covered_seconds"),
+            "first_start",
+            "last_end",
+        )
+    )
+
+
+@register(
+    "watermark_late_audit",
+    """
+WITH arr AS (
+  SELECT event_type, ts,
+         MAX(ts) OVER (PARTITION BY event_type ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS high_water
+  FROM events
+),
+lat AS (
+  SELECT event_type,
+         CAST(epoch_us(high_water) - epoch_us(ts) AS BIGINT) AS late_us
+  FROM arr
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN late_us = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_order,
+       CAST(SUM(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dropped_at_10m,
+       CAST(SUM(CASE WHEN late_us > 3600000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dropped_at_1h,
+       CAST(MAX(late_us) // 1000000 AS BIGINT) AS max_late_seconds
+FROM lat GROUP BY event_type
+""",
+)
+def q_watermark_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark design audit, computed in batch BEFORE a stream exists:
+    replay the log in ingestion order (event_id) per partition
+    (event_type — the unit that carries its own high-water mark, like a
+    Kafka partition), measure each event's lateness against the running
+    MAX(event time), and report how many rows candidate watermarks
+    (10 min, 1 h) would DROP. This is the number you need to pick the
+    delay for every withWatermark() in the streaming tier — too short
+    silently discards data, too long bloats state — and it's pure
+    window arithmetic over integer epoch-microseconds, so it
+    value-hashes. Shuffles once on the partition key; the running max
+    reuses that partitioning."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    lat = ev.select(
+        "event_type",
+        (
+            F.unix_micros(F.max("ts").over(w)) - F.unix_micros(F.col("ts"))
+        ).alias("late_us"),
+    )
+    return (
+        lat.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("late_us") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_in_order"),
+            F.sum(F.when(F.col("late_us") > 600000000, 1).otherwise(0))
+            .cast("long")
+            .alias("dropped_at_10m"),
+            F.sum(F.when(F.col("late_us") > 3600000000, 1).otherwise(0))
+            .cast("long")
+            .alias("dropped_at_1h"),
+            F.max("late_us").alias("max_late_us"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_in_order",
+            "dropped_at_10m",
+            "dropped_at_1h",
+            F.expr("max_late_us DIV 1000000").alias("max_late_seconds"),
+        )
+    )
