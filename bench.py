@@ -178,6 +178,11 @@ def main() -> None:
         probes.append(cpu_probe_ms())
         times.clear()
         walls.append(one_pass())
+        # Bracket the pass with a second probe: a neighbor-tenant burst that
+        # starts mid-pass is invisible to the start probe (observed: start
+        # probes 15.6/10.8 ms around an 83.7/83.3 s wall pair — a false
+        # convergence 25% above the real wall).
+        probes.append(cpu_probe_ms())
         for n, t in times.items():
             if t < min_times.get(n, float("inf")):
                 min_times[n] = t
@@ -187,8 +192,16 @@ def main() -> None:
         # served by the budget guard / n_max loop bound instead).
         if len(walls) >= 2 and i + 1 >= n_min:
             lo = sorted(walls)
-            if lo[1] <= 1.10 * lo[0]:
-                break  # fastest wall reproduced within 10% — converged
+            # Two walls agreeing is only convergence if the fastest one ran
+            # on a HEALTHY host: two equally-contended passes also agree
+            # within 10%. The fastest pass counts as healthy when BOTH its
+            # bracketing probes are within 30% of the best probe seen this
+            # run; when the host never quiets, the budget guard / n_max
+            # still bound the loop and the min wall is reported as before.
+            k = walls.index(lo[0])
+            pass_ok = max(probes[2 * k], probes[2 * k + 1]) <= 1.30 * min(probes)
+            if lo[1] <= 1.10 * lo[0] and pass_ok:
+                break  # fastest wall reproduced within 10% on a quiet host
         if time.time() - t_start + min(walls) > budget:
             break  # another pass would risk the harness timeout
     times.clear()
