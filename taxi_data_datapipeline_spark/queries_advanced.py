@@ -3602,3 +3602,198 @@ def q_watermark_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("max_late_us DIV 1000000").alias("max_late_seconds"),
         )
     )
+
+
+@register(
+    "count_distinct_window",
+    """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ROW_NUMBER() OVER (
+                PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS first_seen
+  FROM events
+),
+running AS (
+  SELECT user_id, ts, event_id,
+         SUM(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS distinct_types_so_far
+  FROM flagged
+)
+SELECT user_id,
+       CAST(MAX(distinct_types_so_far) AS BIGINT) AS final_distinct_types,
+       CAST(MIN(CASE WHEN distinct_types_so_far >= 3 THEN event_id END) AS BIGINT)
+         AS event_reaching_3
+FROM running GROUP BY user_id
+""",
+)
+def q_count_distinct_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over a window — which SQL engines reject
+    outright (DISTINCT isn't a legal window aggregate) — via the
+    first-seen decomposition: rank each (user, type) by time, flag rank
+    1, and a running SUM of flags IS the running distinct count. Output
+    per user: the final distinct-type count and the event at which the
+    user first reached 3 distinct types (the activation-milestone query
+    product analytics runs daily). Two windows, both over the SAME
+    user-key shuffle (the second reuses the first's partitioning);
+    no quadratic re-scan of history per row."""
+    ev = load(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("first_seen"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    running = flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("first_seen").over(w_run).alias("distinct_types_so_far"),
+    )
+    return running.groupBy("user_id").agg(
+        F.max("distinct_types_so_far").alias("final_distinct_types"),
+        F.min(
+            F.when(F.col("distinct_types_so_far") >= 3, F.col("event_id"))
+        )
+        .cast("long")
+        .alias("event_reaching_3"),
+    )
+
+
+@register(
+    "l_diversity_report",
+    """
+WITH buckets AS (
+  SELECT CAST(FLOOR(value / 10) AS BIGINT) AS value_band,
+         CAST(user_id % 10 AS BIGINT) AS user_cohort,
+         event_type
+  FROM events
+),
+grp AS (
+  SELECT value_band, user_cohort,
+         CAST(COUNT(*) AS BIGINT) AS k_size,
+         CAST(COUNT(DISTINCT event_type) AS BIGINT) AS l_distinct
+  FROM buckets GROUP BY value_band, user_cohort
+)
+SELECT l_distinct,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(k_size) AS BIGINT) AS n_rows,
+       CAST(MIN(k_size) AS BIGINT) AS min_k
+FROM grp GROUP BY l_distinct
+""",
+)
+def q_l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. '07) — the metric
+    k-anonymity misses: a quasi-identifier group can be k-large yet
+    reveal everyone's sensitive value if that value is CONSTANT within
+    the group. Per (value-band, user-cohort) quasi-identifier group,
+    count distinct sensitive values (event_type); report the group-count
+    histogram by l with group sizes, so the release decision ("publish
+    only l >= 2 cells, suppress the rest") reads off one table. Pairs
+    with `k_anonymity_report` — same grouping discipline, orthogonal
+    failure mode. One shuffle; the distinct runs inside the group
+    aggregate (Expand, map-side partials)."""
+    ev = load(spark, sf_dir, "events")
+    grp = (
+        ev.select(
+            F.floor(F.col("value") / 10).cast("long").alias("value_band"),
+            (F.col("user_id") % 10).cast("long").alias("user_cohort"),
+            "event_type",
+        )
+        .groupBy("value_band", "user_cohort")
+        .agg(
+            F.count(F.lit(1)).alias("k_size"),
+            F.count_distinct("event_type").alias("l_distinct"),
+        )
+    )
+    return grp.groupBy("l_distinct").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("k_size").cast("long").alias("n_rows"),
+        F.min("k_size").cast("long").alias("min_k"),
+    )
+
+
+@register(
+    "share_of_parent",
+    """
+WITH rev AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         SUM(CAST(o.o_totalprice * 100 AS DECIMAL(38,0))) AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+),
+lvl AS (
+  SELECT region, nation, cents,
+         SUM(cents) OVER (PARTITION BY region) AS region_cents,
+         SUM(cents) OVER () AS total_cents
+  FROM rev
+)
+SELECT region, nation,
+       CAST(cents AS DOUBLE) / 100 AS revenue,
+       ROUND(CAST(cents AS DOUBLE) / CAST(region_cents AS DOUBLE), 6)
+         AS share_of_region,
+       ROUND(CAST(region_cents AS DOUBLE) / CAST(total_cents AS DOUBLE), 6)
+         AS region_share_of_total
+FROM lvl
+""",
+)
+def q_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical percent-of-parent report: nation revenue as a share
+    of its region, and the region as a share of the total — the
+    drill-down ratio table every BI rollup needs, computed with exact
+    decimal cents at every level so the ratios are the same bits on any
+    engine (ROUND(.,6) per the transcendental-free share convention).
+    The region-level window rides the region key; the grand total is a
+    window over the NATION-level aggregate (25 rows), so no fact-sized
+    data ever crosses a global window — the same cells rollup_agg
+    produces, augmented with parent ratios."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum((F.col("o_totalprice") * 100).cast("decimal(38,0)")).alias(
+                "cents"
+            )
+        )
+        .limit(100000)
+    )
+    wr = Window.partitionBy("region")
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    lvl = rev.select(
+        "region",
+        "nation",
+        "cents",
+        F.sum("cents").over(wr).alias("region_cents"),
+        F.sum("cents").over(wall).alias("total_cents"),
+    )
+    return lvl.select(
+        "region",
+        "nation",
+        (F.col("cents").cast("double") / 100).alias("revenue"),
+        F.round(
+            F.col("cents").cast("double") / F.col("region_cents").cast("double"),
+            6,
+        ).alias("share_of_region"),
+        F.round(
+            F.col("region_cents").cast("double")
+            / F.col("total_cents").cast("double"),
+            6,
+        ).alias("region_share_of_total"),
+    )
