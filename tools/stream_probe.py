@@ -181,12 +181,42 @@ def probe_dedup(spark, rps, target_events, max_seconds) -> dict:
     return _drain(q, target_events, max_seconds)
 
 
+def probe_join(spark, rps, target_events, max_seconds, n_users=50_000) -> dict:
+    """Stream-stream watermarked interval join (the streaming_interval_
+    attribution shape): one rate source split into a view stream and a
+    purchase stream by value parity, joined per user within a 1-minute
+    forward window. JVM symmetric hash join — the ceiling is state-store
+    insert/eviction on BOTH sides, the most state-intensive operator in
+    the streaming tier."""
+    from taxi_data_datapipeline_spark.streaming.joins import interval_join
+
+    ev = _event_stream(spark, rps, n_users).select(
+        "ts", "event_id", "user_id", "value"
+    )
+    views = ev.filter(F.col("event_id") % 2 == 0)
+    purchases = ev.filter(F.col("event_id") % 2 == 1)
+    joined = interval_join(
+        views, purchases, on="user_id", window="1 minute", watermark="2 minutes"
+    ).select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("r.value").alias("value"),
+    )
+    q = (
+        joined.writeStream.format("noop")
+        .outputMode("append")
+        .trigger(processingTime="2 seconds")
+        .start()
+    )
+    return _drain(q, target_events, max_seconds)
+
+
 PROBES = {
     "window": probe_window,
     "sessions": probe_sessions,
     "records": probe_records,
     "twap": probe_twap,
     "dedup": probe_dedup,
+    "join": probe_join,
 }
 
 
