@@ -148,3 +148,23 @@ def test_token_budget_allocations_sum_to_budget(spark):
     total_chars = sum(r["chars"] for r in rows)
     smallest = min(rows, key=lambda r: r["chars"])
     assert smallest["alloc_final"] / 1_000_000 > smallest["chars"] / total_chars
+
+
+def test_interval_coverage_bounds(spark):
+    rows = QUERIES["interval_coverage"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        span = (r["last_end"] - r["first_start"]).total_seconds()
+        # coverage is at least one 5-min window and never exceeds the span
+        assert 300 <= r["covered_seconds"] <= span + 1
+        assert r["n_islands"] >= 1
+
+
+def test_watermark_late_audit_monotone(spark):
+    rows = QUERIES["watermark_late_audit"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        # a longer watermark can only drop fewer rows, and in-order rows
+        # are never dropped by any watermark
+        assert r["dropped_at_1h"] <= r["dropped_at_10m"]
+        assert r["dropped_at_10m"] <= r["n_events"] - r["n_in_order"]
