@@ -3797,3 +3797,95 @@ def q_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("region_share_of_total"),
     )
+
+
+@register(
+    "growth_accounting",
+    """
+WITH weekly AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+  FROM events
+),
+seq AS (
+  SELECT user_id, wk,
+         LAG(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY wk) AS rn
+  FROM weekly
+),
+classified AS (
+  SELECT wk,
+         CASE WHEN rn = 1 THEN 'new'
+              WHEN prev_wk = wk - INTERVAL 7 DAY THEN 'retained'
+              ELSE 'resurrected' END AS status
+  FROM seq
+),
+churn AS (
+  SELECT wk + INTERVAL 7 DAY AS wk, 'churned' AS status
+  FROM seq s
+  WHERE NOT EXISTS (
+    SELECT 1 FROM weekly w
+    WHERE w.user_id = s.user_id AND w.wk = s.wk + INTERVAL 7 DAY)
+    AND s.wk + INTERVAL 7 DAY <= (SELECT MAX(wk) FROM weekly)
+)
+SELECT wk, status, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM (SELECT wk, status FROM classified
+      UNION ALL SELECT wk, status FROM churn)
+GROUP BY wk, status
+""",
+)
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting (the standard DAU/MAU decomposition):
+    every active user-week is NEW (first week ever), RETAINED (active
+    the week before), or RESURRECTED (returning after a gap), and every
+    active week not followed by activity contributes CHURNED to the
+    NEXT week — so week-over-week active delta = new + resurrected -
+    churned by construction (the identity the unit test pins). One
+    shuffle on user_id drives the lag/rank windows; churn is an
+    anti-join expressed as the absence of the next week, bounded by the
+    corpus' last week so the final week never reports churn it cannot
+    know. `retention_cohorts` gives the cohort triangle; this gives the
+    flow decomposition growth teams act on."""
+    ev = load(spark, sf_dir, "events")
+    weekly = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("wk")
+    seq = weekly.select(
+        "user_id",
+        "wk",
+        F.lag("wk").over(w).alias("prev_wk"),
+        F.row_number().over(w).alias("rn"),
+    )
+    classified = seq.select(
+        "wk",
+        F.when(F.col("rn") == 1, F.lit("new"))
+        .when(
+            F.col("prev_wk") == F.col("wk") - F.expr("INTERVAL 7 DAYS"),
+            F.lit("retained"),
+        )
+        .otherwise(F.lit("resurrected"))
+        .alias("status"),
+    )
+    max_wk = weekly.agg(F.max("wk").alias("max_wk"))
+    nxt = weekly.select(
+        "user_id", F.col("wk").alias("next_wk")
+    )
+    churn = (
+        seq.join(
+            nxt,
+            (seq["user_id"] == nxt["user_id"])
+            & (nxt["next_wk"] == seq["wk"] + F.expr("INTERVAL 7 DAYS")),
+            "left_anti",
+        )
+        .crossJoin(F.broadcast(max_wk))
+        .filter(F.col("wk") + F.expr("INTERVAL 7 DAYS") <= F.col("max_wk"))
+        .select(
+            (F.col("wk") + F.expr("INTERVAL 7 DAYS")).alias("wk"),
+            F.lit("churned").alias("status"),
+        )
+    )
+    return (
+        classified.unionByName(churn)
+        .groupBy("wk", "status")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

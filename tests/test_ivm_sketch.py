@@ -168,3 +168,24 @@ def test_watermark_late_audit_monotone(spark):
         # are never dropped by any watermark
         assert r["dropped_at_1h"] <= r["dropped_at_10m"]
         assert r["dropped_at_10m"] <= r["n_events"] - r["n_in_order"]
+
+
+def test_growth_accounting_flow_identity(spark):
+    """active(w) - active(w-1) == new(w) + resurrected(w) - churned(w)
+    for every interior week — the decomposition's defining identity."""
+    from collections import defaultdict
+
+    rows = QUERIES["growth_accounting"](spark, SF).collect()
+    by_wk = defaultdict(lambda: defaultdict(int))
+    for r in rows:
+        by_wk[r["wk"]][r["status"]] = r["n_users"]
+    weeks = sorted(by_wk)
+    active = {
+        w: by_wk[w]["new"] + by_wk[w]["retained"] + by_wk[w]["resurrected"]
+        for w in weeks
+    }
+    assert len(weeks) >= 3
+    for prev, cur in zip(weeks, weeks[1:]):
+        delta = active[cur] - active[prev]
+        flow = by_wk[cur]["new"] + by_wk[cur]["resurrected"] - by_wk[cur]["churned"]
+        assert delta == flow, (cur, delta, flow)
