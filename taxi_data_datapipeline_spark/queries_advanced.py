@@ -3889,3 +3889,81 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("wk", "status")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "bitemporal_asof",
+    """
+WITH versions AS (
+  SELECT o_orderkey, o_orderdate AS valid_ts, o_orderdate AS recorded_ts,
+         o_totalprice AS price
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_orderdate, o_orderdate + INTERVAL 30 DAY,
+         o_totalprice + 5.0
+  FROM orders WHERE o_orderkey % 5 = 2
+),
+ks AS (SELECT UNNEST([TIMESTAMP '1998-01-15 00:00:00',
+                      TIMESTAMP '1998-06-01 00:00:00']) AS known_as_of),
+visible AS (
+  SELECT k.known_as_of, v.o_orderkey, v.recorded_ts, v.price,
+         ROW_NUMBER() OVER (PARTITION BY k.known_as_of, v.o_orderkey
+                            ORDER BY v.recorded_ts DESC) AS rn
+  FROM versions v JOIN ks k
+    ON v.recorded_ts <= k.known_as_of
+   AND v.valid_ts <= TIMESTAMP '1998-01-01 00:00:00'
+)
+SELECT known_as_of,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(price * 100 AS DECIMAL(38,0))) AS DOUBLE) / 100 AS revenue
+FROM visible WHERE rn = 1
+GROUP BY known_as_of
+""",
+)
+def q_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal as-of reconstruction: the same VALID-time question
+    ("all orders effective by 1998-01-01") answered at two TRANSACTION
+    times — before and after a batch of late price corrections was
+    recorded — returns different revenue, which is exactly what a
+    restatement-aware warehouse must do (and what `scd2_history`'s
+    single time axis cannot express). Versions carry (valid_ts,
+    recorded_ts); per knowledge point the latest recorded version <=
+    K of each key wins (row_number argmax over the per-key shuffle).
+    The two knowledge points fan out via a broadcast 2-row table; the
+    version log is scanned once. The reproducible-restatement pattern:
+    yesterday's report re-run today gives yesterday's numbers."""
+    o = load(spark, sf_dir, "orders")
+    v1 = o.select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("valid_ts"),
+        F.col("o_orderdate").alias("recorded_ts"),
+        F.col("o_totalprice").alias("price"),
+    )
+    v2 = o.filter(F.col("o_orderkey") % 5 == 2).select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("valid_ts"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("recorded_ts"),
+        (F.col("o_totalprice") + 5.0).alias("price"),
+    )
+    versions = v1.unionByName(v2)
+    ks = spark.createDataFrame(
+        [("1998-01-15 00:00:00",), ("1998-06-01 00:00:00",)], "known_as_of string"
+    ).select(F.col("known_as_of").cast("timestamp").alias("known_as_of"))
+    visible = versions.filter(
+        F.col("valid_ts") <= F.lit("1998-01-01 00:00:00").cast("timestamp")
+    ).join(
+        F.broadcast(ks), F.col("recorded_ts") <= F.col("known_as_of")
+    )
+    w = Window.partitionBy("known_as_of", "o_orderkey").orderBy(
+        F.col("recorded_ts").desc()
+    )
+    latest = visible.select(
+        "known_as_of", "price", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") == 1)
+    return latest.groupBy("known_as_of").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (
+            F.sum((F.col("price") * 100).cast("decimal(38,0)")).cast("double")
+            / 100
+        ).alias("revenue"),
+    )
