@@ -4614,3 +4614,86 @@ def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         extra.cast("long").alias("extra"),
         (F.col("alloc_base") + extra).alias("alloc_final"),
     )
+
+
+@register(
+    "embedding_centroid_drift",
+    """
+WITH comp AS (
+  SELECT label, t.i AS pos,
+         CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000000) AS BIGINT) AS xi
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+),
+cent AS (
+  SELECT label, pos,
+         CAST(round(CAST(SUM(xi) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mi
+  FROM comp GROUP BY label, pos
+),
+pairs AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         CAST(SUM(a.mi * b.mi) AS BIGINT) AS dot_ab,
+         CAST(SUM(a.mi * a.mi) AS BIGINT) AS dot_aa,
+         CAST(SUM(b.mi * b.mi) AS BIGINT) AS dot_bb
+  FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+  GROUP BY a.label, b.label
+)
+SELECT label_a, label_b,
+       ROUND(CAST(dot_ab AS DOUBLE)
+             / sqrt(CAST(dot_aa AS DOUBLE) * CAST(dot_bb AS DOUBLE)), 6)
+         AS centroid_cosine
+FROM pairs
+""",
+)
+def q_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid cosine matrix — the embedding-space drift
+    monitor (are two sources/models/snapshots converging or diverging?).
+    Everything that crosses rows is EXACT integer: components scale to
+    micro-units before the per-(label, dim) sum, centroids round back to
+    integer micro-units, and the pairwise dot products sum int64 —
+    only the final cosine divides as double (then ROUND 6), so the
+    whole matrix value-hashes across engines despite being float math
+    in spirit. Scale shape: posexplode shuffles labels x dims rows (not
+    vectors x dims — the component sum is map-side combined); the pair
+    join runs over the centroid table (labels x dims rows), so cost is
+    O(labels^2 x dims) independent of corpus size."""
+    e = load(spark, sf_dir, "embeddings", fan_out=True)
+    comp = e.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+    ).select(
+        "label",
+        (F.col("pos") + 1).alias("pos"),
+        F.round(F.col("x") * 1000000).cast("long").alias("xi"),
+    )
+    cent = comp.groupBy("label", "pos").agg(
+        F.round(F.sum("xi").cast("double") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("mi")
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "pos", F.col("mi").alias("ma")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "pos", F.col("mi").alias("mb")
+    )
+    pairs = (
+        a.join(b, ["pos"])
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("ma") * F.col("mb")).cast("long").alias("dot_ab"),
+            F.sum(F.col("ma") * F.col("ma")).cast("long").alias("dot_aa"),
+            F.sum(F.col("mb") * F.col("mb")).cast("long").alias("dot_bb"),
+        )
+    )
+    return pairs.select(
+        "label_a",
+        "label_b",
+        F.round(
+            F.col("dot_ab").cast("double")
+            / F.sqrt(
+                F.col("dot_aa").cast("double") * F.col("dot_bb").cast("double")
+            ),
+            6,
+        ).alias("centroid_cosine"),
+    )
