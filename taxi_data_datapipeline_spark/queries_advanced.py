@@ -3967,3 +3967,134 @@ def q_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100
         ).alias("revenue"),
     )
+
+
+@register(
+    "funnel_latency_quantiles",
+    """
+WITH delays AS (
+  SELECT v.event_id,
+         CAST(MIN(epoch_us(p.ts)) - epoch_us(v.ts) AS BIGINT) AS d
+  FROM (SELECT * FROM events WHERE event_type = 'view') v
+  JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+    ON v.user_id = p.user_id
+   AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 7 DAY
+  GROUP BY v.event_id, v.ts
+),
+bounds AS (
+  SELECT MIN(d) AS mn, MAX(d) - MIN(d) + 1 AS span, COUNT(*) AS n FROM delays
+),
+hist AS (
+  SELECT ((dl.d - b.mn) * 256) // b.span AS bucket, COUNT(*) AS cnt
+  FROM delays dl, bounds b GROUP BY 1
+),
+cum AS (
+  SELECT bucket, cnt,
+         SUM(cnt) OVER (ORDER BY bucket) AS cum,
+         SUM(cnt) OVER (ORDER BY bucket) - cnt AS cum_before
+  FROM hist
+),
+qs AS (SELECT UNNEST([0.5, 0.9]) AS q),
+targets AS (
+  SELECT qs.q, CAST(ceil(qs.q * b.n) AS BIGINT) AS target, b.mn, b.span, b.n
+  FROM qs, bounds b
+),
+chosen AS (
+  SELECT t.q, t.target, t.mn, t.span, t.n, MIN(c.bucket) AS bucket
+  FROM targets t JOIN cum c ON c.cum >= t.target
+  GROUP BY t.q, t.target, t.mn, t.span, t.n
+)
+SELECT ch.q,
+       CAST(ch.n AS BIGINT) AS n_conversions,
+       ch.target AS target_rank,
+       (CAST(ch.mn AS DOUBLE)
+        + CAST(ch.bucket AS DOUBLE) * (CAST(ch.span AS DOUBLE) / 256.0)
+        + (CAST(ch.target - c.cum_before AS DOUBLE) / CAST(c.cnt AS DOUBLE))
+          * (CAST(ch.span AS DOUBLE) / 256.0)) / 1000000.0
+         AS latency_seconds
+FROM chosen ch JOIN cum c ON c.bucket = ch.bucket
+""",
+)
+def q_funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert percentiles (p50/p90 view -> FIRST purchase within
+    7 days) through the mergeable-histogram machinery — the composition
+    a product team actually ships: the as-of pairing from the funnel
+    family feeds the bucket sketch from `histogram_quantile_estimate`,
+    so the latency distribution needs no sort at any scale (bucket
+    counts merge map-side; the quantile interpolation is the shared
+    exact-integer expression tree). Delays are integer microseconds end
+    to end; the only doubles are the final interpolation and the /1e6
+    seconds conversion, identical in both engines."""
+    ev = load(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", F.col("user_id").alias("vu"), F.col("ts").alias("vts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    delays = (
+        views.join(
+            purchases,
+            (F.col("vu") == F.col("pu"))
+            & (F.col("pts") > F.col("vts"))
+            & (F.col("pts") <= F.col("vts") + F.expr("INTERVAL 7 DAYS")),
+        )
+        .groupBy("event_id", "vts")
+        .agg(
+            (F.min(F.unix_micros("pts")) - F.unix_micros(F.col("vts")))
+            .cast("long")
+            .alias("d")
+        )
+    )
+    bounds = delays.agg(
+        F.min("d").alias("mn"),
+        (F.max("d") - F.min("d") + 1).alias("span"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    hist = (
+        delays.join(F.broadcast(bounds))
+        .select(F.expr("((d - mn) * 256) DIV span").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("cum_before"),
+    )
+    targets = bounds.select(
+        F.explode(F.array(F.lit(0.5), F.lit(0.9))).alias("q"), "n", "mn", "span"
+    ).select(
+        "q",
+        F.ceil(F.col("q") * F.col("n")).cast("long").alias("target"),
+        "mn",
+        "span",
+        "n",
+    )
+    chosen = (
+        F.broadcast(targets)
+        .join(cum.select("bucket", "cum"), F.col("cum") >= F.col("target"))
+        .groupBy("q", "target", "mn", "span", "n")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    width = F.col("span").cast("double") / F.lit(256.0)
+    est_us = (
+        F.col("mn").cast("double")
+        + F.col("bucket").cast("double") * width
+        + (
+            (F.col("target") - F.col("cum_before")).cast("double")
+            / F.col("cnt").cast("double")
+        )
+        * width
+    )
+    return (
+        chosen.join(cum.select("bucket", "cnt", "cum_before"), "bucket")
+        .select(
+            "q",
+            F.col("n").cast("long").alias("n_conversions"),
+            F.col("target").alias("target_rank"),
+            (est_us / F.lit(1000000.0)).alias("latency_seconds"),
+        )
+    )

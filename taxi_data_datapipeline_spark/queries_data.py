@@ -4697,3 +4697,87 @@ def q_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("centroid_cosine"),
     )
+
+
+@register(
+    "langid_cohens_kappa",
+    f"""
+WITH v AS (SELECT lang AS labeled, {{votes}} FROM documents),
+pred AS (
+  SELECT labeled,
+         CASE WHEN GREATEST(v_de, v_en, v_es, v_fr, v_zh) = 0 THEN 'en'
+              WHEN v_de = GREATEST(v_de, v_en, v_es, v_fr, v_zh) THEN 'de'
+              WHEN v_en = GREATEST(v_de, v_en, v_es, v_fr, v_zh) THEN 'en'
+              WHEN v_es = GREATEST(v_de, v_en, v_es, v_fr, v_zh) THEN 'es'
+              WHEN v_fr = GREATEST(v_de, v_en, v_es, v_fr, v_zh) THEN 'fr'
+              ELSE 'zh' END AS predicted
+  FROM v),
+cells AS (
+  SELECT labeled, predicted, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pred GROUP BY 1, 2),
+rows_m AS (SELECT labeled AS cls, CAST(SUM(n) AS BIGINT) AS rn FROM cells GROUP BY 1),
+cols_m AS (SELECT predicted AS cls, CAST(SUM(n) AS BIGINT) AS cn FROM cells GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn,
+         CAST(SUM(CASE WHEN labeled = predicted THEN n ELSE 0 END) AS BIGINT)
+           AS agree
+  FROM cells),
+chance AS (
+  SELECT CAST(SUM(r.rn * c.cn) AS BIGINT) AS chance_num
+  FROM rows_m r JOIN cols_m c ON r.cls = c.cls)
+SELECT t.nn AS n_docs, t.agree,
+       ROUND(CAST(t.agree AS DOUBLE) / CAST(t.nn AS DOUBLE), 6) AS po,
+       ROUND(CAST(ch.chance_num AS DOUBLE)
+             / (CAST(t.nn AS DOUBLE) * CAST(t.nn AS DOUBLE)), 6) AS pe,
+       ROUND((CAST(t.agree AS DOUBLE) / CAST(t.nn AS DOUBLE)
+              - CAST(ch.chance_num AS DOUBLE)
+                / (CAST(t.nn AS DOUBLE) * CAST(t.nn AS DOUBLE)))
+             / (1.0 - CAST(ch.chance_num AS DOUBLE)
+                / (CAST(t.nn AS DOUBLE) * CAST(t.nn AS DOUBLE))), 6) AS kappa
+FROM tot t, chance ch
+""".format(votes=_lang_votes_sql()),
+)
+def q_langid_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa for the stopword-vote language ID against the
+    labeled lang column — chance-corrected agreement, the scalar that
+    `langid_confusion`'s matrix rolls up to (raw accuracy flatters any
+    classifier on a skewed label mix; kappa subtracts the agreement the
+    margins alone would produce). Confusion cells reduce to one tiny
+    table; row/column margins and the kappa arithmetic are all exact
+    integers until three double divisions of identical shape in both
+    engines (ROUND 6)."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    cells = (
+        d.select(
+            F.col("lang").alias("labeled"),
+            lang_id(F.col("text")).alias("predicted"),
+        )
+        .groupBy("labeled", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rows_m = cells.groupBy(F.col("labeled").alias("cls")).agg(
+        F.sum("n").cast("long").alias("rn")
+    )
+    cols_m = cells.groupBy(F.col("predicted").alias("cls")).agg(
+        F.sum("n").cast("long").alias("cn")
+    )
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum(F.when(F.col("labeled") == F.col("predicted"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("agree"),
+    )
+    chance = (
+        rows_m.join(cols_m, "cls")
+        .agg(F.sum(F.col("rn") * F.col("cn")).cast("long").alias("chance_num"))
+    )
+    nn_d = F.col("nn").cast("double")
+    po = F.col("agree").cast("double") / nn_d
+    pe = F.col("chance_num").cast("double") / (nn_d * nn_d)
+    return tot.crossJoin(chance).select(
+        F.col("nn").alias("n_docs"),
+        "agree",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+    )
