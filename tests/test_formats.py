@@ -186,3 +186,41 @@ def test_orc_pre_epoch_boundary_microsecond(spark, tmp_path):
     df.write.mode("overwrite").parquet(pq_path)
     bp = {r["id"]: r["ts"] for r in spark.read.parquet(pq_path).collect()}
     assert all(bp[i] == ts for i, ts in rows)
+
+
+def test_xml_roundtrip_hostile_strings(spark, tmp_path):
+    """XML entity escaping must survive markup-hostile payloads: angle
+    brackets, ampersands, quotes, CDATA-lookalikes, newlines, unicode.
+    Doubles round-trip bit-exactly; absent elements read back NULL."""
+    from taxi_data_datapipeline_spark.sources.formats import read_xml, write_xml
+
+    rows = [
+        (0, "plain", 1.5),
+        (1, "<tag> & </tag>", -0.1),
+        (2, 'quote " and \' apostrophe', 2.0 ** -1074),
+        (3, "]]> cdata-closer & <![CDATA[ opener", 1.7976931348623157e308),
+        (4, "line\nbreak\tand tab", 0.1 + 0.2),
+        (5, "unicode: naïve café 駅 🚕", -0.0),
+        (6, "&amp; pre-escaped entity", 6.02214076e23),
+        (7, None, None),
+    ]
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("s", StringType()),
+            StructField("x", DoubleType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    path = str(tmp_path / "hostile_xml")
+    write_xml(df, path, row_tag="row")
+    back = read_xml(spark, path, schema, row_tag="row").orderBy("id").collect()
+    orig = df.orderBy("id").collect()
+    assert len(back) == len(orig)
+    for a, b in zip(orig, back):
+        assert a["id"] == b["id"]
+        assert b["s"] == a["s"], (a["id"], a["s"], b["s"])
+        if a["x"] is None:
+            assert b["x"] is None
+        else:
+            assert repr(a["x"]) == repr(b["x"]), (a["id"], a["x"], b["x"])
