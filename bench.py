@@ -162,7 +162,18 @@ def main() -> None:
     # Total-time guard: never start a pass that could push the run past
     # the budget (an external harness timeout would lose the JSON line
     # entirely, which is worse than a 2-pass number under load).
+    #
+    # r5 postmortem (VERDICT r5 "what's wrong" #2): a 150 s cold pass under
+    # loadavg 26+ ate the whole 420 s budget before any pass ran on a quiet
+    # host, publishing 94 s for a suite whose quiet wall was 74 s. Two
+    # fixes: (a) the budget clock starts AFTER pass 1 — the first pass pays
+    # every query's one-time whole-stage-codegen compile and is never the
+    # published wall anyway, so it is warmup, not measurement; (b) when NO
+    # healthy-probe pass has landed yet, the budget may stretch up to
+    # hard_cap (default 1.5x) to buy one more attempt at a quiet sample —
+    # the convergence logic already knows which passes were healthy.
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "420"))
+    hard_cap = budget * float(os.environ.get("SPARK_GRAFT_BENCH_HARD_CAP", "1.5"))
     t_start = time.time()
     walls: list[float] = []
     loads: list[float] = []
@@ -173,11 +184,14 @@ def main() -> None:
     # at 11.6 s in the published detail vs ~4 s warm). The per-query min is
     # the same load-robust estimator the headline wall already uses.
     min_times: dict[str, float] = {}
+    t_budget0 = t_start  # reset to pass-1 end once it completes (fix (a))
     for i in range(n_max):
         loads.append(round(os.getloadavg()[0], 1))
         probes.append(cpu_probe_ms())
         times.clear()
         walls.append(one_pass())
+        if i == 0:
+            t_budget0 = time.time()
         # Bracket the pass with a second probe: a neighbor-tenant burst that
         # starts mid-pass is invisible to the start probe (observed: start
         # probes 15.6/10.8 ms around an 83.7/83.3 s wall pair — a false
@@ -202,8 +216,20 @@ def main() -> None:
             pass_ok = max(probes[2 * k], probes[2 * k + 1]) <= 1.30 * min(probes)
             if lo[1] <= 1.10 * lo[0] and pass_ok:
                 break  # fastest wall reproduced within 10% on a quiet host
-        if time.time() - t_start + min(walls) > budget:
+        # Healthy = both bracketing probes near the best probe of the run;
+        # while none has landed, stretch the budget toward hard_cap for one
+        # more shot at a quiet window (fix (b)).
+        any_healthy = any(
+            max(probes[2 * j], probes[2 * j + 1]) <= 1.30 * min(probes)
+            for j in range(len(walls))
+        )
+        limit = budget if any_healthy else hard_cap
+        if time.time() - t_budget0 + min(walls) > limit:
             break  # another pass would risk the harness timeout
+        # Absolute ceiling from process start: warmup exclusion + stretch
+        # must never compound past 2x the nominal budget.
+        if time.time() - t_start + min(walls) > 2.0 * budget:
+            break
     times.clear()
     times.update(min_times)
     wall = min(walls)

@@ -148,66 +148,48 @@ from taxi_data_datapipeline_spark import queries_layout  # noqa: E402,F401
 # can only ever produce a weaker check. Queries beyond the window keep their
 # registration order and stay covered by tools/check_oracle.py.
 # ---------------------------------------------------------------------------
-# Round-5 rotation policy (VERDICT r4 §next-round #1): after the first
-# fully-green round, every multi-green seat rotates out at once — only the
-# 8 reference-core queries stay pinned plus sessionize_events (green once
-# after three red rounds; pinned until multi-round green). The other 41
-# seats go to queries the driver has NEVER officially checked (per
-# tools/coverage_ledger.py), chosen to keep every operator family
-# represented by a first-time member: all 15 rotation candidates the r4
-# verdict named, the new PNG-codec round-trip, and 25 more spanning
-# TPC-H, SQL dialect, as-of, streaming, dedup, similarity, statistics,
-# graph, curation, text, time-series, geo, privacy, skew, QUALIFY, and
-# CEP. Cumulative driver-verified coverage grows 111 -> up to 152.
+# Round-6 rotation policy (VERDICT r5 §next-round #1): all 42 non-pinned
+# r5 seats went green and rotate out at once; sessionize_events is now
+# multi-round green and rotates out too. Only the 8 reference-core queries
+# stay pinned. The 42 open seats go to queries the driver has NEVER
+# officially checked (per tools/coverage_ledger.py), prioritizing the
+# r5-verdict-named queue (lsh_screen_eval, nucleus_vocab_coverage,
+# weighted_median_price, hll_portable_daily, the orc/csv/jsonl/xml
+# round-trips, and the 13 session-4 adds) plus the oldest never-seated
+# families (two-phase distinct, split/sample/mix curation, text scrub,
+# PII, fuzzy blocking, sketches, storage layout, streaming IVM).
+# Cumulative driver-verified coverage grows 152 -> up to 194.
+#
+# ROTATION_BASELINE_ROUND pins which CORRECTNESS_r*.json files existed when
+# this window was curated; tests/test_driver_window.py asserts >=40 window
+# seats were never green in rounds <= baseline, so a stalled rotation fails
+# the suite (VERDICT r5 next-round #8). Bump it each time the window rotates.
+ROTATION_BASELINE_ROUND = 5
 DRIVER_WINDOW: list[str] = [
     # Reference-pipeline queries (SURVEY.md §2 core) — pinned
     "hourly_pivot", "normalize_project", "long_counts", "low_count_filter",
     "month_mismatch_audit", "latlon_place_key", "epoch_coercion",
     "sql_hourly_pivot",
-    # Previously-red row — pinned until multi-round green
-    "sessionize_events",
-    # r4-verdict-named rotation candidates (all first-time seats)
-    "cluster_split", "perceptron_train", "logistic_gd",
-    "logistic_calibration", "cf_holdout_hitrate", "neyman_allocation",
-    "dedup_groups_cc_star", "line_dedup", "winnowing_fingerprints",
-    "mix_interleave", "pandas_grouped_agg", "pandas_grouped_zscore",
-    "pandas_scalar_bucket", "multimodal_bmp_roundtrip",
-    "multimodal_wav_roundtrip",
-    # New this round: compressed-image codec round-trip (stdlib zlib PNG)
-    "multimodal_png_roundtrip",
-    # TPC-H join shapes (first-time)
-    "q10_returned_revenue", "q14_promo_revenue", "q17_small_quantity",
-    "q19_disjunctive_revenue",
-    # SQL dialect: LATERAL + recursive CTE (first-time)
-    "sql_lateral_topk", "sql_recursive_calendar",
-    # As-of family: forward-looking variant (first-time)
-    "asof_next_purchase",
-    # Structured Streaming analogs (first-time)
-    "streaming_hopping_counts", "streaming_exact_dedup",
-    # Deduplication: SimHash pigeonhole + incremental batch-vs-corpus LSH
-    "simhash_pairs_checked", "dedup_incremental",
-    # Embeddings/similarity: IVF ANN + Matryoshka truncation recall
-    "embedding_ivf_topk", "matryoshka_recall",
-    # Statistics: two-sample KS + chi-square independence (first-time)
-    "ks_two_sample", "chi2_type_dow",
-    # Graph: BFS hop counts (first-time)
-    "bfs_hops",
-    # Curation: point-in-time features + length bucketing (first-time)
-    "point_in_time_join", "length_bucketing",
-    # Text: language-ID confusion matrix (first-time)
-    "langid_confusion",
-    # Time-series: autocorrelation function (first-time)
-    "acf_daily_counts",
-    # Geospatial: radius nearest-neighbor (first-time)
-    "geo_radius_nn",
-    # Privacy: k-anonymity report (first-time)
-    "k_anonymity_report",
-    # Skew handling: diagnostics (first-time)
-    "skew_diagnostics",
-    # QUALIFY-style windows (first-time)
-    "qualify_latest_event",
-    # Complex-event processing (first-time)
-    "cep_view_click_purchase",
+    # r5-verdict-named queue (first-time seats)
+    "lsh_screen_eval", "nucleus_vocab_coverage", "weighted_median_price",
+    "hll_portable_daily",
+    # Format round-trips (first-time)
+    "orc_roundtrip_agg", "csv_roundtrip_agg", "jsonl_roundtrip_quarantine",
+    "xml_roundtrip_agg",
+    # r5 session-4 adds (first-time)
+    "streaming_interval_attribution", "mv_incremental_revenue",
+    "histogram_quantile_estimate", "grouped_histogram_quantiles",
+    "partitioned_scan_prune", "schema_evolution_union", "kmv_set_sketch",
+    "aqp_group_revenue", "rolling_origin_cv", "token_budget_mix",
+    "point_in_polygon", "streaming_record_highs",
+    # Oldest never-seated curation / sampling family (first-time)
+    "distinct_users_twophase", "train_val_split", "repetition_ratio",
+    "stratified_sample", "source_mix", "vocab_topk", "map_funcs",
+    "text_scrub", "chunk_split", "kmeans_assign", "psi_source_drift",
+    "multimodal_features_checked", "weighted_sample", "dedup_apply",
+    "fuzzy_match_blocked", "temperature_mix", "decayed_event_score",
+    "pii_scrub", "ngram_dup_fraction", "negative_pairs",
+    "equidepth_buckets", "embedding_standardize",
 ]
 
 

@@ -29,6 +29,35 @@ def test_window_is_first_50_and_fully_oracle_backed():
     assert all(n in ORACLES for n in DRIVER_WINDOW)
 
 
+def test_window_rotation_not_stalled():
+    """>=40 seats must be first-time (never green in any round up to the
+    rotation baseline). Guards against a rotation silently stalling — the
+    registry outgrew the 50-seat window, so re-seating multi-green queries
+    burns the only mechanism that turns local green into official green
+    (VERDICT r5 next-round #8). Bump ROTATION_BASELINE_ROUND in queries.py
+    whenever the window rotates."""
+    import json
+
+    from taxi_data_datapipeline_spark.queries import ROTATION_BASELINE_ROUND
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seated: set[str] = set()
+    for r in range(1, ROTATION_BASELINE_ROUND + 1):
+        p = os.path.join(repo, f"CORRECTNESS_r{r:02d}.json")
+        if not os.path.exists(p):
+            continue
+        with open(p) as f:
+            rows = json.load(f)
+        for name, res in rows.items():
+            if res.get("rows_match") and res.get("schema_match") \
+                    and res.get("hash_match"):
+                seated.add(name)
+    first_time = [n for n in DRIVER_WINDOW if n not in seated]
+    assert len(first_time) >= 40, (
+        f"only {len(first_time)} first-time seats; rotate the window "
+        f"(re-seated: {[n for n in DRIVER_WINDOW if n in seated][:15]}...)")
+
+
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
