@@ -2542,41 +2542,100 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     count keeps the result a deterministic function of the data, so the
     oracle unrolls the iterations as chained CTEs.
 
-    Scale shape: the O(N d^2) covariance pass is the one data-sized
-    stage (explode d per row, self-join within vec_id — the standard
-    Gram pattern; tree-aggregate or sampling replaces it when d grows);
-    everything after runs on the d^2-row matrix. Eigenvector SIGN is
-    pinned by the deterministic seed."""
+    Scale shape: the O(N d^2) work runs as batch-local int64 Gram
+    matmuls inside ONE mapInPandas pass — no explode, no row-level
+    self-join. Sum_a d_ai*d_aj expands to n^2*G_ij - n*s_i*s_j (G = raw
+    Gram, s = column sums), so only k*d^2 partial-matrix rows are ever
+    shuffled (k = Arrow batch count), vs the old plan's rows x d explode
+    feeding a rows x d^2 join. Products overflow int64 (|xu|~2^22,
+    pair products to 2^44 summed over n rows), so each batch splits xu
+    into hi = xu >> 16 (arithmetic, floor semantics for negatives) and
+    lo = xu & 0xFFFF and accumulates three exact int64 Grams recombined
+    as 2^32*Ghh + 2^16*Ghl + Gll in DECIMAL(38,0) — bit-identical to the
+    oracle's deviation self-join. Eigenvector SIGN is pinned by the
+    deterministic seed."""
+    import numpy as np
+    import pandas as pd
+
     e = load(spark, sf_dir, "embeddings", fan_out=True)
-    x = e.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "xv")
-    ).select(
-        "vec_id",
-        (F.col("pos") + 1).alias("i"),
-        F.floor(F.col("xv").cast("double") * F.lit(float(_PCA_UNITS)))
-        .cast("bigint")
-        .alias("xu"),
-    )
-    st = e.agg(F.count(F.lit(1)).alias("n"))
-    s = x.groupBy("i").agg(F.sum("xu").alias("si"))
-    dev = (
-        x.join(F.broadcast(s), "i")
-        .crossJoin(F.broadcast(st))
-        .select(
-            "vec_id", "i", (F.col("n") * F.col("xu") - F.col("si")).alias("d")
+    shift = 16
+
+    def gram_parts(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            xs = np.floor(
+                np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                * float(_PCA_UNITS)
+            ).astype(np.int64)
+            d = xs.shape[1]
+            hi = xs >> shift
+            lo = xs & ((1 << shift) - 1)
+            m = hi.T @ lo
+            ghh, ghl, gll = hi.T @ hi, m + m.T, lo.T @ lo
+            ii, jj = np.meshgrid(
+                np.arange(1, d + 1), np.arange(1, d + 1), indexing="ij"
+            )
+            s_part = np.zeros((d, d), dtype=np.int64)
+            s_part[:, 0] = xs.sum(axis=0)
+            n_part = np.zeros((d, d), dtype=np.int64)
+            n_part[0, 0] = len(xs)
+            yield pd.DataFrame(
+                {
+                    "i": ii.ravel(),
+                    "j": jj.ravel(),
+                    "ghh": ghh.ravel(),
+                    "ghl": ghl.ravel(),
+                    "gll": gll.ravel(),
+                    "s_part": s_part.ravel(),
+                    "n_part": n_part.ravel(),
+                }
+            )
+
+    tot = (
+        e.select("embedding")
+        .mapInPandas(
+            gram_parts,
+            "i int, j int, ghh long, ghl long, gll long, s_part long, n_part long",
         )
-    )
-    a = dev.select("vec_id", F.col("i"), F.col("d").alias("da"))
-    b = dev.select(
-        F.col("vec_id").alias("vid2"), F.col("i").alias("j"), F.col("d").alias("db")
-    )
-    c = (
-        a.join(b, a.vec_id == b.vid2)
         .groupBy("i", "j")
         .agg(
-            F.sum(F.col("da").cast("decimal(38,0)") * F.col("db"))
-            .cast("decimal(38,0)")
-            .alias("cij")
+            F.sum("ghh").alias("ghh"),
+            F.sum("ghl").alias("ghl"),
+            F.sum("gll").alias("gll"),
+            F.sum("s_part").alias("s_part"),
+            F.sum("n_part").alias("n_part"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    dec = "decimal(38,0)"
+    g = tot.select(
+        "i",
+        "j",
+        (
+            F.col("ghh").cast(dec) * F.lit(1 << (2 * shift)).cast(dec)
+            + F.col("ghl").cast(dec) * F.lit(1 << shift).cast(dec)
+            + F.col("gll").cast(dec)
+        ).alias("gij"),
+    )
+    s = tot.filter(F.col("j") == 1).select("i", F.col("s_part").alias("si"))
+    st = tot.agg(F.sum("n_part").alias("n"))
+    c = (
+        g.join(F.broadcast(s), "i")
+        .join(
+            F.broadcast(s.select(F.col("i").alias("j"), F.col("si").alias("sj"))),
+            "j",
+        )
+        .crossJoin(F.broadcast(st))
+        .select(
+            "i",
+            "j",
+            (
+                F.col("n").cast(dec) * F.col("n").cast(dec) * F.col("gij")
+                - F.col("n").cast(dec) * F.col("si").cast(dec) * F.col("sj").cast(dec)
+            )
+            .cast(dec)
+            .alias("cij"),
         )
         .localCheckpoint(eager=False)
     )
