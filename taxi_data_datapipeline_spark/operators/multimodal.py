@@ -964,3 +964,61 @@ def wav_roundtrip(
             )
 
     return df.select("doc_id", text_col).mapInPandas(run, out_schema)
+
+
+def ahash_bands(
+    df: "DataFrame", text_col: str = "text", w: int = 16, h: int = 16
+) -> "DataFrame":
+    """Perceptual average-hash (aHash) of a per-document image, emitted as
+    four 16-bit bands for LSH-style banding: render each document as a
+    deterministic w*h grayscale "thumbnail" whose pixel i is the CLIPPED
+    WORD-HISTOGRAM count of the words hashing to bucket i (a visual
+    bag-of-words — the stand-in for the decoded scan/photo payload this
+    stage sees in production; crucially, NEAR-DUPLICATE texts render to
+    near-identical images, exactly the property real re-encoded/cropped
+    image dupes have), round-trip it through the REAL BMP codec,
+    downsample the DECODED array 2x2, and set bit_i = (block mean >
+    global mean) — all in exact integer arithmetic (64*block_sum >
+    total_sum), so any engine recomputing from the same pixels lands on
+    the identical 64-bit signature.
+
+    The hash leaves as 4 x 16-bit ints rather than one int64: bit 63
+    would wrap the sign, and the bands ARE the join keys for the
+    pigeonhole candidate stage (hamming <= 3 across 4 bands guarantees
+    one band matches exactly — simhash_pairs' argument)."""
+    import hashlib
+
+    import numpy as np
+
+    n = w * h
+    out_schema = "doc_id long, b0 int, b1 int, b2 int, b3 int"
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            bucket_cache: dict = {}
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                pix = np.zeros(n, dtype=np.int64)
+                for word in str(text).split(" "):
+                    if not word:
+                        continue
+                    b = bucket_cache.get(word)
+                    if b is None:
+                        b = int(hashlib.md5(word.encode()).hexdigest()[:8], 16) % n
+                        bucket_cache[word] = b
+                    pix[b] += 24
+                pix = np.minimum(pix, 255).astype(np.uint8).reshape(h, w)
+                dec = decode_bmp24(encode_bmp24(pix)).astype(np.int64)
+                # 2x2 block sums -> (h//2) x (w//2) grid, row-major bits
+                bs = dec.reshape(h // 2, 2, w // 2, 2).sum(axis=(1, 3)).ravel()
+                bits = (bs * (n // 4) > dec.sum()).astype(np.int64)
+                bands = [
+                    int((bits[16 * j:16 * (j + 1)] << np.arange(16)).sum())
+                    for j in range(4)
+                ]
+                recs.append((int(doc_id), *bands))
+            yield pd.DataFrame(
+                recs, columns=["doc_id", "b0", "b1", "b2", "b3"]
+            )
+
+    return df.select("doc_id", text_col).mapInPandas(run, out_schema)

@@ -1207,6 +1207,150 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bloom_contamination_screen",
+    f"""
+WITH s AS (
+  SELECT doc_id, source, {_SQL_GRAMS} AS grams,
+         {_SPLIT_SQL} AS b
+  FROM documents),
+eval_grams AS (
+  SELECT DISTINCT UNNEST(grams) AS gram FROM s WHERE b < 2),
+bloom AS (
+  SELECT DISTINCT
+         CAST(('0x' || substring(md5(gram || '|' || CAST(j.j AS VARCHAR)), 1, 8))
+              AS BIGINT) % 65536 AS pos
+  FROM eval_grams, LATERAL unnest(generate_series(0, 2)) AS j(j)),
+train_grams AS (
+  SELECT DISTINCT source, UNNEST(grams) AS gram FROM s WHERE b >= 2),
+probe AS (
+  SELECT t.source, t.gram,
+         CAST(('0x' || substring(md5(t.gram || '|' || CAST(j.j AS VARCHAR)), 1, 8))
+              AS BIGINT) % 65536 AS pos
+  FROM train_grams t, LATERAL unnest(generate_series(0, 2)) AS j(j)),
+cand AS (
+  SELECT p.source, p.gram
+  FROM probe p JOIN bloom USING (pos)
+  GROUP BY p.source, p.gram
+  HAVING COUNT(DISTINCT p.pos) = 3),
+flags AS (
+  SELECT c.source, c.gram,
+         CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM cand c LEFT JOIN eval_grams e ON c.gram = e.gram)
+SELECT tg.source,
+       COUNT(*) AS n_train_grams,
+       COALESCE(MAX(f.n_cand), 0) AS n_candidate,
+       COALESCE(MAX(f.n_conf), 0) AS n_confirmed,
+       COALESCE(MAX(f.n_cand), 0) - COALESCE(MAX(f.n_conf), 0) AS n_false_pos,
+       ROUND((COALESCE(MAX(f.n_cand), 0) - COALESCE(MAX(f.n_conf), 0)) * 1.0
+             / COUNT(*), 6) AS fp_rate
+FROM train_grams tg
+LEFT JOIN (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_cand,
+         CAST(SUM(hit) AS BIGINT) AS n_conf
+  FROM flags GROUP BY source) f ON tg.source = f.source
+GROUP BY tg.source
+""",
+)
+def q_bloom_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination screening with an explicit Bloom filter
+    (Bloom CACM'70; the screen TogetherAI/RedPajama-class pipelines run
+    before the exact pass): the eval split's shingles populate a
+    k=3-hash, m=65536-bit filter; every train-split shingle probes it;
+    only probe survivors (all 3 positions set) pay the exact
+    verification join. Reported per source: candidate count, confirmed
+    contamination, and the realized false-positive rate — the
+    filter-quality audit that tells you whether m needs to grow.
+
+    Engine mapping: the filter IS a distinct-position table joined by
+    position — semantically identical to broadcasting a bitset (what a
+    cluster deployment would ship via Spark's own bloom-filter join
+    pushdown, pinned in tests/test_runtime_filter.py), but expressed as
+    data so the oracle can reproduce it bit-for-bit. Probes explode to
+    (gram, position) rows, join the position set, and survive on
+    matched-count == 3; survivors alone hit the exact eval-gram join —
+    cost O(shingles + matches), never O(train x eval). Hashes are md5
+    slices, identical in both engines."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint") % 100
+    s = d.select(
+        "doc_id",
+        "source",
+        ngram_shingles(F.col("text"), 3).alias("grams"),
+        bucket.alias("b"),
+    )
+
+    def pos(col, j):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(col, F.lit(f"|{j}"))), 1, 8), 16, 10
+            ).cast("bigint")
+            % 65536
+        )
+
+    eval_grams = (
+        s.filter(F.col("b") < 2).select(F.explode("grams").alias("gram")).distinct()
+    )
+    bloom = (
+        eval_grams.select(
+            F.explode(
+                F.array(*[pos(F.col("gram"), j) for j in range(3)])
+            ).alias("pos")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # answer-sized (<= 65536 rows)
+    )
+    train_grams = (
+        s.filter(F.col("b") >= 2)
+        .select("source", F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    probe = train_grams.select(
+        "source",
+        "gram",
+        F.explode(F.array(*[pos(F.col("gram"), j) for j in range(3)])).alias("pos"),
+    )
+    cand = (
+        probe.join(F.broadcast(bloom), "pos")
+        .groupBy("source", "gram")
+        .agg(F.countDistinct("pos").alias("npos"))
+        .filter(F.col("npos") == 3)
+        .select("source", "gram")
+    )
+    flags = cand.join(
+        eval_grams.withColumn("hit", F.lit(1)), "gram", "left"
+    ).select("source", F.coalesce(F.col("hit"), F.lit(0)).alias("hit"))
+    per_source = flags.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cand"),
+        F.sum("hit").cast("bigint").alias("n_conf"),
+    )
+    return (
+        train_grams.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_train_grams"))
+        .join(F.broadcast(per_source), "source", "left")
+        .select(
+            "source",
+            "n_train_grams",
+            F.coalesce(F.col("n_cand"), F.lit(0)).alias("n_candidate"),
+            F.coalesce(F.col("n_conf"), F.lit(0)).alias("n_confirmed"),
+            (
+                F.coalesce(F.col("n_cand"), F.lit(0))
+                - F.coalesce(F.col("n_conf"), F.lit(0))
+            ).alias("n_false_pos"),
+            F.round(
+                (
+                    F.coalesce(F.col("n_cand"), F.lit(0))
+                    - F.coalesce(F.col("n_conf"), F.lit(0))
+                )
+                / F.col("n_train_grams"),
+                6,
+            ).alias("fp_rate"),
+        )
+    )
+
+
+@register(
     "embedding_quantize",
     """
 WITH q AS (
@@ -4781,3 +4925,110 @@ def q_langid_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pe, 6).alias("pe"),
         F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
     )
+
+
+@register(
+    "multimodal_ahash_dedup",
+    """
+WITH words AS (
+  SELECT doc_id, w.w AS word
+  FROM documents, LATERAL unnest(string_split(text, ' ')) AS w(w)
+  WHERE w.w <> ''),
+px AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(word), 1, 8)) AS BIGINT) % 256 AS idx,
+         LEAST(CAST(COUNT(*) AS BIGINT) * 24, 255) AS v
+  FROM words GROUP BY 1, 2),
+tot AS (
+  SELECT doc_id, CAST(SUM(v) AS BIGINT) AS total FROM px GROUP BY doc_id),
+blocks AS (
+  SELECT doc_id,
+         ((idx // 16) // 2) * 8 + ((idx % 16) // 2) AS blk,
+         CAST(SUM(v) AS BIGINT) AS bs
+  FROM px GROUP BY 1, 2),
+bits AS (
+  SELECT b.doc_id, b.blk,
+         CASE WHEN b.bs * 64 > t.total THEN 1 ELSE 0 END AS bit
+  FROM blocks b JOIN tot t USING (doc_id)),
+ah AS MATERIALIZED (
+  SELECT d.doc_id,
+         CAST(COALESCE(SUM(CASE WHEN blk < 16 THEN bit << (blk - 0) ELSE 0 END), 0) AS INT) AS b0,
+         CAST(COALESCE(SUM(CASE WHEN blk >= 16 AND blk < 32 THEN bit << (blk - 16) ELSE 0 END), 0) AS INT) AS b1,
+         CAST(COALESCE(SUM(CASE WHEN blk >= 32 AND blk < 48 THEN bit << (blk - 32) ELSE 0 END), 0) AS INT) AS b2,
+         CAST(COALESCE(SUM(CASE WHEN blk >= 48 THEN bit << (blk - 48) ELSE 0 END), 0) AS INT) AS b3
+  FROM documents d LEFT JOIN bits b USING (doc_id) GROUP BY d.doc_id),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.b0 AS a0, a.b1 AS a1, a.b2 AS a2, a.b3 AS a3,
+         b.b0 AS c0, b.b1 AS c1, b.b2 AS c2, b.b3 AS c3
+  FROM (
+    SELECT a.doc_id AS ida, b.doc_id AS idb FROM ah a JOIN ah b
+      ON a.b0 = b.b0 AND a.doc_id < b.doc_id
+    UNION
+    SELECT a.doc_id, b.doc_id FROM ah a JOIN ah b
+      ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+    UNION
+    SELECT a.doc_id, b.doc_id FROM ah a JOIN ah b
+      ON a.b2 = b.b2 AND a.doc_id < b.doc_id
+    UNION
+    SELECT a.doc_id, b.doc_id FROM ah a JOIN ah b
+      ON a.b3 = b.b3 AND a.doc_id < b.doc_id) p
+  JOIN ah a ON a.doc_id = p.ida
+  JOIN ah b ON b.doc_id = p.idb)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
+          + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
+    + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) <= 3
+""",
+)
+def q_multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGE detection by perceptual average-hash — the
+    visual twin of the text near-dup ladder and the standard first
+    screen in multimodal corpus dedup (identical re-encodes, crops of
+    flat regions, brightness-shifted copies all collapse to small
+    hamming distances). Each document's synthesized image round-trips
+    the REAL BMP codec (operators/multimodal.py:ahash_bands), the
+    decoded pixels reduce to a 64-bit aHash in exact integer
+    arithmetic, and pairs within hamming <= 3 surface via the 4-band
+    pigeonhole: a <=3-bit difference cannot touch all 4 bands, so
+    band-equality joins are a LOSSLESS candidate generator (the
+    simhash_pairs argument, applied to images).
+
+    Scale shape: one mapInPandas codec pass, four self-joins keyed on
+    16-bit bands (uniformly distributed, no skew), verification only on
+    candidates — never all-pairs. At 100 TB the bands become the
+    shuffle keys of a banded join exactly as in MinHash-LSH."""
+    from taxi_data_datapipeline_spark.operators.multimodal import ahash_bands
+
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    ah = ahash_bands(d).localCheckpoint(eager=False)  # answer-sized signature table
+    left = ah.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{j}").alias(f"a{j}") for j in range(4)],
+    )
+    right = ah.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{j}").alias(f"c{j}") for j in range(4)],
+    )
+    # Hamming is computable inside each band-join branch (both signatures
+    # are already on the row), so the <=3 filter runs BEFORE the distinct —
+    # the dedup then sees only the answer-sized survivor set instead of the
+    # full candidate fanout, and no signature re-join is needed.
+    hamming = sum(
+        F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"c{j}"))) for j in range(4)
+    ).cast("int")
+    cands = None
+    for j in range(4):
+        c = (
+            left.join(
+                right,
+                (F.col(f"a{j}") == F.col(f"c{j}"))
+                & (F.col("doc_a") < F.col("doc_b")),
+            )
+            .select("doc_a", "doc_b", hamming.alias("hamming"))
+            .filter(F.col("hamming") <= 3)
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    return cands.distinct()

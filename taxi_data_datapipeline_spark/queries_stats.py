@@ -2669,6 +2669,242 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select(F.col("j").alias("dim"), F.col("vu").alias("eigvec_units"))
 
 
+# --- Split-conformal prediction intervals -------------------------------------
+
+
+@register(
+    "conformal_event_interval",
+    """
+WITH e AS (
+  SELECT event_id, event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 100 AS b
+  FROM events),
+model AS (
+  SELECT event_type,
+         CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS pred
+  FROM e WHERE b < 60 GROUP BY 1),
+calib AS (
+  SELECT e.event_type, ABS(e.cents - m.pred) AS r, e.event_id
+  FROM e JOIN model m USING (event_type) WHERE b >= 60 AND b < 80),
+ranked AS (
+  SELECT event_type, r,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY r, event_id)
+           AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS nc
+  FROM calib),
+q AS (
+  SELECT event_type, r AS qhat, nc
+  FROM ranked WHERE rk = (9 * nc + 9) // 10),
+test AS (
+  SELECT e.event_type, ABS(e.cents - m.pred) AS r
+  FROM e JOIN model m USING (event_type) WHERE b >= 80)
+SELECT t.event_type,
+       CAST(q.nc AS BIGINT) AS n_calib,
+       COUNT(*) AS n_test,
+       ROUND(q.qhat / 100, 6) AS interval_halfwidth,
+       CAST(SUM(CASE WHEN t.r <= q.qhat THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_covered,
+       ROUND(SUM(CASE WHEN t.r <= q.qhat THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+         AS coverage
+FROM test t JOIN q USING (event_type)
+GROUP BY t.event_type, q.nc, q.qhat
+""",
+)
+def q_conformal_event_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals (Vovk et al.; Lei et al.
+    JASA'18) around a per-type mean model: hash-split train/calibration/
+    test, fit on train, take the ceil(0.9*(n))-th smallest absolute
+    residual on calibration as the interval half-width, and report the
+    finite-sample test coverage — the distribution-free uncertainty
+    wrapper a production scoring pipeline puts around ANY point model.
+
+    Determinism: the model is an exact-integer mean (one double
+    division), residuals are single double subtractions, and the
+    calibration quantile is an ORDER-STATISTIC SELECTION (row_number
+    over (residual, event_id) — no interpolation, ties broken by key),
+    with the rank computed in integer arithmetic ((9n+9)//10, not
+    0.9*n float). Both engines therefore agree bit-for-bit.
+
+    Scale shape: two shuffles keyed by event_type (model agg, quantile
+    rank) + broadcast joins of the tiny per-type model/quantile frames
+    back onto the data-sized stream. The rank window partitions by
+    event_type — bounded partitions, never global."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
+        (
+            F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            % 100
+        ).alias("b"),
+    )
+    model = (
+        e.filter(F.col("b") < 60)
+        .groupBy("event_type")
+        .agg((F.sum("cents").cast("double") / F.count(F.lit(1))).alias("pred"))
+    )
+    calib = (
+        e.filter((F.col("b") >= 60) & (F.col("b") < 80))
+        .join(F.broadcast(model), "event_type")
+        .select("event_type", F.abs(F.col("cents") - F.col("pred")).alias("r"), "event_id")
+    )
+    wrank = Window.partitionBy("event_type").orderBy("r", "event_id")
+    wcnt = Window.partitionBy("event_type")
+    ranked = calib.select(
+        "event_type",
+        "r",
+        F.row_number().over(wrank).alias("rk"),
+        F.count(F.lit(1)).over(wcnt).alias("nc"),
+    )
+    q = ranked.filter(F.col("rk") == F.expr("(9 * nc + 9) DIV 10")).select(
+        "event_type", F.col("r").alias("qhat"), "nc"
+    )
+    test = (
+        e.filter(F.col("b") >= 80)
+        .join(F.broadcast(model), "event_type")
+        .select("event_type", F.abs(F.col("cents") - F.col("pred")).alias("r"))
+    )
+    return (
+        test.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "nc", "qhat")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(F.when(F.col("r") <= F.col("qhat"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_covered"),
+        )
+        .select(
+            "event_type",
+            F.col("nc").cast("bigint").alias("n_calib"),
+            "n_test",
+            F.round(F.col("qhat") / 100, 6).alias("interval_halfwidth"),
+            "n_covered",
+            F.round(F.col("n_covered") / F.col("n_test"), 6).alias("coverage"),
+        )
+    )
+
+
+# --- Isotonic regression (minimax PAV) on the daily series --------------------
+
+
+@register(
+    "isotonic_daily_revenue",
+    """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS y,
+         COUNT(*) AS n
+  FROM events GROUP BY 1),
+p AS (
+  SELECT a.day, a.y, a.n,
+         COUNT(*) AS idx,
+         CAST(SUM(b.y) AS BIGINT) AS py,
+         CAST(SUM(b.n) AS BIGINT) AS pn
+  FROM daily a JOIN daily b ON b.day <= a.day
+  GROUP BY a.day, a.y, a.n),
+win AS (
+  SELECT pa.idx AS ai, pb.idx AS bi, pb.day AS bday,
+         CAST(pb.py - pa.py + pa.y AS DOUBLE)
+           / CAST(pb.pn - pa.pn + pa.n AS DOUBLE) AS avg_ab
+  FROM p pa JOIN p pb ON pa.idx <= pb.idx),
+msuff AS (
+  SELECT ai, bi AS di, bday AS dday,
+         MIN(avg_ab) OVER (PARTITION BY ai ORDER BY bi DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS m
+  FROM win)
+SELECT dday AS day,
+       CAST(d.n AS BIGINT) AS n_events,
+       ROUND(CAST(d.y AS DOUBLE) / d.n, 6) AS daily_avg,
+       ROUND(MAX(msuff.m), 6) AS iso_avg
+FROM msuff JOIN daily d ON d.day = msuff.dday
+GROUP BY dday, d.n, d.y
+""",
+)
+def q_isotonic_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone non-decreasing) regression of average revenue
+    per event over days — shape-constrained trend fitting, the
+    calibration / monotone-trend primitive (Barlow et al.'s
+    pool-adjacent-violators solution). Instead of iterating PAV (a
+    variable-length sequential loop no engine reproduces bit-for-bit),
+    this computes the CLOSED-FORM minimax characterization
+    ``iso(d) = max_{a<=d} min_{b>=d} avg(y[a..b])`` with weighted
+    window averages from exact integer prefix sums — a deterministic
+    function of the data that both engines evaluate identically (one
+    double division per window, min/max over doubles).
+
+    Scale shape: the data-sized stage is the one-shuffle day rollup;
+    everything after runs on the DAYS-bounded series (pair frame is
+    days^2 rows — the Theil-Sen argument), with the suffix-min as a
+    window PARTITIONED by window-start, never global. At production day
+    counts (~10^3) the pair frame is ~10^6 rows — trivial."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    cents = F.col("value").cast("decimal(18,2)") * 100
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(cents).cast("bigint").alias("y"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    b = daily.select(
+        F.col("day").alias("bday"), F.col("y").alias("by"), F.col("n").alias("bn")
+    )
+    p = (
+        daily.join(F.broadcast(b), F.col("bday") <= F.col("day"))
+        .groupBy("day", "y", "n")
+        .agg(
+            F.count(F.lit(1)).alias("idx"),
+            F.sum("by").alias("py"),
+            F.sum("bn").alias("pn"),
+        )
+    )
+    pa = p.select(
+        F.col("idx").alias("ai"),
+        F.col("py").alias("apy"),
+        F.col("pn").alias("apn"),
+        F.col("y").alias("ay"),
+        F.col("n").alias("an"),
+    )
+    pb = p.select(
+        F.col("idx").alias("bi"),
+        F.col("day").alias("bday"),
+        F.col("py").alias("bpy"),
+        F.col("pn").alias("bpn"),
+    )
+    win = pa.join(F.broadcast(pb), F.col("ai") <= F.col("bi")).select(
+        "ai",
+        "bi",
+        "bday",
+        (
+            (F.col("bpy") - F.col("apy") + F.col("ay")).cast("double")
+            / (F.col("bpn") - F.col("apn") + F.col("an")).cast("double")
+        ).alias("avg_ab"),
+    )
+    suffix = Window.partitionBy("ai").orderBy(F.col("bi").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    msuff = win.select(
+        "bi", "bday", F.min("avg_ab").over(suffix).alias("m")
+    )
+    return (
+        msuff.groupBy("bday")
+        .agg(F.max("m").alias("mx"))
+        .join(daily, F.col("bday") == F.col("day"))
+        .select(
+            "day",
+            F.col("n").cast("bigint").alias("n_events"),
+            F.round(F.col("y").cast("double") / F.col("n"), 6).alias("daily_avg"),
+            F.round(F.col("mx"), 6).alias("iso_avg"),
+        )
+    )
+
+
 # --- Kendall tau on the daily series ------------------------------------------
 
 
@@ -4581,6 +4817,225 @@ def q_cf_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_hits",
             F.expr(f"(n_hits * 1000000) DIV {n_customers}").alias("hitrate_ppm"),
         )
+    )
+
+
+# NDCG@10 discount weights as exact integers, computed ONCE driver-side
+# (floor(1e6 / log2(rank+1))) and inlined as literals into BOTH engines —
+# cross-engine log() can differ in the last ulp, identical integer
+# constants cannot. _NDCG_PREFIX[m] = ideal DCG units for m relevant items.
+_NDCG_W = [0] + [int(1_000_000 / __import__("math").log2(r + 1)) for r in range(1, 11)]
+_NDCG_PREFIX = [0]
+for _w in _NDCG_W[1:]:
+    _NDCG_PREFIX.append(_NDCG_PREFIX[-1] + _w)
+
+
+def _ndcg_oracle() -> str:
+    w_rows = ", ".join(f"({r}, {_NDCG_W[r]})" for r in range(1, 11))
+    p_rows = ", ".join(f"({m}, {_NDCG_PREFIX[m]})" for m in range(1, 11))
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+ranked AS (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders
+  FROM orders),
+holdout AS (
+  SELECT o_custkey, o_orderkey FROM ranked WHERE rn = 1 AND n_orders >= 2),
+history AS (
+  SELECT r.o_custkey, li.l_partkey AS item
+  FROM ranked r JOIN li ON r.o_orderkey = li.l_orderkey
+  WHERE r.rn > 1 AND r.n_orders >= 2
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT x.l_partkey AS a, y.l_partkey AS b, COUNT(*) AS support
+  FROM li x JOIN li y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY 1, 2),
+sym_all AS (
+  SELECT a AS item, b AS cand, support FROM pairs
+  UNION ALL SELECT b, a, support FROM pairs),
+sym AS (
+  SELECT item, cand, support
+  FROM (SELECT item, cand, support,
+               ROW_NUMBER() OVER (PARTITION BY item
+                                  ORDER BY support DESC, cand) AS nb
+        FROM sym_all)
+  WHERE nb <= 20),
+scores AS (
+  SELECT h.o_custkey, s.cand, CAST(SUM(s.support) AS BIGINT) AS score
+  FROM history h JOIN sym s ON h.item = s.item
+  LEFT JOIN history h2 ON h2.o_custkey = h.o_custkey AND h2.item = s.cand
+  WHERE h2.item IS NULL
+  GROUP BY 1, 2),
+topk AS (
+  SELECT o_custkey, cand, rk
+  FROM (SELECT o_custkey, cand,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY score DESC, cand) AS rk
+        FROM scores)
+  WHERE rk <= 10),
+truth AS (
+  SELECT hd.o_custkey, li.l_partkey AS item
+  FROM holdout hd JOIN li ON hd.o_orderkey = li.l_orderkey
+  GROUP BY 1, 2),
+wtab(rk, w) AS (VALUES {w_rows}),
+ptab(m, idcg) AS (VALUES {p_rows}),
+dcg AS (
+  SELECT t.o_custkey,
+         CAST(SUM(CASE WHEN tr.item IS NOT NULL THEN w.w ELSE 0 END)
+              AS BIGINT) AS dcg_units
+  FROM topk t
+  JOIN wtab w ON w.rk = t.rk
+  LEFT JOIN truth tr ON tr.o_custkey = t.o_custkey AND tr.item = t.cand
+  GROUP BY 1),
+ideal AS (
+  SELECT o_custkey, p.idcg AS idcg_units
+  FROM (SELECT o_custkey,
+               CASE WHEN COUNT(*) > 10 THEN 10 ELSE COUNT(*) END AS m
+        FROM truth GROUP BY 1) tm
+  JOIN ptab p ON p.m = tm.m),
+per_cust AS (
+  SELECT i.o_custkey,
+         CAST(ROUND(COALESCE(d.dcg_units, 0) * 1.0 / i.idcg_units, 6)
+              AS DECIMAL(12,6)) AS ndcg
+  FROM ideal i LEFT JOIN dcg d ON d.o_custkey = i.o_custkey)
+SELECT 10 AS k,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CASE WHEN ndcg = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_perfect,
+       CAST(SUM(CASE WHEN ndcg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       ROUND(CAST(SUM(ndcg) AS DOUBLE) / COUNT(*), 6) AS mean_ndcg
+FROM per_cust
+"""
+
+
+@register("cf_ndcg_at10", _ndcg_oracle())
+def q_cf_ndcg_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 for the co-purchase recommender — the rank-sensitive
+    companion to `cf_holdout_hitrate` (same leave-last-order-out split,
+    same top-20-neighborhood model, same top-10 lists): a hit at rank 1
+    is worth more than a hit at rank 10, so this is the metric that
+    catches a model whose hits all land at the list's tail.
+
+    Determinism: the 1/log2(rank+1) discounts are precomputed ONCE
+    driver-side as exact integer micro-units and inlined as literals
+    into both engines — DCG/IDCG are then exact integer sums, each
+    per-customer NDCG is one double division rounded to 6 and summed as
+    DECIMAL (order-independent), so the engines agree bit-for-bit
+    without trusting two log() implementations to round identically.
+
+    Plan shape identical to the hitrate query (shared memoized pair
+    table, per-customer windows); the extra work is two broadcast joins
+    against 10-row literal tables."""
+    from taxi_data_datapipeline_spark.queries_advanced import (
+        _copurchase_pair_counts,
+    )
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    ranked = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("o_custkey")).alias("n_orders"),
+    ).filter(F.col("n_orders") >= 2)
+    holdout = ranked.filter(F.col("rn") == 1).select("o_custkey", "o_orderkey")
+    history = (
+        ranked.filter(F.col("rn") > 1)
+        .join(li, ranked.o_orderkey == li.l_orderkey)
+        .select("o_custkey", F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    pairs = _copurchase_pair_counts(spark, sf_dir)
+    sym_all = pairs.select(
+        F.col("a").alias("item"), F.col("b").alias("cand"), "support"
+    ).unionAll(
+        pairs.select(
+            F.col("b").alias("item"), F.col("a").alias("cand"), "support"
+        )
+    )
+    wnb = Window.partitionBy("item").orderBy(F.col("support").desc(), "cand")
+    sym = (
+        sym_all.withColumn("nb", F.row_number().over(wnb))
+        .filter(F.col("nb") <= 20)
+        .drop("nb")
+    )
+    h2 = history.select(
+        F.col("o_custkey").alias("c2"), F.col("item").alias("cand2")
+    )
+    scores = (
+        history.join(sym, "item")
+        .join(
+            h2,
+            (F.col("o_custkey") == F.col("c2")) & (F.col("cand") == F.col("cand2")),
+            "left_anti",
+        )
+        .groupBy("o_custkey", "cand")
+        .agg(F.sum("support").cast("bigint").alias("score"))
+    )
+    wk = Window.partitionBy("o_custkey").orderBy(F.col("score").desc(), "cand")
+    topk = (
+        scores.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= 10)
+        .select("o_custkey", "cand", "rk")
+    )
+    truth = (
+        holdout.join(li, holdout.o_orderkey == li.l_orderkey)
+        .select("o_custkey", F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    wtab = spark.createDataFrame(
+        [(r, _NDCG_W[r]) for r in range(1, 11)], "rk int, w bigint"
+    )
+    ptab = spark.createDataFrame(
+        [(m, _NDCG_PREFIX[m]) for m in range(1, 11)], "m int, idcg bigint"
+    )
+    tr = truth.select(
+        F.col("o_custkey").alias("tc"), F.col("item").alias("tcand")
+    )
+    dcg = (
+        topk.join(F.broadcast(wtab), "rk")
+        .join(
+            tr,
+            (F.col("o_custkey") == F.col("tc")) & (F.col("cand") == F.col("tcand")),
+            "left",
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.when(F.col("tc").isNotNull(), F.col("w")).otherwise(0))
+            .cast("bigint")
+            .alias("dcg_units")
+        )
+    )
+    ideal = (
+        truth.groupBy("o_custkey")
+        .agg(F.least(F.count(F.lit(1)), F.lit(10)).cast("int").alias("m"))
+        .join(F.broadcast(ptab), "m")
+        .select("o_custkey", F.col("idcg").alias("idcg_units"))
+    )
+    per_cust = ideal.join(dcg, "o_custkey", "left").select(
+        F.round(
+            F.coalesce(F.col("dcg_units"), F.lit(0)) / F.col("idcg_units"), 6
+        )
+        .cast("decimal(12,6)")
+        .alias("ndcg")
+    )
+    return per_cust.agg(
+        F.lit(10).alias("k"),
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum((F.col("ndcg") == 1).cast("int")).cast("bigint").alias("n_perfect"),
+        F.sum((F.col("ndcg") == 0).cast("int")).cast("bigint").alias("n_zero"),
+        F.round(
+            F.sum("ndcg").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_ndcg"),
     )
 
 
