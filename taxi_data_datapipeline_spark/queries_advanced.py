@@ -4193,3 +4193,150 @@ def q_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("degree").cast("bigint").alias("degree"),
     )
     return cust.unionByName(supp)
+
+
+# --- t-closeness audit --------------------------------------------------------
+
+
+@register(
+    "t_closeness_audit",
+    """
+WITH dec AS (
+  SELECT c_nationkey, c_mktsegment,
+         NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+  FROM customer),
+n_all AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM dec),
+gcum AS (
+  SELECT decile, CAST(SUM(COUNT(*)) OVER (ORDER BY decile) AS BIGINT) AS cum_all
+  FROM dec GROUP BY decile),
+grp AS (
+  SELECT c_nationkey, c_mktsegment, decile,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM dec GROUP BY 1, 2, 3),
+gsz AS (
+  SELECT c_nationkey, c_mktsegment, CAST(SUM(cnt) AS BIGINT) AS ng
+  FROM grp GROUP BY 1, 2),
+cells AS (
+  SELECT gz.c_nationkey, gz.c_mktsegment, gz.ng, gc.decile, gc.cum_all,
+         CAST(COALESCE(SUM(g.cnt), 0) AS BIGINT) AS cum_g
+  FROM gsz gz
+  CROSS JOIN gcum gc
+  LEFT JOIN grp g
+    ON g.c_nationkey = gz.c_nationkey AND g.c_mktsegment = gz.c_mktsegment
+   AND g.decile <= gc.decile
+  GROUP BY 1, 2, 3, 4, 5),
+emd AS (
+  SELECT c_nationkey, c_mktsegment, ng,
+         CAST(SUM(CASE WHEN decile < 10
+                       THEN ABS(cum_g * n_all.nn - cum_all * ng) ELSE 0 END)
+              AS BIGINT) AS emd_units,
+         CAST(MAX(n_all.nn) AS BIGINT) AS nn
+  FROM cells CROSS JOIN n_all
+  GROUP BY 1, 2, 3)
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey, c_mktsegment AS mktsegment,
+       ng AS group_size, emd_units,
+       ROUND(CAST(emd_units AS DOUBLE) / (CAST(ng AS DOUBLE) * nn * 9), 6)
+         AS t_closeness,
+       CAST(CASE WHEN CAST(emd_units AS DOUBLE) / (CAST(ng AS DOUBLE) * nn * 9)
+                      > 0.15 THEN 1 ELSE 0 END AS INT) AS breach
+FROM emd
+""",
+)
+def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian ICDE'07) — the
+    release check beyond k-anonymity and l-diversity: a quasi-identifier
+    group can be large AND diverse yet still leak if its sensitive-value
+    DISTRIBUTION deviates from the table's (skewness attack). Sensitive
+    attribute = account-balance decile (ordered); per (nation,
+    mktsegment) group, Earth Mover's Distance to the global decile
+    distribution, which for an ordered attribute with unit ground
+    distance is the mean absolute difference of cumulative shares
+    divided by m-1. Groups with t > 0.15 are flagged for suppression —
+    completing the privacy trio with `k_anonymity_report` and
+    `l_diversity_report`.
+
+    Determinism: deciles come from NTILE over a fully tie-broken order
+    (acctbal, custkey); the EMD numerator is computed over a COMMON
+    integer denominator (|cum_g*N - cum_all*n_g|, exact int64 — no
+    per-group float shares), with one double division rounded once at
+    the end.
+
+    Scale shape: the decile assignment is the engine's standard global
+    sort (range-partitioned at cluster scale); everything after runs on
+    (groups x 10 deciles)-bounded frames — the cross join is against a
+    10-row cumulative table."""
+    cust = load(spark, sf_dir, "customer")
+    dec = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.ntile(10).over(Window.orderBy("c_acctbal", "c_custkey")).alias("decile"),
+    )
+    n_all = dec.agg(F.count(F.lit(1)).cast("bigint").alias("nn"))
+    gcum = (
+        dec.groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("dc"))
+        .select(
+            "decile",
+            F.sum("dc")
+            .over(
+                Window.orderBy("decile").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            .cast("bigint")
+            .alias("cum_all"),
+        )
+        .limit(10)  # decile-bounded frame below the global window
+    )
+    grp = dec.groupBy("c_nationkey", "c_mktsegment", "decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    gsz = grp.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("cnt").cast("bigint").alias("ng")
+    )
+    cells = (
+        gsz.crossJoin(F.broadcast(gcum))
+        .join(
+            grp.select(
+                F.col("c_nationkey").alias("gn"),
+                F.col("c_mktsegment").alias("gm"),
+                F.col("decile").alias("gd"),
+                "cnt",
+            ),
+            (F.col("gn") == F.col("c_nationkey"))
+            & (F.col("gm") == F.col("c_mktsegment"))
+            & (F.col("gd") <= F.col("decile")),
+            "left",
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "ng", "decile", "cum_all")
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("cum_g"))
+    )
+    emd = (
+        cells.crossJoin(F.broadcast(n_all))
+        .groupBy("c_nationkey", "c_mktsegment", "ng")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("decile") < 10,
+                    F.abs(
+                        F.col("cum_g") * F.col("nn")
+                        - F.col("cum_all") * F.col("ng")
+                    ),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("emd_units"),
+            F.max("nn").cast("bigint").alias("nn"),
+        )
+    )
+    t = F.col("emd_units").cast("double") / (
+        F.col("ng").cast("double") * F.col("nn") * 9
+    )
+    return emd.select(
+        F.col("c_nationkey").cast("bigint").alias("nationkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.col("ng").alias("group_size"),
+        "emd_units",
+        F.round(t, 6).alias("t_closeness"),
+        F.when(t > 0.15, 1).otherwise(0).cast("int").alias("breach"),
+    )

@@ -5553,3 +5553,363 @@ def q_grouped_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
             (est_cents / F.lit(100.0)).alias("estimate"),
         )
     )
+
+
+# --- Benford first-digit audit ------------------------------------------------
+
+
+# Expected Benford probabilities log10(1 + 1/d) as exact integer nano-units,
+# computed ONCE driver-side and inlined as literals into BOTH engines — the
+# NDCG convention: identical integer constants can't disagree in the last
+# ulp the way two log10() implementations can.
+_BENFORD_MICRO = {
+    1: 301029996, 2: 176091259, 3: 124938737, 4: 96910013, 5: 79181246,
+    6: 66946790, 7: 57991947, 8: 51152522, 9: 45757491,
+}
+
+
+def _benford_oracle() -> str:
+    p_rows = ", ".join(f"({d}, {u})" for d, u in _BENFORD_MICRO.items())
+    return f"""
+WITH c AS (
+  SELECT CAST(substr(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM lineitem),
+o AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS observed FROM c GROUP BY 1),
+n AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM o),
+p(digit, p_nano) AS (VALUES {p_rows})
+SELECT p.digit,
+       COALESCE(o.observed, 0) AS observed,
+       n.n * p.p_nano AS expected_nano,
+       ROUND(CAST(COALESCE(o.observed, 0) * 1000000000 - n.n * p.p_nano
+                  AS DOUBLE)
+             * CAST(COALESCE(o.observed, 0) * 1000000000 - n.n * p.p_nano
+                    AS DOUBLE)
+             / (CAST(n.n * p.p_nano AS DOUBLE) * 1000000000), 6)
+         AS chi2_component
+FROM p CROSS JOIN n LEFT JOIN o USING (digit)
+"""
+
+
+@register("benford_audit", _benford_oracle())
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over line-item prices — the
+    classic fabricated-data / fraud screen (Benford '38; Nigrini's
+    forensic-accounting standard): natural multi-scale monetary data
+    follows P(d) = log10(1+1/d), and a synthetic or tampered feed shows
+    up as per-digit Pearson residuals. Emits one row per digit with the
+    observed count, expected count in exact nano-units, and the
+    chi-square component — the global statistic is the column sum, but
+    per-digit rows localize WHICH digit deviates (the actionable part).
+
+    Determinism: digit extraction is string-of-integer-cents (no
+    float log); expected counts are exact integer products of the
+    inlined nano-unit literals; each chi-square component is a fixed
+    two-multiply-one-divide double sequence on exactly representable
+    integers (< 2^53), rounded once. No cross-row float accumulation.
+
+    Scale shape: one map-side digit projection + a 9-group aggregate +
+    a broadcast of the 1-row total. Nothing here ever exceeds 9 rows
+    after the first shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+    c = li.select(F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit"))
+    o = c.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("observed"))
+    n = o.agg(F.sum("observed").cast("bigint").alias("n"))
+    p = spark.createDataFrame(
+        [(d, u) for d, u in _BENFORD_MICRO.items()], "digit int, p_nano bigint"
+    )
+    diff = (F.col("observed") * 1000000000 - F.col("expected_nano")).cast("double")
+    return (
+        p.crossJoin(F.broadcast(n))
+        .join(o, "digit", "left")
+        .select(
+            "digit",
+            F.coalesce(F.col("observed"), F.lit(0)).alias("observed"),
+            (F.col("n") * F.col("p_nano")).alias("expected_nano"),
+        )
+        .select(
+            "digit",
+            "observed",
+            "expected_nano",
+            F.round(
+                diff * diff
+                / (F.col("expected_nano").cast("double") * 1000000000),
+                6,
+            ).alias("chi2_component"),
+        )
+    )
+
+
+# --- CUSUM changepoint on the daily revenue series ----------------------------
+
+
+@register(
+    "cusum_changepoint",
+    """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+st AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS total
+  FROM daily GROUP BY 1),
+pre AS (
+  SELECT event_type, day,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t,
+         CAST(SUM(y) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT)
+           AS prefix
+  FROM daily),
+s AS (
+  SELECT p.event_type, p.day, p.t, p.prefix, st.n, st.total,
+         st.n * p.prefix - p.t * st.total AS su
+  FROM pre p JOIN st USING (event_type)
+  WHERE p.t < st.n),
+cp AS (
+  SELECT event_type, day, t, prefix, n, total, su,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY ABS(su) DESC, day) AS rk
+  FROM s)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_days,
+       day AS cp_day,
+       CAST(ABS(su) AS BIGINT) AS cusum_units,
+       ROUND(CAST(prefix AS DOUBLE) / t / 100, 6) AS mean_before,
+       ROUND(CAST(total - prefix AS DOUBLE) / (n - t) / 100, 6) AS mean_after
+FROM cp WHERE rk = 1
+""",
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection (Page '54) on each event type's daily
+    revenue series: the maximum absolute mean-centered cumulative sum
+    marks the most likely level-shift day — the monitoring primitive
+    behind "did this metric step-change, and when" alerts. Reports the
+    changepoint day plus the before/after means the shift separates.
+
+    Determinism: the centered cumulative sum is scaled by n to stay in
+    exact integers (S'_t = n*prefix_t - t*total, integer cents — no
+    mean subtraction in floats), the argmax tie-breaks on earliest day,
+    and the last point (where S' is identically 0) is excluded so the
+    changepoint is always a proper split. The two reported means are
+    single double-division chains rounded once.
+
+    Scale shape: day-level rollup is the only data-sized shuffle; the
+    window and argmax run on the DAYS-bounded per-type series."""
+    ev = load(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    daily = ev.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.sum(cents).cast("bigint").alias("y")
+    )
+    st = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("total"),
+    )
+    wday = Window.partitionBy("event_type").orderBy("day")
+    pre = daily.select(
+        "event_type",
+        "day",
+        F.row_number().over(wday).alias("t"),
+        F.sum("y").over(wday).cast("bigint").alias("prefix"),
+    )
+    s = (
+        pre.join(F.broadcast(st), "event_type")
+        .filter(F.col("t") < F.col("n"))
+        .withColumn("su", F.col("n") * F.col("prefix") - F.col("t") * F.col("total"))
+    )
+    wrk = Window.partitionBy("event_type").orderBy(F.abs(F.col("su")).desc(), "day")
+    return (
+        s.withColumn("rk", F.row_number().over(wrk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            F.col("day").alias("cp_day"),
+            F.abs(F.col("su")).cast("bigint").alias("cusum_units"),
+            F.round(F.col("prefix").cast("double") / F.col("t") / 100, 6).alias(
+                "mean_before"
+            ),
+            F.round(
+                (F.col("total") - F.col("prefix")).cast("double")
+                / (F.col("n") - F.col("t"))
+                / 100,
+                6,
+            ).alias("mean_after"),
+        )
+    )
+
+
+# --- Benjamini-Hochberg multiple-testing on per-type trend sign tests ---------
+
+
+_BH_MAX_N = 60  # binomial-tail table bound; daily series here are ~30 points
+_POW2_60 = 1 << 60
+
+
+def _binom_tails() -> list:
+    """(n, kmin, tail) rows with tail = sum_{k>=kmin} C(n,k), for
+    kmin in [n//2, n] — the only range a two-sided sign test ever looks
+    up (K = max(s, n-s) >= ceil(n/2)). Exact integers, max tail < 2^60.
+    Computed ONCE driver-side and inlined into BOTH engines: exact
+    binomial tail p-values with no factorials, no floats, and no
+    cross-engine combinatorics."""
+    import math as _m
+
+    rows = []
+    for n in range(1, _BH_MAX_N + 1):
+        tail = 0
+        for k in range(n, n // 2 - 1, -1):
+            tail += _m.comb(n, k)
+            rows.append((n, k, tail))
+    return rows
+
+
+def _bh_sign_oracle() -> str:
+    t_rows = ", ".join(f"({n}, {k}, {t})" for n, k, t in _binom_tails())
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+dd AS (
+  SELECT event_type, y,
+         LAG(y) OVER (PARTITION BY event_type ORDER BY day) AS prev
+  FROM daily),
+per_type AS (
+  SELECT event_type,
+         CAST(COUNT(*) FILTER (WHERE y <> prev) AS BIGINT) AS n,
+         CAST(COUNT(*) FILTER (WHERE y > prev) AS BIGINT) AS s
+  FROM dd WHERE prev IS NOT NULL GROUP BY 1),
+tails(n, kmin, tail) AS (VALUES {t_rows}),
+scored AS (
+  SELECT p.event_type, p.n, p.s,
+         LEAST(2 * t.tail, 1 << p.n) AS p_units,
+         1 << p.n AS pow2n,
+         LEAST(2 * t.tail, 1 << p.n) * (1 << (60 - p.n)) AS sortkey
+  FROM per_type p
+  JOIN tails t ON t.n = p.n AND t.kmin = GREATEST(p.s, p.n - p.s)
+  WHERE p.n >= 1 AND p.n <= {_BH_MAX_N}),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY sortkey, event_type) AS i,
+         COUNT(*) OVER () AS m
+  FROM scored),
+flagged AS (
+  SELECT *,
+         CASE WHEN CAST(sortkey AS HUGEINT) * 20 * m
+                   <= CAST(i AS HUGEINT) * CAST({_POW2_60} AS HUGEINT)
+              THEN i END AS pass_i
+  FROM ranked),
+cut AS (SELECT *, MAX(pass_i) OVER () AS cutoff FROM flagged)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_pairs,
+       CAST(s AS BIGINT) AS n_up,
+       ROUND(CAST(p_units AS DOUBLE) / CAST(pow2n AS DOUBLE), 6) AS p_value,
+       CAST(i AS BIGINT) AS bh_rank,
+       CAST(CASE WHEN cutoff IS NOT NULL AND i <= cutoff
+                 THEN 1 ELSE 0 END AS INT) AS reject
+FROM cut
+"""
+
+
+@register("bh_sign_trend", _bh_sign_oracle())
+def q_bh_sign_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type day-over-day trend sign tests with
+    Benjamini-Hochberg FDR correction (BH '95) — the multiple-testing
+    discipline a metrics platform needs the moment it monitors MANY
+    series at once: each type's up-vs-down day count gets an EXACT
+    two-sided binomial sign-test p-value, and the step-up procedure
+    rejects the largest prefix of the p-sorted list with
+    p_(i) <= i*alpha/m (alpha = 0.05).
+
+    Determinism end-to-end: p-values are exact dyadic rationals
+    2*tail(n, max(s, n-s)) / 2^n built from the inlined integer
+    binomial-tail table (no factorials or floats in either engine);
+    the BH sort key rescales every p to the common 2^-60 grid with
+    EXACT bit-shifts (p_units << (60-n), always < 2^61); and the
+    step-up comparison runs in 128-bit-safe integer arithmetic
+    (HUGEINT / DECIMAL(38,0)). The only doubles are the reported
+    p-value rendering, one division rounded once.
+
+    Scale shape: the day rollup is the lone data-sized shuffle; the
+    test statistics, join against the literal tail table, and the BH
+    window all run on the TYPES-bounded frame (explicitly .limit()
+    bounded below the global window)."""
+    ev = load(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    daily = ev.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.sum(cents).cast("bigint").alias("y")
+    )
+    wday = Window.partitionBy("event_type").orderBy("day")
+    dd = daily.select(
+        "event_type", "y", F.lag("y").over(wday).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    per_type = dd.groupBy("event_type").agg(
+        F.sum((F.col("y") != F.col("prev")).cast("bigint")).alias("n"),
+        F.sum((F.col("y") > F.col("prev")).cast("bigint")).alias("s"),
+    )
+    tails = spark.createDataFrame(
+        _binom_tails(), "tn bigint, kmin bigint, tail bigint"
+    )
+    pow2n = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(n AS INT))")
+    scored = (
+        per_type.filter((F.col("n") >= 1) & (F.col("n") <= _BH_MAX_N))
+        .join(
+            F.broadcast(tails),
+            (F.col("n") == F.col("tn"))
+            & (F.col("kmin") == F.greatest(F.col("s"), F.col("n") - F.col("s"))),
+        )
+        .select(
+            "event_type",
+            "n",
+            "s",
+            F.least(2 * F.col("tail"), pow2n).alias("p_units"),
+            pow2n.alias("pow2n"),
+        )
+        .withColumn(
+            "sortkey",
+            F.col("p_units")
+            * F.expr("shiftleft(CAST(1 AS BIGINT), CAST(60 - n AS INT))"),
+        )
+        .limit(100000)  # types-bounded frame; explicit bound below the window
+    )
+    wall = Window.orderBy("sortkey", "event_type")
+    ranked = scored.select(
+        "*",
+        F.row_number().over(wall).alias("i"),
+        F.count(F.lit(1)).over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("m"),
+    )
+    flag = (
+        F.col("sortkey").cast("decimal(38,0)") * 20 * F.col("m")
+        <= F.col("i").cast("decimal(38,0)") * F.lit(_POW2_60).cast("decimal(38,0)")
+    )
+    flagged = ranked.withColumn("pass_i", F.when(flag, F.col("i")))
+    cut = flagged.withColumn(
+        "cutoff",
+        F.max("pass_i").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
+    return cut.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.col("s").cast("bigint").alias("n_up"),
+        F.round(
+            F.col("p_units").cast("double") / F.col("pow2n").cast("double"), 6
+        ).alias("p_value"),
+        F.col("i").cast("bigint").alias("bh_rank"),
+        F.when(
+            F.col("cutoff").isNotNull() & (F.col("i") <= F.col("cutoff")), 1
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("reject"),
+    )
