@@ -4107,7 +4107,7 @@ _KCORE_K = 25
 _KCORE_ROUNDS = 6
 
 
-def _kcore_oracle(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+def _kcore_bipartite_oracle(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
     steps = []
     prev = "e0"
     for r in range(1, rounds + 1):
@@ -4138,8 +4138,8 @@ SELECT node, side, CAST(degree AS BIGINT) AS degree FROM (
 """
 
 
-@register("kcore_membership", _kcore_oracle())
-def q_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("kcore_bipartite", _kcore_bipartite_oracle())
+def q_kcore_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core of the bipartite customer-supplier trade graph (Seidman
     1983; the standard dense-subgraph / spam-cluster / power-user
     extractor) by iterative peeling: drop every node with degree < k,
@@ -4203,31 +4203,33 @@ def q_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH dec AS (
   SELECT c_nationkey, c_mktsegment,
-         NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+         LEAST(10, (CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+                    + 100000) // 100000) AS b
   FROM customer),
 n_all AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM dec),
+btab(b) AS (VALUES (0), (1), (2), (3), (4), (5), (6), (7), (8), (9), (10)),
+gtot AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt FROM dec GROUP BY b),
 gcum AS (
-  SELECT decile, CAST(SUM(COUNT(*)) OVER (ORDER BY decile) AS BIGINT) AS cum_all
-  FROM dec GROUP BY decile),
+  SELECT bt.b, CAST(COALESCE(SUM(g.cnt), 0) AS BIGINT) AS cum_all
+  FROM btab bt LEFT JOIN gtot g ON g.b <= bt.b GROUP BY bt.b),
 grp AS (
-  SELECT c_nationkey, c_mktsegment, decile,
-         CAST(COUNT(*) AS BIGINT) AS cnt
+  SELECT c_nationkey, c_mktsegment, b, CAST(COUNT(*) AS BIGINT) AS cnt
   FROM dec GROUP BY 1, 2, 3),
 gsz AS (
   SELECT c_nationkey, c_mktsegment, CAST(SUM(cnt) AS BIGINT) AS ng
   FROM grp GROUP BY 1, 2),
 cells AS (
-  SELECT gz.c_nationkey, gz.c_mktsegment, gz.ng, gc.decile, gc.cum_all,
+  SELECT gz.c_nationkey, gz.c_mktsegment, gz.ng, gc.b, gc.cum_all,
          CAST(COALESCE(SUM(g.cnt), 0) AS BIGINT) AS cum_g
   FROM gsz gz
   CROSS JOIN gcum gc
   LEFT JOIN grp g
     ON g.c_nationkey = gz.c_nationkey AND g.c_mktsegment = gz.c_mktsegment
-   AND g.decile <= gc.decile
+   AND g.b <= gc.b
   GROUP BY 1, 2, 3, 4, 5),
 emd AS (
   SELECT c_nationkey, c_mktsegment, ng,
-         CAST(SUM(CASE WHEN decile < 10
+         CAST(SUM(CASE WHEN b < 10
                        THEN ABS(cum_g * n_all.nn - cum_all * ng) ELSE 0 END)
               AS BIGINT) AS emd_units,
          CAST(MAX(n_all.nn) AS BIGINT) AS nn
@@ -4235,9 +4237,9 @@ emd AS (
   GROUP BY 1, 2, 3)
 SELECT CAST(c_nationkey AS BIGINT) AS nationkey, c_mktsegment AS mktsegment,
        ng AS group_size, emd_units,
-       ROUND(CAST(emd_units AS DOUBLE) / (CAST(ng AS DOUBLE) * nn * 9), 6)
+       ROUND(CAST(emd_units AS DOUBLE) / (CAST(ng AS DOUBLE) * nn * 10), 6)
          AS t_closeness,
-       CAST(CASE WHEN CAST(emd_units AS DOUBLE) / (CAST(ng AS DOUBLE) * nn * 9)
+       CAST(CASE WHEN CAST(emd_units AS DOUBLE) / (CAST(ng AS DOUBLE) * nn * 10)
                       > 0.15 THEN 1 ELSE 0 END AS INT) AS breach
 FROM emd
 """,
@@ -4247,48 +4249,44 @@ def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     release check beyond k-anonymity and l-diversity: a quasi-identifier
     group can be large AND diverse yet still leak if its sensitive-value
     DISTRIBUTION deviates from the table's (skewness attack). Sensitive
-    attribute = account-balance decile (ordered); per (nation,
-    mktsegment) group, Earth Mover's Distance to the global decile
-    distribution, which for an ordered attribute with unit ground
-    distance is the mean absolute difference of cumulative shares
-    divided by m-1. Groups with t > 0.15 are flagged for suppression —
-    completing the privacy trio with `k_anonymity_report` and
-    `l_diversity_report`.
+    attribute = account balance discretized into 11 fixed $1,000-wide
+    value buckets (ordered); per (nation, mktsegment) group, Earth
+    Mover's Distance to the global bucket distribution, which for an
+    ordered attribute with unit ground distance is the mean absolute
+    difference of cumulative shares divided by m-1. Groups with
+    t > 0.15 are flagged for suppression — completing the privacy trio
+    with `k_anonymity_report` and `l_diversity_report`.
 
-    Determinism: deciles come from NTILE over a fully tie-broken order
-    (acctbal, custkey); the EMD numerator is computed over a COMMON
+    Determinism: bucketing is INTEGER arithmetic on exact cents (shifted
+    non-negative so truncating and flooring division agree across
+    engines — landmine 13); the EMD numerator is computed over a COMMON
     integer denominator (|cum_g*N - cum_all*n_g|, exact int64 — no
-    per-group float shares), with one double division rounded once at
-    the end.
+    per-group float shares), with one double division rounded once.
 
-    Scale shape: the decile assignment is the engine's standard global
-    sort (range-partitioned at cluster scale); everything after runs on
-    (groups x 10 deciles)-bounded frames — the cross join is against a
-    10-row cumulative table."""
+    Scale shape: value bucketing (vs the quantile alternative) is
+    deliberate — it is map-side computable with NO global sort or
+    window anywhere in the plan; the only data-sized stages are the two
+    hash aggregates on (group, bucket). Cumulatives come from <=11-row
+    literal-frame joins, and every later frame is (groups x 11)
+    bounded."""
     cust = load(spark, sf_dir, "customer")
     dec = cust.select(
         "c_nationkey",
         "c_mktsegment",
-        F.ntile(10).over(Window.orderBy("c_acctbal", "c_custkey")).alias("decile"),
+        F.least(F.lit(10), F.expr(
+            "(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) + 100000)"
+            " DIV 100000"
+        )).alias("b"),
     )
     n_all = dec.agg(F.count(F.lit(1)).cast("bigint").alias("nn"))
+    btab = spark.createDataFrame([(b,) for b in range(11)], "lb bigint")
+    gtot = dec.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     gcum = (
-        dec.groupBy("decile")
-        .agg(F.count(F.lit(1)).alias("dc"))
-        .select(
-            "decile",
-            F.sum("dc")
-            .over(
-                Window.orderBy("decile").rowsBetween(
-                    Window.unboundedPreceding, Window.currentRow
-                )
-            )
-            .cast("bigint")
-            .alias("cum_all"),
-        )
-        .limit(10)  # decile-bounded frame below the global window
+        btab.join(F.broadcast(gtot), F.col("b") <= F.col("lb"), "left")
+        .groupBy("lb")
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("cum_all"))
     )
-    grp = dec.groupBy("c_nationkey", "c_mktsegment", "decile").agg(
+    grp = dec.groupBy("c_nationkey", "c_mktsegment", "b").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
     gsz = grp.groupBy("c_nationkey", "c_mktsegment").agg(
@@ -4300,15 +4298,15 @@ def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             grp.select(
                 F.col("c_nationkey").alias("gn"),
                 F.col("c_mktsegment").alias("gm"),
-                F.col("decile").alias("gd"),
+                F.col("b").alias("gb"),
                 "cnt",
             ),
             (F.col("gn") == F.col("c_nationkey"))
             & (F.col("gm") == F.col("c_mktsegment"))
-            & (F.col("gd") <= F.col("decile")),
+            & (F.col("gb") <= F.col("lb")),
             "left",
         )
-        .groupBy("c_nationkey", "c_mktsegment", "ng", "decile", "cum_all")
+        .groupBy("c_nationkey", "c_mktsegment", "ng", "lb", "cum_all")
         .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("cum_g"))
     )
     emd = (
@@ -4317,7 +4315,7 @@ def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(
                 F.when(
-                    F.col("decile") < 10,
+                    F.col("lb") < 10,
                     F.abs(
                         F.col("cum_g") * F.col("nn")
                         - F.col("cum_all") * F.col("ng")
@@ -4330,7 +4328,7 @@ def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     t = F.col("emd_units").cast("double") / (
-        F.col("ng").cast("double") * F.col("nn") * 9
+        F.col("ng").cast("double") * F.col("nn") * 10
     )
     return emd.select(
         F.col("c_nationkey").cast("bigint").alias("nationkey"),

@@ -5555,92 +5555,6 @@ def q_grouped_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-# --- Benford first-digit audit ------------------------------------------------
-
-
-# Expected Benford probabilities log10(1 + 1/d) as exact integer nano-units,
-# computed ONCE driver-side and inlined as literals into BOTH engines — the
-# NDCG convention: identical integer constants can't disagree in the last
-# ulp the way two log10() implementations can.
-_BENFORD_MICRO = {
-    1: 301029996, 2: 176091259, 3: 124938737, 4: 96910013, 5: 79181246,
-    6: 66946790, 7: 57991947, 8: 51152522, 9: 45757491,
-}
-
-
-def _benford_oracle() -> str:
-    p_rows = ", ".join(f"({d}, {u})" for d, u in _BENFORD_MICRO.items())
-    return f"""
-WITH c AS (
-  SELECT CAST(substr(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
-                          AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
-  FROM lineitem),
-o AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS observed FROM c GROUP BY 1),
-n AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM o),
-p(digit, p_nano) AS (VALUES {p_rows})
-SELECT p.digit,
-       COALESCE(o.observed, 0) AS observed,
-       n.n * p.p_nano AS expected_nano,
-       ROUND(CAST(COALESCE(o.observed, 0) * 1000000000 - n.n * p.p_nano
-                  AS DOUBLE)
-             * CAST(COALESCE(o.observed, 0) * 1000000000 - n.n * p.p_nano
-                    AS DOUBLE)
-             / (CAST(n.n * p.p_nano AS DOUBLE) * 1000000000), 6)
-         AS chi2_component
-FROM p CROSS JOIN n LEFT JOIN o USING (digit)
-"""
-
-
-@register("benford_audit", _benford_oracle())
-def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benford's-law first-digit audit over line-item prices — the
-    classic fabricated-data / fraud screen (Benford '38; Nigrini's
-    forensic-accounting standard): natural multi-scale monetary data
-    follows P(d) = log10(1+1/d), and a synthetic or tampered feed shows
-    up as per-digit Pearson residuals. Emits one row per digit with the
-    observed count, expected count in exact nano-units, and the
-    chi-square component — the global statistic is the column sum, but
-    per-digit rows localize WHICH digit deviates (the actionable part).
-
-    Determinism: digit extraction is string-of-integer-cents (no
-    float log); expected counts are exact integer products of the
-    inlined nano-unit literals; each chi-square component is a fixed
-    two-multiply-one-divide double sequence on exactly representable
-    integers (< 2^53), rounded once. No cross-row float accumulation.
-
-    Scale shape: one map-side digit projection + a 9-group aggregate +
-    a broadcast of the 1-row total. Nothing here ever exceeds 9 rows
-    after the first shuffle."""
-    li = load(spark, sf_dir, "lineitem")
-    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
-    c = li.select(F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit"))
-    o = c.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("observed"))
-    n = o.agg(F.sum("observed").cast("bigint").alias("n"))
-    p = spark.createDataFrame(
-        [(d, u) for d, u in _BENFORD_MICRO.items()], "digit int, p_nano bigint"
-    )
-    diff = (F.col("observed") * 1000000000 - F.col("expected_nano")).cast("double")
-    return (
-        p.crossJoin(F.broadcast(n))
-        .join(o, "digit", "left")
-        .select(
-            "digit",
-            F.coalesce(F.col("observed"), F.lit(0)).alias("observed"),
-            (F.col("n") * F.col("p_nano")).alias("expected_nano"),
-        )
-        .select(
-            "digit",
-            "observed",
-            "expected_nano",
-            F.round(
-                diff * diff
-                / (F.col("expected_nano").cast("double") * 1000000000),
-                6,
-            ).alias("chi2_component"),
-        )
-    )
-
-
 # --- CUSUM changepoint on the daily revenue series ----------------------------
 
 
