@@ -4338,3 +4338,179 @@ def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(t, 6).alias("t_closeness"),
         F.when(t > 0.15, 1).otherwise(0).cast("int").alias("breach"),
     )
+
+
+# --- Shapley-value channel attribution ----------------------------------------
+
+
+@register(
+    "shapley_attribution",
+    """
+WITH fp AS (
+  SELECT user_id, MIN(ts) AS pts FROM events
+  WHERE event_type = 'purchase' GROUP BY 1),
+pre AS (
+  SELECT DISTINCT e.user_id, e.event_type AS ch
+  FROM events e JOIN fp ON e.user_id = fp.user_id
+  WHERE e.ts < fp.pts AND e.event_type <> 'purchase'),
+chs AS (
+  SELECT ch, CAST(ROW_NUMBER() OVER (ORDER BY ch) - 1 AS BIGINT) AS bit
+  FROM (SELECT DISTINCT ch FROM pre)),
+kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM chs),
+um AS (
+  SELECT p.user_id, CAST(SUM(1 << c.bit) AS BIGINT) AS mask
+  FROM pre p JOIN chs c ON p.ch = c.ch GROUP BY 1),
+mc AS (SELECT mask, CAST(COUNT(*) AS BIGINT) AS cnt FROM um GROUP BY 1),
+subs AS (
+  SELECT s.s AS s FROM kk,
+  LATERAL unnest(generate_series(0, (1 << kk.k) - 1)) AS s(s)),
+v AS (
+  SELECT s.s, CAST(COALESCE(SUM(mc.cnt), 0) AS BIGINT) AS v
+  FROM subs s LEFT JOIN mc ON (mc.mask & s.s) = mc.mask GROUP BY s.s),
+fact(i, f) AS (VALUES (0, 1), (1, 1), (2, 2), (3, 6), (4, 24), (5, 120),
+                      (6, 720), (7, 5040), (8, 40320)),
+contrib AS (
+  SELECT c.ch, fs.f * fk.f * (vw.v - vo.v) AS u
+  FROM chs c CROSS JOIN kk
+  JOIN v vo ON (vo.s & (1 << c.bit)) = 0
+  JOIN v vw ON vw.s = vo.s + (1 << c.bit)
+  JOIN fact fs ON fs.i = bit_count(vo.s)
+  JOIN fact fk ON fk.i = kk.k - 1 - bit_count(vo.s)),
+tot AS (
+  SELECT CAST(MAX(v.v) AS BIGINT) AS nconv
+  FROM v CROSS JOIN kk WHERE v.s = (1 << kk.k) - 1)
+SELECT c2.ch AS channel,
+       CAST(SUM(u) AS BIGINT) AS shapley_units,
+       CAST(kk.k AS BIGINT) AS n_channels,
+       tot.nconv AS n_attributed,
+       ROUND(CAST(CAST(SUM(u) AS BIGINT) AS DOUBLE) / (fkk.f * tot.nconv), 6)
+         AS credit_share
+FROM contrib c2 CROSS JOIN kk CROSS JOIN tot
+JOIN fact fkk ON fkk.i = kk.k
+GROUP BY c2.ch, kk.k, tot.nconv, fkk.f
+""",
+)
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value multi-touch attribution (Shapley '53; the
+    coalition-game credit rule behind Google Analytics' data-driven
+    attribution): each converter's pre-purchase channel SET is a
+    coalition; v(S) counts converters whose whole journey fits inside
+    S; channel c's credit is the factorial-weighted average of its
+    marginal contributions v(S+c) - v(S) over all subsets. Unlike
+    `attribution_linear` (equal split), Shapley rewards channels that
+    convert WITHOUT help and discounts free-riders — and it is the
+    unique rule that is efficient, symmetric, and dummy-free.
+
+    Determinism: everything is exact integers — coalition values are
+    subset-sum counts, the |S|!(k-1-|S|)!/k! weights are scaled by k!
+    into the inlined factorial literal table, and the single double
+    division (credit share) happens once, rounded once. Efficiency
+    (sum of shares = 1) is exact by construction.
+
+    Scale shape: the data-sized stages are first-purchase + distinct
+    (user, channel) + the user-mask aggregate — all keyed by user_id.
+    Everything after runs on <= 2^k-row frames (k = channel count,
+    here 4): the subset lattice, both v lookups, and the weighted
+    marginal sum are broadcast-joined literals-sized work. The channel
+    index window sits over an explicitly .limit(8)-bounded distinct."""
+    ev = load(spark, sf_dir, "events")
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pts"))
+    )
+    pre = (
+        ev.join(F.broadcast(fp), "user_id")
+        .filter((F.col("ts") < F.col("pts")) & (F.col("event_type") != "purchase"))
+        .select("user_id", F.col("event_type").alias("ch"))
+        .distinct()
+    )
+    chs = (
+        pre.select("ch")
+        .distinct()
+        .limit(8)  # channel-bounded frame below the indexing window
+        .select(
+            "ch",
+            (F.row_number().over(Window.orderBy("ch")) - 1)
+            .cast("bigint")
+            .alias("bit"),
+        )
+    )
+    kk = chs.agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    um = (
+        pre.join(F.broadcast(chs), "ch")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
+            .cast("bigint")
+            .alias("mask")
+        )
+    )
+    mc = um.groupBy("mask").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    subs = kk.select(
+        F.explode(
+            F.expr("sequence(CAST(0 AS BIGINT),"
+                   " shiftleft(CAST(1 AS BIGINT), CAST(k AS INT)) - 1)")
+        ).alias("s")
+    )
+    v = (
+        subs.join(
+            F.broadcast(mc),
+            F.expr("(mask & s) = mask"),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("v"))
+    )
+    fact = spark.createDataFrame(
+        [(i, f) for i, f in
+         [(0, 1), (1, 1), (2, 2), (3, 6), (4, 24), (5, 120),
+          (6, 720), (7, 5040), (8, 40320)]],
+        "i bigint, f bigint",
+    )
+    vo = v.select(F.col("s").alias("so"), F.col("v").alias("vo"))
+    vw = v.select(F.col("s").alias("sw"), F.col("v").alias("vw"))
+    contrib = (
+        chs.crossJoin(F.broadcast(kk))
+        .join(
+            F.broadcast(vo),
+            F.expr("(so & shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))) = 0"),
+        )
+        .join(
+            F.broadcast(vw),
+            F.expr("sw = so + shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"),
+        )
+        .join(F.broadcast(fact.select(F.col("i").alias("fi"),
+                                      F.col("f").alias("fs"))),
+              F.expr("fi = bit_count(so)"))
+        .join(F.broadcast(fact.select(F.col("i").alias("fj"),
+                                      F.col("f").alias("fk"))),
+              F.expr("fj = k - 1 - bit_count(so)"))
+        .select("ch", "k",
+                (F.col("fs") * F.col("fk") * (F.col("vw") - F.col("vo")))
+                .alias("u"))
+    )
+    tot = (
+        v.crossJoin(F.broadcast(kk))
+        .filter(F.expr("s = shiftleft(CAST(1 AS BIGINT), CAST(k AS INT)) - 1"))
+        .select(F.col("v").cast("bigint").alias("nconv"))
+    )
+    return (
+        contrib.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(fact.select(F.col("i").alias("ki"),
+                                      F.col("f").alias("kf"))),
+              F.expr("ki = k"))
+        .groupBy("ch", "k", "nconv", "kf")
+        .agg(F.sum("u").cast("bigint").alias("shapley_units"))
+        .select(
+            F.col("ch").alias("channel"),
+            "shapley_units",
+            F.col("k").cast("bigint").alias("n_channels"),
+            F.col("nconv").alias("n_attributed"),
+            F.round(
+                F.col("shapley_units").cast("double")
+                / (F.col("kf") * F.col("nconv")),
+                6,
+            ).alias("credit_share"),
+        )
+    )
