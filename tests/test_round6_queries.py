@@ -66,3 +66,16 @@ def test_conformal_coverage_near_nominal(spark):
         if r.n_test >= 50:
             assert r.coverage >= 0.80
         assert r.interval_halfwidth >= 0
+
+
+def test_shapley_efficiency_exact(spark):
+    rows = QUERIES["shapley_attribution"](spark, SF_SMOKE).collect()
+    assert rows
+    k = rows[0].n_channels
+    fact = 1
+    for i in range(2, k + 1):
+        fact *= i
+    total_units = sum(r.shapley_units for r in rows)
+    # efficiency: sum of Shapley values = k! * v(grand coalition), exactly
+    assert total_units == fact * rows[0].n_attributed
+    assert abs(sum(r.credit_share for r in rows) - 1.0) < 1e-9
