@@ -4514,3 +4514,83 @@ def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("credit_share"),
         )
     )
+
+
+# --- transformWithState sessionizer as a driver-facing query -------------------
+
+
+@register(
+    "streaming_sessions_tws",
+    """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                IS NULL
+                OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WHERE ts IS NOT NULL),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged),
+agg AS (
+  SELECT user_id, sid, MIN(ts) AS session_start, MAX(ts) AS session_end,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM sess GROUP BY user_id, sid),
+mx AS (
+  SELECT *, MAX(sid) OVER (PARTITION BY user_id) AS max_sid FROM agg)
+SELECT user_id, session_start, session_end, n_events
+FROM mx WHERE sid < max_sid
+""",
+)
+def q_streaming_sessions_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization on `transformWithStateInPandas` — Spark 4's
+    typed-state stateful API (SPARK-49564), running against the real
+    worker protocol (protobuf state messages, RocksDB state store) as a
+    driver-facing query, completing the sessionization ladder's last
+    rung IN the registry (manual windows, batch session_window,
+    streaming session_window, applyInPandasWithState, and now
+    transformWithState).
+
+    Closed-session semantics make this oracle-exact: the processor
+    emits a session only when a LATER event proves the >30 min silence,
+    so each user's final (still-open) session stays in state — the
+    oracle is gaps-and-islands MINUS every user's last island, with
+    session_end = last event inside the island. One availableNow drain
+    over the static table == the incremental answer (state is one
+    bounded struct per user; RocksDB-backed at cluster scale)."""
+    from taxi_data_datapipeline_spark.streaming.sessions_tws import (
+        sessionize_stream_tws,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        raw = _stream_events(spark, sf_dir).select("user_id", "ts")
+        sessions = sessionize_stream_tws(raw, gap_seconds=30 * 60)
+        name = f"stream_tws_{next(_stream_counter)}"
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    return spark.table(name).select(
+        "user_id",
+        "session_start",
+        "session_end",
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )

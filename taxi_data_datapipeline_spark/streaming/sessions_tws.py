@@ -69,11 +69,19 @@ class SessionProcessor(StatefulProcessor):
             self.state.update((start, last, n))
 
         if out:
+            # Emit on the exact microsecond grid: float-seconds -> ns would
+            # land ~0.1 ns off the true microsecond and can truncate 1 us low
+            # at the Arrow ns->us conversion; rounding to us first is exact
+            # (double error << 0.5 us at epoch magnitudes).
             yield pd.DataFrame(
                 {
                     "user_id": [o[0] for o in out],
-                    "session_start": [pd.Timestamp(o[1], unit="s") for o in out],
-                    "session_end": [pd.Timestamp(o[2], unit="s") for o in out],
+                    "session_start": [
+                        pd.Timestamp(round(o[1] * 1_000_000), unit="us") for o in out
+                    ],
+                    "session_end": [
+                        pd.Timestamp(round(o[2] * 1_000_000), unit="us") for o in out
+                    ],
                     "n_events": [o[3] for o in out],
                 }
             )
