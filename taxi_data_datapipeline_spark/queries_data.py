@@ -5032,3 +5032,132 @@ def q_multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cands = c if cands is None else cands.unionByName(c)
     return cands.distinct()
+
+
+# --- Reciprocal-rank fusion (hybrid retrieval) ---------------------------------
+
+
+# floor(1e9 / (60 + rank)) for ranks 1..20 — the RRF k=60 weights
+# (Cormack et al. SIGIR'09) as exact integer nano-units, computed ONCE
+# driver-side and inlined into BOTH engines.
+_RRF_W = {r: 10**9 // (60 + r) for r in range(1, 21)}
+
+
+def _rrf_oracle() -> str:
+    w_rows = ", ".join(f"({r}, {w})" for r, w in _RRF_W.items())
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+dense0 AS (
+  SELECT vec_id, ROUND({_COS_SQL}, 6) AS cs
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+  ORDER BY cs DESC, vec_id LIMIT 20),
+dense AS (
+  SELECT vec_id AS id,
+         ROW_NUMBER() OVER (ORDER BY cs DESC, vec_id) AS drank
+  FROM dense0),
+s AS (SELECT doc_id, {_SQL_GRAMS} AS grams FROM documents),
+g0 AS (SELECT DISTINCT UNNEST(grams) AS gram FROM s WHERE doc_id = 0),
+gd AS (SELECT DISTINCT doc_id, UNNEST(grams) AS gram FROM s WHERE doc_id <> 0),
+ov0 AS (
+  SELECT gd.doc_id, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM gd JOIN g0 USING (gram) GROUP BY 1
+  ORDER BY cnt DESC, doc_id LIMIT 20),
+sparse AS (
+  SELECT doc_id AS id,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, doc_id) AS srank
+  FROM ov0),
+w(rk, wu) AS (VALUES {w_rows}),
+fused AS (
+  SELECT COALESCE(d.id, sp.id) AS doc_id, d.drank, sp.srank,
+         CAST(COALESCE(wd.wu, 0) + COALESCE(ws.wu, 0) AS BIGINT) AS rrf_units
+  FROM dense d FULL OUTER JOIN sparse sp ON d.id = sp.id
+  LEFT JOIN w wd ON wd.rk = d.drank
+  LEFT JOIN w ws ON ws.rk = sp.srank)
+SELECT doc_id, CAST(drank AS INT) AS dense_rank,
+       CAST(srank AS INT) AS sparse_rank, rrf_units
+FROM fused ORDER BY rrf_units DESC, doc_id LIMIT 10
+"""
+
+
+@register("rrf_hybrid_rank", _rrf_oracle())
+def q_rrf_hybrid_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion (Cormack, Clarke &
+    Buettcher SIGIR'09; the default hybrid-search combiner in
+    Elasticsearch/OpenSearch and most RAG stacks): a DENSE ranker
+    (exact cosine top-20 to the query embedding) and a SPARSE ranker
+    (shared-3-gram count top-20 to the query document) each vote
+    1/(60+rank); the fused top-10 surfaces documents that neither
+    ranker alone would pick. RRF needs no score calibration between
+    rankers — only ranks — which is exactly why it composes a float
+    cosine with an integer term-overlap safely.
+
+    Determinism: both rank lists order by (score, id) with the score
+    already rounded to the oracle's 6 places; the 1/(60+r) weights are
+    inlined integer nano-units (the NDCG convention), so fusion is an
+    exact integer sum and the final top-10 needs no float comparison
+    at all.
+
+    Scale shape: the dense side is the brute-force baseline
+    (TakeOrderedAndProject, per-partition heaps — swap in the IVF/LSH
+    tiers for large corpora); the sparse side is explode -> semi-join
+    on the query's grams -> count, O(corpus grams + matches). Fusion
+    itself joins two 20-row frames against a 20-row literal table."""
+    from taxi_data_datapipeline_spark.operators.similarity import cosine
+
+    emb = load(spark, sf_dir, "embeddings", fan_out=True)
+    qv = _query_vec(spark, sf_dir)
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    dense0 = (
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", F.round(cosine(F.col("embedding"), q), 6).alias("cs"))
+        .orderBy(F.col("cs").desc(), "vec_id")
+        .limit(20)
+    )
+    dense = dense0.select(
+        F.col("vec_id").alias("id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("cs").desc(), "vec_id"))
+        .alias("drank"),
+    )
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    grams = d.select("doc_id", ngram_shingles(F.col("text"), 3).alias("grams"))
+    g0 = (
+        grams.filter(F.col("doc_id") == 0)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    gd = (
+        grams.filter(F.col("doc_id") != 0)
+        .select("doc_id", F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    ov0 = (
+        gd.join(F.broadcast(g0), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "doc_id")
+        .limit(20)
+    )
+    sparse = ov0.select(
+        F.col("doc_id").alias("sid"),
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), "doc_id"))
+        .alias("srank"),
+    )
+    w = spark.createDataFrame(list(_RRF_W.items()), "rk int, wu bigint")
+    wd = w.select(F.col("rk").alias("dk"), F.col("wu").alias("wdu"))
+    ws = w.select(F.col("rk").alias("sk"), F.col("wu").alias("wsu"))
+    fused = (
+        dense.join(sparse, F.col("id") == F.col("sid"), "full_outer")
+        .join(F.broadcast(wd), F.col("dk") == F.col("drank"), "left")
+        .join(F.broadcast(ws), F.col("sk") == F.col("srank"), "left")
+        .select(
+            F.coalesce(F.col("id"), F.col("sid")).alias("doc_id"),
+            F.col("drank").cast("int").alias("dense_rank"),
+            F.col("srank").cast("int").alias("sparse_rank"),
+            (F.coalesce(F.col("wdu"), F.lit(0)) + F.coalesce(F.col("wsu"), F.lit(0)))
+            .cast("bigint")
+            .alias("rrf_units"),
+        )
+    )
+    return fused.orderBy(F.col("rrf_units").desc(), "doc_id").limit(10)
