@@ -79,3 +79,18 @@ def test_shapley_efficiency_exact(spark):
     # efficiency: sum of Shapley values = k! * v(grand coalition), exactly
     assert total_units == fact * rows[0].n_attributed
     assert abs(sum(r.credit_share for r in rows) - 1.0) < 1e-9
+
+
+def test_rrf_fusion_weights_consistent(spark):
+    from taxi_data_datapipeline_spark.queries_data import _RRF_W
+
+    rows = QUERIES["rrf_hybrid_rank"](spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= 10
+    units = [r.rrf_units for r in rows]
+    assert units == sorted(units, reverse=True)
+    for r in rows:
+        expect = (_RRF_W.get(r.dense_rank, 0) if r.dense_rank else 0) + (
+            _RRF_W.get(r.sparse_rank, 0) if r.sparse_rank else 0
+        )
+        assert r.rrf_units == expect
+        assert r.dense_rank is not None or r.sparse_rank is not None
