@@ -5161,3 +5161,91 @@ def q_rrf_hybrid_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.col("rrf_units").desc(), "doc_id").limit(10)
+
+
+# --- Fairness / bias audit -----------------------------------------------------
+
+
+@register(
+    "fairness_parity_audit",
+    """
+WITH j AS (
+  SELECT d.source, CASE WHEN e.label < 5 THEN 1 ELSE 0 END AS pos
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+g AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS np
+  FROM j GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(np) AS BIGINT) AS tp FROM g),
+ref AS (
+  SELECT CAST(np AS DOUBLE) / n AS ref_rate FROM g
+  ORDER BY CAST(np AS DOUBLE) / n DESC, source LIMIT 1)
+SELECT source, n, np AS n_pos,
+       ROUND(CAST(np AS DOUBLE) / n, 6) AS pos_rate,
+       ROUND(CAST(np AS DOUBLE) / n - CAST(tot.tp AS DOUBLE) / tot.tn, 6)
+         AS parity_diff,
+       ROUND((CAST(np AS DOUBLE) / n) / ref.ref_rate, 6) AS disparate_impact,
+       CAST(CASE WHEN (CAST(np AS DOUBLE) / n) / ref.ref_rate < 0.8
+                 THEN 1 ELSE 0 END AS INT) AS four_fifths_flag
+FROM g CROSS JOIN tot CROSS JOIN ref
+""",
+)
+def q_fairness_parity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-fairness audit of the labeled corpus BEFORE it trains
+    anything: per source group, the positive-class rate (label < 5),
+    the statistical parity difference vs the corpus rate, and the
+    disparate-impact ratio vs the best-off group, flagged against the
+    EEOC four-fifths rule (Barocas & Selbst '16; the standard
+    pre-training bias screen — a source whose positive rate is < 80%
+    of the reference group's will push any model trained on the mix
+    toward the same skew).
+
+    Determinism: counts are exact integers; each reported number is a
+    fixed chain of IEEE divisions (correctly rounded identically in
+    both engines) rounded once; the reference group is picked by
+    (rate DESC, source) with the rate itself a single division —
+    cross-engine stable ordering.
+
+    Scale shape: one data-sized equi-join (documents x embeddings on
+    id) feeding a groups-bounded aggregate; the reference rate is a
+    TakeOrdered(1) broadcast, the totals a 1-row broadcast."""
+    d = load(spark, sf_dir, "documents", fan_out=True).select("doc_id", "source")
+    e = load(spark, sf_dir, "embeddings", fan_out=True).select(
+        F.col("vec_id"), (F.col("label") < 5).cast("int").alias("pos")
+    )
+    g = (
+        d.join(e, d.doc_id == e.vec_id)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("pos").cast("bigint").alias("np"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n").cast("bigint").alias("tn"), F.sum("np").cast("bigint").alias("tp")
+    )
+    rate = F.col("np").cast("double") / F.col("n")
+    ref = (
+        g.select(rate.alias("ref_rate"), "source")
+        .orderBy(F.col("ref_rate").desc(), "source")
+        .limit(1)
+        .select("ref_rate")
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "source",
+            "n",
+            F.col("np").alias("n_pos"),
+            F.round(rate, 6).alias("pos_rate"),
+            F.round(
+                rate - F.col("tp").cast("double") / F.col("tn"), 6
+            ).alias("parity_diff"),
+            F.round(rate / F.col("ref_rate"), 6).alias("disparate_impact"),
+            F.when(rate / F.col("ref_rate") < 0.8, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("four_fifths_flag"),
+        )
+    )
