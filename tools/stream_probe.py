@@ -154,6 +154,41 @@ def probe_twap(spark, rps, target_events, max_seconds, n_users=50_000) -> dict:
     return _drain(q, target_events, max_seconds)
 
 
+def probe_sessions_tws(spark, rps, target_events, max_seconds,
+                       n_users=50_000) -> dict:
+    """transformWithStateInPandas sessionizer (Spark 4 typed-state API on
+    the protobuf worker protocol + RocksDB provider) — the direct
+    throughput comparison against probe_sessions' applyInPandasWithState
+    twin: identical gap semantics, different state-protocol constant."""
+    from taxi_data_datapipeline_spark.streaming.sessions_tws import (
+        sessionize_stream_tws,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        ev = _event_stream(spark, rps, n_users).select("user_id", "ts")
+        q = (
+            sessionize_stream_tws(ev, gap_seconds=60.0)
+            .writeStream.format("noop")
+            .outputMode("update")
+            .trigger(processingTime="2 seconds")
+            .start()
+        )
+        return _drain(q, target_events, max_seconds)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+
+
 def probe_dedup(spark, rps, target_events, max_seconds) -> dict:
     """Watermark-bounded exact dedup (dropDuplicatesWithinWatermark on the
     normalized-text fingerprint) at a 50% duplicate rate — the JVM-side
@@ -213,6 +248,7 @@ def probe_join(spark, rps, target_events, max_seconds, n_users=50_000) -> dict:
 PROBES = {
     "window": probe_window,
     "sessions": probe_sessions,
+    "sessions_tws": probe_sessions_tws,
     "records": probe_records,
     "twap": probe_twap,
     "dedup": probe_dedup,
