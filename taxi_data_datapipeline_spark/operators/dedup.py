@@ -590,3 +590,97 @@ def minhash_lsh_incremental(
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
     )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """Global (blocking-free) exact-Jaccard similarity self-join via
+    PREFIX FILTERING — the AllPairs/PPJoin candidate generator
+    (Bayardo/Ma/Srikant WWW'07, Xiao et al. WWW'08).
+
+    For Jaccard >= t, any qualifying pair (x, y) has
+    |x ∩ y| >= t·|x ∪ y| >= t·max(|x|,|y|), so each side's overlap is at
+    least α(x) = ceil(t·|x|). Order every document's shingles by a GLOBAL
+    rarity order (corpus document frequency, ties by the gram string);
+    if the first |x| - α(x) + 1 grams of x (its *prefix*) missed the
+    intersection entirely, the intersection would fit inside the
+    remaining α(x) - 1 grams — contradiction. Hence every qualifying
+    pair shares a PREFIX gram, and the candidate join runs on the
+    prefix-exploded index only: cost Σ_gram df_prefix(gram)^2 — driven by
+    RARE grams — instead of the full-index Σ df(gram)^2 or the O(n^2)
+    all-pairs scan. A length filter (min >= t·max, same overlap bound)
+    drops cross-size candidates before verification.
+
+    The threshold is a RATIONAL t = threshold_num/threshold_den so that
+    α(x) = ceil(t·|x|) is computed in exact integer arithmetic
+    ((num·sz + den - 1) DIV den) on every engine — a float t·sz can land
+    on a representation boundary and shorten the prefix below the
+    completeness bound.
+
+    Candidates are verified with exact array intersections (candidate
+    pairs only), yielding (doc_a, doc_b, jaccard) with
+    jaccard >= t, jaccard rounded to 6 for cross-engine parity.
+    """
+    from pyspark.sql.window import Window
+
+    t = threshold_num / threshold_den
+    g = df.select(
+        F.col(id_col).alias("_id"),
+        ngram_shingles(F.col(text_col), ngram).alias("grams"),
+    ).localCheckpoint(eager=True)
+    ex = g.select(
+        "_id", F.size("grams").alias("sz"), F.explode("grams").alias("gram")
+    )
+    dfreq = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    # Global rarity order; the rank window partitions per document, so no
+    # unbounded global window appears in the plan.
+    ranked = ex.join(dfreq, "gram").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("_id").orderBy("df", "gram")
+        ),
+    )
+    alpha = F.expr(
+        f"({threshold_num} * sz + {threshold_den - 1}) DIV {threshold_den}"
+    )
+    pref = ranked.filter(F.col("rn") <= F.col("sz") - alpha + 1).select(
+        "_id", "sz", "gram"
+    )
+    a = pref.select(
+        F.col("_id").alias("doc_a"), F.col("sz").alias("sz_a"), "gram"
+    )
+    b = pref.select(
+        F.col("_id").alias("doc_b"), F.col("sz").alias("sz_b"), "gram"
+    )
+    cands = (
+        a.join(b, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            F.least("sz_a", "sz_b") * F.lit(threshold_den)
+            >= F.greatest("sz_a", "sz_b") * F.lit(threshold_num)
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ga = g.select(F.col("_id").alias("doc_a"), F.col("grams").alias("_ga"))
+    gb = g.select(F.col("_id").alias("doc_b"), F.col("grams").alias("_gb"))
+    return (
+        cands.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("_ga", "_gb")).cast("double")
+                / F.size(F.array_union("_ga", "_gb")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(t))
+    )

@@ -1,0 +1,123 @@
+"""Structural property pins for the round-7 additions — invariants the
+value-hash oracle can't state (it proves engine agreement; these prove
+the SHAPE is the intended one)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from taxi_data_datapipeline_spark.operators.dedup import (
+    blocked_jaccard_pairs,
+    prefix_filter_jaccard_pairs,
+)
+from taxi_data_datapipeline_spark.operators.skyline import skyline_2d
+from taxi_data_datapipeline_spark.queries import QUERIES, load
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def test_prefix_filter_is_complete_vs_ground_truth(spark):
+    """Prefix filtering is an EXACT candidate generator: at t = 1/2 it
+    must return precisely the pairs the quadratic blocked ground truth
+    finds at jaccard >= 0.5 (single all-docs block = no blocking loss)."""
+    docs = load(spark, SF_SMOKE, "documents").withColumn("one", F.lit(1))
+    truth = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in blocked_jaccard_pairs(docs, block_cols=["one"], threshold=0.5)
+        .select("doc_a", "doc_b", "jaccard")
+        .collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in prefix_filter_jaccard_pairs(docs).collect()
+    }
+    assert got == truth
+    for a, b, j in got:
+        assert a < b and j >= 0.5
+
+
+def test_skyline_matches_naive_definition(spark):
+    """Grid prune + bounded verify returns exactly the NOT EXISTS set,
+    at several bucket widths (including one wide enough that everything
+    lands in a single bucket — pure phase-2)."""
+    orders = load(spark, SF_SMOKE, "orders")
+    li = load(spark, SF_SMOKE, "lineitem")
+    pts = (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", F.col("o_totalprice").alias("price"))
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    rows = pts.collect()
+    naive = {
+        r.o_orderkey
+        for r in rows
+        if not any(
+            q.price <= r.price
+            and q.qty >= r.qty
+            and (q.price < r.price or q.qty > r.qty)
+            for q in rows
+        )
+    }
+    for width in (1000.0, 10000.0, 10**9):
+        got = {r.o_orderkey for r in skyline_2d(pts, "price", "qty", width).collect()}
+        assert got == naive, f"width={width}"
+
+
+def test_skyline_frontier_is_monotone(spark):
+    out = sorted(
+        QUERIES["skyline_orders"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.price,
+    )
+    assert out
+    # along increasing price, quantity must strictly increase (else the
+    # cheaper point would dominate)
+    for a, b in zip(out, out[1:]):
+        assert b.qty > a.qty
+
+
+def test_cms_estimate_upper_bounds_exact(spark):
+    r = QUERIES["cms_join_size"](spark, SF_SMOKE).collect()[0]
+    assert r.exact_size > 0
+    assert r.cms_estimate >= r.exact_size  # CMS inner product never undershoots
+    assert r.rel_error >= 0.0
+
+
+def test_jl_distortion_concentrates_near_one(spark):
+    rows = QUERIES["random_projection_jl"](spark, SF_SMOKE).collect()
+    assert rows
+    ratios = [r.dist_ratio for r in rows]
+    assert all(x > 0 for x in ratios)
+    mean = sum(ratios) / len(ratios)
+    # E[ratio] = 1 under JL; k=16 keeps individual pairs noisy but the
+    # mean over hundreds of pairs lands well inside [0.7, 1.3]
+    assert 0.7 < mean < 1.3
+
+
+def test_lm_quality_scores_reference_slice_lower(spark):
+    df = QUERIES["lm_quality_score"](spark, SF_SMOKE)
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    j = df.join(docs, "doc_id")
+    agg = j.groupBy(
+        F.col("source").isin(["src1", "src2", "src3", "src4"]).alias("is_train")
+    ).agg(F.avg("avg_nll").alias("m"), F.count(F.lit(1)).alias("n"))
+    by = {r.is_train: r for r in agg.collect()}
+    assert by[True].n > 0 and by[False].n > 0
+    # in-domain text must score lower NLL under its own LM
+    assert by[True].m < by[False].m
+    for r in df.collect():
+        assert r.n_bigrams >= 1 and r.avg_nll > 0
+
+
+def test_snm_pairs_respect_window_and_ordering(spark):
+    rows = QUERIES["snm_candidate_pairs"](spark, SF_SMOKE).collect()
+    for r in rows:
+        assert 1 <= r.gap <= 4
+        assert 0.05 <= r.jaccard <= 1.0
+
+
+def test_did_cells_consistent(spark):
+    r = QUERIES["did_purchase_effect"](spark, SF_SMOKE).collect()[0]
+    did = (r.mean_treat_post - r.mean_treat_pre) - (
+        r.mean_ctrl_post - r.mean_ctrl_pre
+    )
+    assert abs(did - r.did) < 5e-6  # recomputed from rounded cells
