@@ -623,9 +623,17 @@ def prefix_filter_jaccard_pairs(
     on a representation boundary and shorten the prefix below the
     completeness bound.
 
-    Candidates are verified with exact array intersections (candidate
-    pairs only), yielding (doc_a, doc_b, jaccard) with
-    jaccard >= t, jaccard rounded to 6 for cross-engine parity.
+    Candidate collisions then pass PPJoin's POSITION filter before any
+    verification: at a qualifying pair's FIRST common gram (first in the
+    global order, hence first in both documents' prefixes — found with
+    two plain MINs), the overlap can be at most
+    1 + min(|x| - rank_x, |y| - rank_y), which must reach the pair bound
+    α(x,y) = ceil(t/(1+t)·(|x|+|y|)). Survivors are verified with exact
+    array intersections over RE-SHINGLED candidate documents (a semi
+    join; the corpus-wide gram-array frame is never materialized — the
+    cache/checkpoint of that frame is the GC cliff documented in
+    minhash_lsh_pairs). Output: (doc_a, doc_b, jaccard >= t), jaccard
+    rounded to 6 for cross-engine parity.
     """
     from pyspark.sql.window import Window
 
@@ -633,7 +641,7 @@ def prefix_filter_jaccard_pairs(
     g = df.select(
         F.col(id_col).alias("_id"),
         ngram_shingles(F.col(text_col), ngram).alias("grams"),
-    ).localCheckpoint(eager=True)
+    )
     ex = g.select(
         "_id", F.size("grams").alias("sz"), F.explode("grams").alias("gram")
     )
@@ -650,26 +658,53 @@ def prefix_filter_jaccard_pairs(
         f"({threshold_num} * sz + {threshold_den - 1}) DIV {threshold_den}"
     )
     pref = ranked.filter(F.col("rn") <= F.col("sz") - alpha + 1).select(
-        "_id", "sz", "gram"
+        "_id", "sz", "gram", "rn"
     )
     a = pref.select(
-        F.col("_id").alias("doc_a"), F.col("sz").alias("sz_a"), "gram"
+        F.col("_id").alias("doc_a"),
+        F.col("sz").alias("sz_a"),
+        F.col("rn").alias("ra"),
+        "gram",
     )
     b = pref.select(
-        F.col("_id").alias("doc_b"), F.col("sz").alias("sz_b"), "gram"
+        F.col("_id").alias("doc_b"),
+        F.col("sz").alias("sz_b"),
+        F.col("rn").alias("rb"),
+        "gram",
     )
-    cands = (
+    # First common gram per pair: the global order is shared, so the
+    # min-rank collision in a IS the min-rank collision in b — two MINs
+    # inside the same aggregation that replaces the naive DISTINCT.
+    first = (
         a.join(b, "gram")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .filter(
             F.least("sz_a", "sz_b") * F.lit(threshold_den)
             >= F.greatest("sz_a", "sz_b") * F.lit(threshold_num)
         )
-        .select("doc_a", "doc_b")
-        .distinct()
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(F.min("ra").alias("ra"), F.min("rb").alias("rb"))
     )
-    ga = g.select(F.col("_id").alias("doc_a"), F.col("grams").alias("_ga"))
-    gb = g.select(F.col("_id").alias("doc_b"), F.col("grams").alias("_gb"))
+    alpha_pair = F.expr(
+        f"({threshold_num} * (sz_a + sz_b) + {threshold_num + threshold_den - 1})"
+        f" DIV {threshold_num + threshold_den}"
+    )
+    cands = first.filter(
+        1 + F.least(F.col("sz_a") - F.col("ra"), F.col("sz_b") - F.col("rb"))
+        >= alpha_pair
+    ).select("doc_a", "doc_b")
+    # Verification re-shingles only documents that SURVIVE the filters
+    # (left-semi join), instead of checkpointing every document's grams.
+    ids = cands.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("_id")
+    ).distinct()
+    gsub = (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+        .join(ids, "_id", "left_semi")  # filter raw docs BEFORE shingling
+        .select("_id", ngram_shingles(F.col("_text"), ngram).alias("grams"))
+    )
+    ga = gsub.select(F.col("_id").alias("doc_a"), F.col("grams").alias("_ga"))
+    gb = gsub.select(F.col("_id").alias("doc_b"), F.col("grams").alias("_gb"))
     return (
         cands.join(ga, "doc_a")
         .join(gb, "doc_b")
