@@ -579,3 +579,136 @@ def q_did_purchase_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("did"),
     )
+
+
+# --- 8. maximal-marginal-relevance rerank ---------------------------------------
+
+def _mmr_sql() -> str:
+    """Unrolled 5-step greedy MMR oracle (the kmeans_units convention for
+    iterative algorithms: one CTE per step, NOT IN over the selected set)."""
+    dot = (
+        "CAST(list_sum(list_transform(generate_series(1, 64), "
+        "i -> {u}[i] * {v}[i])) AS DOUBLE)"
+    )
+
+    def cos(u: str, v: str) -> str:
+        return (
+            f"{dot.format(u=u, v=v)} / (sqrt({dot.format(u=u, v=u)})"
+            f" * sqrt({dot.format(u=v, v=v)}))"
+        )
+
+    steps = ["s1 AS (SELECT vec_id, CAST(0.7 AS DOUBLE) * cos_q AS score\n"
+             "  FROM top ORDER BY score DESC, vec_id LIMIT 1)"]
+    for k in range(2, 6):
+        prev = " UNION ALL ".join(
+            f"SELECT vec_id FROM s{i}" for i in range(1, k)
+        )
+        steps.append(
+            f"""s{k} AS (
+  SELECT t.vec_id,
+         CAST(0.7 AS DOUBLE) * t.cos_q - CAST(0.3 AS DOUBLE) * (
+           SELECT MAX(sim) FROM sims
+           WHERE va = t.vec_id AND vb IN ({prev})) AS score
+  FROM top t WHERE t.vec_id NOT IN ({prev})
+  ORDER BY score DESC, t.vec_id LIMIT 1)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT {k} AS mmr_rank, vec_id, score AS mmr_score FROM s{k}"
+        for k in range(1, 6)
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qv
+  FROM embeddings),
+cd AS (
+  SELECT i.i AS i, CAST(SUM(q.qv[i.i]) AS BIGINT) // 512 AS ci
+  FROM q, UNNEST(generate_series(1, 64)) AS i(i) GROUP BY 1),
+cvec AS (SELECT array_agg(ci ORDER BY i) AS cv FROM cd),
+scored AS (
+  SELECT vec_id, qv, {cos("qv", "cv")} AS cos_q FROM q, cvec),
+top AS (SELECT vec_id, qv, cos_q FROM scored ORDER BY cos_q DESC, vec_id LIMIT 20),
+sims AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb, {cos("a.qv", "b.qv")} AS sim
+  FROM top a, top b),
+{','.join(steps)}
+{union}
+"""
+
+
+@register("mmr_rerank", _mmr_sql())
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-5 (Carbonell &
+    Goldstein, SIGIR'98) over the embedding table — the standard
+    diversity-aware reranker behind RAG retrieval stacks: greedy
+    argmax of λ·sim(query, d) − (1−λ)·max_{s∈selected} sim(d, s),
+    λ = 0.7, query = the corpus centroid direction.
+
+    Scale split: the DISTRIBUTED part scores every vector against the
+    (integer, 512-scaled) centroid — one columnar aggregation for the
+    centroid, one scan for cosines, a TakeOrderedAndProject top-20, and
+    a broadcast 20×20 similarity matrix. The inherently SEQUENTIAL
+    greedy runs driver-side over that 400-row seed (the k-row-seed
+    convention) with bit-identical IEEE arithmetic: every input is an
+    exact int64 dot/norm, so cosines, penalties, and scores agree with
+    the oracle to the last bit and ties break on vec_id in both."""
+    import math
+
+    emb = load(spark, sf_dir, "embeddings", fan_out=True).select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1048576).cast("long"),
+        ).alias("qv"),
+    )
+    sums = emb.agg(*[F.sum(F.col("qv")[i]).alias(f"s{i}") for i in range(64)])
+    cv = sums.select(
+        F.array(*[F.expr(f"s{i} DIV 512") for i in range(64)]).alias("cv")
+    )
+    zero = F.lit(0).cast("long")
+
+    def dot(u, v):
+        return F.aggregate(
+            F.zip_with(u, v, lambda x, y: x * y), zero, lambda a, b: a + b
+        )
+
+    def cos(u, v):
+        return dot(u, v).cast("double") / (
+            F.sqrt(dot(u, u).cast("double")) * F.sqrt(dot(v, v).cast("double"))
+        )
+
+    scored = emb.crossJoin(F.broadcast(cv)).select(
+        "vec_id", "qv", cos(F.col("qv"), F.col("cv")).alias("cos_q")
+    )
+    top = scored.orderBy(F.desc("cos_q"), "vec_id").limit(20)
+    a = top.select(
+        F.col("vec_id").alias("va"),
+        F.col("qv").alias("qa"),
+        F.col("cos_q").alias("ca"),
+    )
+    b = top.select(F.col("vec_id").alias("vb"), F.col("qv").alias("qb"))
+    pairs = a.crossJoin(F.broadcast(b)).select(
+        "va", "ca", "vb", cos(F.col("qa"), F.col("qb")).alias("sim")
+    )
+    rows = pairs.collect()  # 400-row seed: the greedy is sequential by nature
+    assert not any(math.isnan(r.sim) for r in rows)
+    cos_q = {r.va: r.ca for r in rows}
+    sim = {(r.va, r.vb): r.sim for r in rows}
+    cand = sorted(cos_q)
+    selected: list[int] = []
+    out = []
+    for rank in range(1, 6):
+        best_v, best_score = None, None
+        for v in cand:
+            if v in selected:
+                continue
+            pen = max((sim[(v, s)] for s in selected), default=0.0)
+            score = 0.7 * cos_q[v] - 0.3 * pen
+            if best_score is None or score > best_score:
+                best_v, best_score = v, score
+        out.append((rank, best_v, best_score))
+        selected.append(best_v)
+    return spark.createDataFrame(
+        out, "mmr_rank int, vec_id long, mmr_score double"
+    )

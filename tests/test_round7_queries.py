@@ -121,3 +121,16 @@ def test_did_cells_consistent(spark):
         r.mean_ctrl_post - r.mean_ctrl_pre
     )
     assert abs(did - r.did) < 5e-6  # recomputed from rounded cells
+
+
+def test_mmr_selects_five_distinct_with_valid_scores(spark):
+    rows = QUERIES["mmr_rerank"](spark, SF_SMOKE).collect()
+    assert sorted(r.mmr_rank for r in rows) == [1, 2, 3, 4, 5]
+    assert len({r.vec_id for r in rows}) == 5
+    by_rank = sorted(rows, key=lambda r: r.mmr_rank)
+    # rank-1 is the pure-relevance pick; λ·cos ∈ (−0.7, 0.7]
+    assert -0.7 < by_rank[0].mmr_score <= 0.7
+    # greedy objective is non-increasing over steps 2..5 (each later step
+    # optimizes over a subset with at-least-as-large penalties)
+    for a, b in zip(by_rank[1:], by_rank[2:]):
+        assert b.mmr_score <= a.mmr_score + 1e-12
