@@ -719,3 +719,79 @@ def prefix_filter_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= F.lit(t))
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """Directed CONTAINMENT similarity join: ordered pairs (a, b), a != b,
+    with |grams(a) ∩ grams(b)| / |grams(a)| >= t — Broder's containment
+    coefficient, the asymmetric cousin of Jaccard that catches a short
+    document embedded inside a longer one (quoted posts, boilerplate
+    wrappers, partial copies), which symmetric Jaccard misses because the
+    big document's size dominates the union.
+
+    Candidate generation is the one-sided prefix filter: containment >= t
+    forces overlap >= ceil(t·|a|), so a's |a| - ceil(t·|a|) + 1 rarest
+    grams (global df order, exact integer-rational threshold) must hit
+    the intersection — join a-prefixes against the OTHER side's full
+    inverted index (no size filter exists: b may be arbitrarily large).
+    Verification re-shingles only surviving documents behind semi joins
+    (never a corpus-wide gram-array cache)."""
+    from pyspark.sql.window import Window
+
+    t = threshold_num / threshold_den
+    g = df.select(
+        F.col(id_col).alias("_id"),
+        ngram_shingles(F.col(text_col), ngram).alias("grams"),
+    )
+    ex = g.select(
+        "_id", F.size("grams").alias("sz"), F.explode("grams").alias("gram")
+    )
+    dfreq = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    ranked = ex.join(dfreq, "gram").withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("_id").orderBy("df", "gram")),
+    )
+    alpha = F.expr(
+        f"({threshold_num} * sz + {threshold_den - 1}) DIV {threshold_den}"
+    )
+    pref = ranked.filter(F.col("rn") <= F.col("sz") - alpha + 1).select(
+        F.col("_id").alias("doc_a"), "gram"
+    )
+    full = ex.select(F.col("_id").alias("doc_b"), "gram")
+    cands = (
+        pref.join(full, "gram")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ids = cands.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("_id")
+    ).distinct()
+    gsub = (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+        .join(ids, "_id", "left_semi")
+        .select("_id", ngram_shingles(F.col("_text"), ngram).alias("grams"))
+    )
+    ga = gsub.select(F.col("_id").alias("doc_a"), F.col("grams").alias("_ga"))
+    gb = gsub.select(F.col("_id").alias("doc_b"), F.col("grams").alias("_gb"))
+    return (
+        cands.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("_ga", "_gb")).cast("double")
+                / F.size("_ga"),
+                6,
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= F.lit(t))
+    )

@@ -712,3 +712,257 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "mmr_rank int, vec_id long, mmr_score double"
     )
+
+
+# --- 9. containment (asymmetric) similarity join ---------------------------------
+
+@register(
+    "containment_join",
+    f"""
+WITH g AS (SELECT doc_id, {_SQL_GRAMS} AS grams FROM documents)
+SELECT doc_a, doc_b, containment FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+               / len(a.grams), 6) AS containment
+  FROM g a JOIN g b ON a.doc_id != b.doc_id)
+WHERE containment >= 0.5
+""",
+)
+def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment join at t = 1/2: find documents at least half
+    EMBEDDED in another (quoted posts, boilerplate wrappers, partial
+    copies) — the asymmetric dedup signal Jaccard misses when the host
+    document is much larger. The oracle is the naive all-ordered-pairs
+    definition; the engine runs the one-sided prefix filter
+    (operators/dedup.py:containment_pairs), which returns the identical
+    set sub-quadratically."""
+    docs = load(spark, sf_dir, "documents", fan_out=True)
+    from taxi_data_datapipeline_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(docs, threshold_num=1, threshold_den=2).select(
+        "doc_a", "doc_b", "containment"
+    )
+
+
+# --- 10. naive Bayes source classifier --------------------------------------------
+
+def _nb_is_test() -> F.Column:
+    """Hash-based 20% holdout (md5 of doc_id, first byte mod 5). A plain
+    doc_id % 5 split is CORRELATED with the synthetic source assignment
+    (source = doc_id % n_sources), which would strand several classes
+    with zero training docs — the classic split-leakage-by-key pitfall;
+    hashing decorrelates the split from every key-derived attribute."""
+    return (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("int") % 5 == 0
+    )
+
+
+@register(
+    "nb_lang_classifier",
+    rf"""
+WITH toks AS (
+  SELECT doc_id, lang, CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) % 5 = 0 AS is_test, lower(tok) AS w
+  FROM (SELECT doc_id, lang, unnest({_SQL_TOKS}) AS tok FROM documents)),
+train_docs AS (SELECT doc_id, lang FROM documents WHERE NOT (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) % 5 = 0)),
+nd_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM train_docs),
+classes AS (
+  SELECT lang AS c,
+         CAST(ROUND(ln(CAST(COUNT(*) AS DOUBLE) / nd_tot.n), 9)
+              AS DECIMAL(28,12)) AS lp
+  FROM train_docs, nd_tot GROUP BY lang, nd_tot.n),
+train_toks AS (SELECT w, lang AS c FROM toks WHERE NOT is_test),
+wc AS (SELECT c, w, COUNT(*) AS cnt FROM train_toks GROUP BY 1, 2),
+totc AS (SELECT c, COUNT(*) AS tot FROM train_toks GROUP BY 1),
+vocab AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM train_toks),
+terms AS (
+  SELECT tt.doc_id, tt.lang AS true_lang, cl.c, cl.lp,
+         CAST(ROUND(ln((CAST(COALESCE(wc.cnt, 0) AS DOUBLE) + 1)
+                       / (totc.tot + vocab.v)), 9) AS DECIMAL(28,12)) AS s
+  FROM (SELECT doc_id, lang, w FROM toks WHERE is_test) tt
+  CROSS JOIN classes cl
+  JOIN totc ON totc.c = cl.c
+  CROSS JOIN vocab
+  LEFT JOIN wc ON wc.c = cl.c AND wc.w = tt.w),
+doc_scores AS (
+  SELECT doc_id, true_lang, c, lp + SUM(s) AS score
+  FROM terms GROUP BY doc_id, true_lang, c, lp),
+pred AS (
+  SELECT doc_id, true_lang, c AS pred_lang,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, c) AS rnk
+  FROM doc_scores)
+SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+FROM pred WHERE rnk = 1 GROUP BY 1, 2
+""",
+)
+def q_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes text classifier (the fastText-style quality/
+    domain filter tier of a curation pipeline, trained and evaluated
+    in-engine): add-one-smoothed token likelihoods + log priors fit on
+    the hash-split 80% (see _nb_is_test), argmax-scored on the held-out
+    20%, reported as a (true_lang, pred_lang, n) confusion table. The
+    target is LANGUAGE (whose per-token frequency profiles genuinely
+    differ in this corpus; the 20 sources share one distribution, so a
+    source target would be unlearnable noise). Count tables are
+    vocabulary-sized broadcasts; per-token log terms round to 9 decimals
+    and sum as DECIMAL so scores (and hence argmaxes, tie-broken on the
+    class string) are bit-identical on any engine. The scoring grid is
+    |test tokens| × n_langs — linear in the corpus with a constant class
+    fanout, one shuffle to the per-(doc, class) sum."""
+    docs = load(spark, sf_dir, "documents", fan_out=True)
+    toks_arr = F.transform(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != ""),
+        lambda t: F.lower(t),
+    )
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        _nb_is_test().alias("is_test"),
+        F.explode(toks_arr).alias("w"),
+    )
+    train_docs = docs.filter(~_nb_is_test()).select("doc_id", "lang")
+    nd_tot = train_docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    classes = (
+        train_docs.crossJoin(F.broadcast(nd_tot))
+        .groupBy(F.col("lang").alias("c"), "n")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .select(
+            "c",
+            F.round(F.log(F.col("nd").cast("double") / F.col("n")), 9)
+            .cast("decimal(28,12)")
+            .alias("lp"),
+        )
+    )
+    train_toks = toks.filter(~F.col("is_test")).select("w", F.col("lang").alias("c"))
+    wc = train_toks.groupBy("c", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    totc = train_toks.groupBy("c").agg(F.count(F.lit(1)).alias("tot"))
+    vocab = train_toks.agg(F.count_distinct("w").cast("long").alias("v"))
+    class_table = classes.join(
+        totc.withColumnRenamed("c", "c2"), F.col("c") == F.col("c2")
+    ).drop("c2")
+    test_toks = toks.filter(F.col("is_test")).select(
+        "doc_id", F.col("lang").alias("true_lang"), "w"
+    )
+    terms = (
+        test_toks.crossJoin(F.broadcast(class_table))
+        .crossJoin(F.broadcast(vocab))
+        .join(F.broadcast(wc.withColumnsRenamed({"c": "wc_c", "w": "wc_w"})),
+              (F.col("c") == F.col("wc_c")) & (F.col("w") == F.col("wc_w")),
+              "left")
+        .select(
+            "doc_id",
+            "true_lang",
+            "c",
+            "lp",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)).cast("double") + 1)
+                    / (F.col("tot") + F.col("v"))
+                ),
+                9,
+            )
+            .cast("decimal(28,12)")
+            .alias("s"),
+        )
+    )
+    doc_scores = (
+        terms.groupBy("doc_id", "true_lang", "c", "lp")
+        .agg(F.sum("s").alias("ssum"))
+        .select(
+            "doc_id",
+            "true_lang",
+            "c",
+            (F.col("lp") + F.col("ssum")).alias("score"),
+        )
+    )
+    pred = doc_scores.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.desc("score"), "c")
+        ),
+    ).filter(F.col("rnk") == 1)
+    return pred.groupBy("true_lang", F.col("c").alias("pred_lang")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+# --- 11. decision stump (information-gain split) ----------------------------------
+
+_STUMP_GRID = [10, 20, 40, 80, 160, 320]
+
+def _h_term(x: str, n: str) -> str:
+    """n-scaled entropy term -x·ln(x/n), 0 at x=0, as an exact DECIMAL —
+    identical SQL text runs on both engines."""
+    return (
+        f"CASE WHEN {x} = 0 THEN CAST(0 AS DECIMAL(28,12)) "
+        f"ELSE CAST(ROUND(-({x}) * ln(CAST({x} AS DOUBLE) / ({n})), 6) "
+        f"AS DECIMAL(28,12)) END"
+    )
+
+_STUMP_IG = (
+    f"{_h_term('pos', 'n')} + {_h_term('n - pos', 'n')}"
+    f" - ({_h_term('pos_l', 'n_l')} + {_h_term('n_l - pos_l', 'n_l')}"
+    f" + {_h_term('pos_r', 'n_r')} + {_h_term('n_r - pos_r', 'n_r')})"
+)
+
+@register(
+    "decision_stump_split",
+    f"""
+WITH ev AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y, value
+  FROM events),
+grid AS (SELECT unnest([{', '.join(str(t) for t in _STUMP_GRID)}]) AS thr),
+cells AS (
+  SELECT g.thr,
+         CAST(COALESCE(COUNT(*) FILTER (WHERE e.value < g.thr), 0) AS BIGINT) AS n_l,
+         CAST(COALESCE(SUM(e.y) FILTER (WHERE e.value < g.thr), 0) AS BIGINT) AS pos_l,
+         CAST(COALESCE(COUNT(*) FILTER (WHERE e.value >= g.thr), 0) AS BIGINT) AS n_r,
+         CAST(COALESCE(SUM(e.y) FILTER (WHERE e.value >= g.thr), 0) AS BIGINT) AS pos_r,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(e.y) AS BIGINT) AS pos
+  FROM ev e CROSS JOIN grid g GROUP BY 1)
+SELECT thr, n_l, pos_l, n_r, pos_r,
+       ROUND(CAST({_STUMP_IG} AS DOUBLE) / n, 6) AS info_gain
+FROM cells
+""",
+)
+def q_decision_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump split finding (the inner loop of tree learners and
+    of threshold-picking for quality-score gates): for a fixed threshold
+    grid over event value, the information gain of splitting
+    purchase-vs-rest at each threshold. Gains are computed n-SCALED
+    (-x·ln(x/n) per cell, each term rounded to 6 and combined as exact
+    DECIMAL) so the only float division is the final /n. One pass:
+    events cross the 6-literal grid, map-side partial aggregation."""
+    ev = load(spark, sf_dir, "events").select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        "value",
+    )
+    grid = spark.createDataFrame([(t,) for t in _STUMP_GRID], "thr int")
+    cells = (
+        ev.crossJoin(F.broadcast(grid))
+        .groupBy("thr")
+        .agg(
+            F.count(F.when(F.col("value") < F.col("thr"), 1)).alias("n_l"),
+            F.coalesce(
+                F.sum(F.when(F.col("value") < F.col("thr"), F.col("y"))), F.lit(0)
+            ).cast("long").alias("pos_l"),
+            F.count(F.when(F.col("value") >= F.col("thr"), 1)).alias("n_r"),
+            F.coalesce(
+                F.sum(F.when(F.col("value") >= F.col("thr"), F.col("y"))), F.lit(0)
+            ).cast("long").alias("pos_r"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").cast("long").alias("pos"),
+        )
+    )
+    return cells.select(
+        "thr",
+        "n_l",
+        "pos_l",
+        "n_r",
+        "pos_r",
+        F.round(F.expr(_STUMP_IG).cast("double") / F.col("n"), 6).alias(
+            "info_gain"
+        ),
+    )

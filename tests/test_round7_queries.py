@@ -134,3 +134,51 @@ def test_mmr_selects_five_distinct_with_valid_scores(spark):
     # optimizes over a subset with at-least-as-large penalties)
     for a, b in zip(by_rank[1:], by_rank[2:]):
         assert b.mmr_score <= a.mmr_score + 1e-12
+
+
+def test_containment_is_superset_of_jaccard_pairs(spark):
+    """Every symmetric near-dup pair (J >= 0.5) must appear in the
+    containment join in at least one direction (C(a->b) >= J(a,b))."""
+    docs = load(spark, SF_SMOKE, "documents").withColumn("one", F.lit(1))
+    jpairs = {
+        (r.doc_a, r.doc_b)
+        for r in blocked_jaccard_pairs(docs, block_cols=["one"], threshold=0.5)
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    cont = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["containment_join"](spark, SF_SMOKE).collect()
+    }
+    for a, b in jpairs:
+        assert (a, b) in cont or (b, a) in cont
+    for a, b in cont:
+        assert a != b
+
+
+def test_nb_confusion_covers_all_test_docs(spark):
+    rows = QUERIES["nb_lang_classifier"](spark, SF_SMOKE).collect()
+    n_test = (
+        load(spark, SF_SMOKE, "documents")
+        .filter(
+            "conv(substring(md5(CAST(doc_id AS STRING)), 1, 2), 16, 10) % 5 = 0"
+        )
+        .count()
+    )
+    assert sum(r.n for r in rows) == n_test
+    correct = sum(r.n for r in rows if r.true_lang == r.pred_lang)
+    # the synthetic corpus's per-language frequency tilt is weak (all
+    # langs share one 31-token vocabulary): unigram NB tops out at ~0.39
+    # here, confirmed by an independent pure-Python NB that reproduces
+    # the engine's accuracy exactly — assert clearly above the 1/5
+    # uniform-guess baseline
+    assert correct / n_test > 0.25
+
+
+def test_stump_gains_nonnegative_and_cells_consistent(spark):
+    rows = QUERIES["decision_stump_split"](spark, SF_SMOKE).collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert r.n_l + r.n_r == rows[0].n_l + rows[0].n_r
+        assert 0 <= r.pos_l <= r.n_l and 0 <= r.pos_r <= r.n_r
+        assert r.info_gain >= -1e-9  # IG of any split is non-negative
