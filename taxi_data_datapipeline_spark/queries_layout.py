@@ -138,3 +138,62 @@ def q_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100
         ).alias("revenue"),
     )
+
+
+@register(
+    "acid_time_travel",
+    """
+SELECT * FROM (
+  SELECT 'v0' AS snapshot, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(value * 100 AS DECIMAL(38,0))) AS DOUBLE) / 100 AS sum_value
+  FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-15'
+  GROUP BY event_type
+  UNION ALL
+  SELECT 'latest' AS snapshot, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(value * 100 AS DECIMAL(38,0))) AS DOUBLE) / 100 AS sum_value
+  FROM events
+  GROUP BY event_type)
+""",
+)
+def q_acid_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional-table round trip (sources/txlog.py): commit the
+    first half-month of events as version 0, append the rest as version
+    1, COMPACT as version 2, then aggregate the time-traveled v0
+    snapshot and the post-compaction latest snapshot in one result. The
+    oracle recomputes both aggregates straight from the source events —
+    proving commit atomicity, snapshot resolution through the
+    add/remove fold, and compaction's content-preservation in one
+    value-hashed query. The log is one tiny JSON per commit; reads stay
+    ordinary distributed parquet scans of the resolved file set."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: F811 (module-level alias)
+
+    from taxi_data_datapipeline_spark.sources.txlog import TxTable
+
+    ev = load(spark, sf_dir, "events").select("ts", "event_type", "value")
+    tdir = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_layout",
+        "acid_" + re.sub(r"[^A-Za-z0-9_.-]", "_", os.path.abspath(sf_dir).strip("/")),
+    )
+    shutil.rmtree(tdir, ignore_errors=True)
+    t = TxTable(spark, tdir)
+    cutoff = F.to_date(F.col("ts")) <= F.lit("2024-01-15").cast("date")
+    t.append(ev.filter(cutoff))
+    t.append(ev.filter(~cutoff))
+    t.compact()
+
+    def agg(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            (
+                F.sum((F.col("value") * 100).cast("decimal(38,0)")).cast("double")
+                / 100
+            ).alias("sum_value"),
+        ).select(F.lit(tag).alias("snapshot"), "event_type", "n_events", "sum_value")
+
+    return agg(t.read(0), "v0").unionByName(agg(t.read(), "latest"))

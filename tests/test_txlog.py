@@ -1,0 +1,125 @@
+"""Transactional table layer (sources/txlog.py): atomicity, snapshot
+isolation, time travel, OCC conflict rules, checkpoints, vacuum."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from taxi_data_datapipeline_spark.sources.txlog import (
+    LOG_DIR,
+    CommitConflict,
+    TxTable,
+)
+
+
+def _mk(spark, tmp_path, interval=10) -> TxTable:
+    return TxTable(spark, str(tmp_path / "tbl"), checkpoint_interval=interval)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id"), (F.col("id") * 2).alias("v"))
+
+
+def test_append_and_time_travel(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    v0 = t.append(_df(spark, 0, 10))
+    v1 = t.append(_df(spark, 10, 30))
+    assert (v0, v1) == (0, 1)
+    assert t.read(0).count() == 10          # time travel
+    assert t.read(1).count() == 30
+    assert t.read().count() == 30           # latest
+    ids = {r.id for r in t.read(0).collect()}
+    assert ids == set(range(10))
+
+
+def test_overwrite_replaces_snapshot_but_preserves_history(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, 0, 10))
+    t.overwrite(_df(spark, 100, 105))
+    assert t.read().count() == 5
+    assert t.read(0).count() == 10          # old snapshot still readable
+    ops = [c.operation for c in t.history()]
+    assert ops == ["append", "overwrite"]
+
+
+def test_staged_data_invisible_until_commit(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, 0, 10))
+    # simulate a crashed writer: staged files, no log entry
+    t._stage(_df(spark, 500, 600))
+    assert t.read().count() == 10           # reader never sees the debris
+    deleted = t.vacuum(retain_versions=1)
+    assert deleted                           # debris collected
+    assert t.read().count() == 10
+
+
+def test_occ_append_rebases_and_overwrite_conflicts(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, 0, 10))
+    # writer A stages an overwrite against v0 but a concurrent append
+    # (writer B) lands first: A must CONFLICT, not clobber B's rows
+    victims = t.files_at()
+    staged_a = t._stage(_df(spark, 100, 110))
+    read_v = t.latest_version()
+    t.append(_df(spark, 10, 20))  # writer B wins the race
+    with pytest.raises(CommitConflict):
+        t._commit(read_v, "overwrite", staged_a, victims, exact_snapshot=True)
+    # blind appends rebase instead: stage against the same stale version
+    staged_c = t._stage(_df(spark, 20, 25))
+    v = t._commit(read_v, "append", staged_c, [])
+    assert v == t.latest_version()
+    assert t.read().count() == 25
+
+
+def test_version_file_put_if_absent_is_atomic(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, 0, 10))
+    entry = {"operation": "append", "add": [], "remove": []}
+    assert t._try_publish(5, entry) is True
+    assert t._try_publish(5, entry) is False  # second writer loses
+
+
+def test_checkpoint_bounds_log_fold_and_matches_full_fold(spark, tmp_path):
+    t = _mk(spark, tmp_path, interval=4)
+    for i in range(9):
+        t.append(_df(spark, i * 10, i * 10 + 10))
+    cks = [
+        n for n in os.listdir(os.path.join(t.dir, LOG_DIR))
+        if n.endswith(".checkpoint.json")
+    ]
+    assert cks  # at least versions 4 and 8
+    # checkpointed resolution equals folding the whole log from scratch
+    ck_files = t.files_at(8)
+    with open(os.path.join(t.dir, LOG_DIR, "0000000008.checkpoint.json")) as fh:
+        assert sorted(json.load(fh)["files"]) == ck_files
+    assert t.read(8).count() == 90
+
+
+def test_compact_preserves_contents_and_time_travel(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, 0, 10))
+    t.append(_df(spark, 10, 20))
+    before = {(r.id, r.v) for r in t.read().collect()}
+    v = t.compact()
+    assert {(r.id, r.v) for r in t.read().collect()} == before
+    assert len(t.files_at(v)) == 1
+    assert t.read(0).count() == 10  # pre-compaction snapshots intact
+    # vacuum keeping only the tip removes the pre-compaction files
+    t.vacuum(retain_versions=1)
+    assert {(r.id, r.v) for r in t.read().collect()} == before
+
+
+def test_vacuum_keeps_retained_versions_readable(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, 0, 10))
+    t.overwrite(_df(spark, 50, 55))
+    t.append(_df(spark, 55, 60))
+    t.vacuum(retain_versions=2)
+    assert t.read(1).count() == 5    # within horizon
+    assert t.read(2).count() == 10
+    with pytest.raises(Exception):
+        t.read(0).collect()          # vacuumed away
