@@ -197,3 +197,59 @@ def q_acid_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(tag).alias("snapshot"), "event_type", "n_events", "sum_value")
 
     return agg(t.read(0), "v0").unionByName(agg(t.read(), "latest"))
+
+
+@register(
+    "streaming_tx_sink",
+    """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value * 100 AS DECIMAL(38,0))) AS DOUBLE) / 100 AS sum_value
+FROM events GROUP BY event_type
+""",
+)
+def q_streaming_tx_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming -> transactional table, end-to-end
+    exactly-once: the events file stream drains through foreachBatch into
+    a TxTable via idempotent (app_id, batch_id) commits, then batch 0 is
+    deliberately RE-DELIVERED (the failure/replay case) before reading
+    the table back — if the txn high-water mark failed to suppress the
+    replay, every count would double and the value-hash oracle (a plain
+    aggregate over the source events) would catch it. This is the
+    lakehouse sink contract: Spark's checkpoint gives at-least-once batch
+    delivery, the table's txn log makes it exactly-once."""
+    import shutil
+    import tempfile
+
+    from taxi_data_datapipeline_spark.queries_advanced import _stream_events
+    from taxi_data_datapipeline_spark.sources.txlog import TxSink, TxTable
+
+    tag = re.sub(r"[^A-Za-z0-9_.-]", "_", os.path.abspath(sf_dir).strip("/"))
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_layout", f"txsink_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    t = TxTable(spark, os.path.join(base, "tbl"))
+    sink = TxSink(t, app_id="events_ingest")
+
+    def on_batch(bdf: DataFrame, bid: int) -> None:
+        sink.append_batch(bdf.select("event_type", "value"), bid)
+
+    q = (
+        _stream_events(spark, sf_dir)
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # replay batch 0 in full — must be a no-op under the txn watermark
+    replayed = sink.append_batch(
+        load(spark, sf_dir, "events").select("event_type", "value"), 0
+    )
+    assert replayed is None, "exactly-once violated: replayed batch committed"
+    return t.read().groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (
+            F.sum((F.col("value") * 100).cast("decimal(38,0)")).cast("double")
+            / 100
+        ).alias("sum_value"),
+    )

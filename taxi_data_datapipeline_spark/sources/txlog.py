@@ -215,12 +215,37 @@ class TxTable:
             attempt += 1  # lost the race -> rebase onto the new tip
         raise CommitConflict(f"{operation}: gave up after {max_retries} retries")
 
+    def txn_state(self, version: int) -> dict[str, int]:
+        """app_id -> highest committed batch_id at ``version``, resolved
+        from the nearest checkpoint's txns plus the log tail (the same
+        fold shape as files_at)."""
+        txns: dict[str, int] = {}
+        start = 0
+        ck = self._latest_checkpoint_at_or_before(version)
+        if ck is not None:
+            with open(
+                os.path.join(_log_path(self.dir), _checkpoint_name(ck))
+            ) as fh:
+                txns = dict(json.load(fh).get("txns", {}))
+            start = ck + 1
+        for v in range(start, version + 1):
+            txn = self._read_entry(v).get("txn")
+            if txn:
+                txns[txn["app"]] = max(txns.get(txn["app"], -1), txn["batch"])
+        return txns
+
     def _write_checkpoint(self, version: int) -> None:
         tmp = os.path.join(
             _log_path(self.dir), f".{uuid.uuid4().hex}.ck.tmp"
         )
         with open(tmp, "w") as fh:
-            json.dump({"files": self.files_at(version)}, fh)
+            json.dump(
+                {
+                    "files": self.files_at(version),
+                    "txns": self.txn_state(version),
+                },
+                fh,
+            )
         os.replace(
             tmp, os.path.join(_log_path(self.dir), _checkpoint_name(version))
         )
@@ -284,3 +309,53 @@ class TxTable:
             if not os.listdir(sdir):
                 os.rmdir(sdir)
         return deleted
+
+
+# -- exactly-once streaming sink support ---------------------------------------
+
+def _txn_key(app_id: str) -> str:
+    return f"txn:{app_id}"
+
+
+class TxSink:
+    """Idempotent-commit extension of :class:`TxTable` for streaming
+    ``foreachBatch`` sinks: each commit records (app_id, batch_id) in its
+    log entry, and a re-delivered batch (failure/retry replay of the same
+    batch_id) commits NOTHING — the put-if-absent log plus the recorded
+    high-water mark give end-to-end exactly-once table contents, the same
+    ``txn`` action contract as the public formats."""
+
+    def __init__(self, table: TxTable, app_id: str):
+        self.table = table
+        self.app_id = app_id
+
+    def last_committed_batch(self) -> int:
+        """Highest batch_id this app has committed (-1 if none)."""
+        tip = self.table.latest_version()
+        if tip < 0:
+            return -1
+        return self.table.txn_state(tip).get(self.app_id, -1)
+
+    def append_batch(self, df: DataFrame, batch_id: int) -> int | None:
+        """Commit ``df`` as ``batch_id`` unless that batch (or a later
+        one) already committed; returns the version or None on replay."""
+        if batch_id <= self.last_committed_batch():
+            return None  # replayed batch: exactly-once no-op
+        t = self.table
+        add = t._stage(df)
+        entry_extra = {"txn": {"app": self.app_id, "batch": batch_id}}
+        # same OCC loop as _commit, with the txn action attached
+        attempt = t.latest_version() + 1
+        for _ in range(20):
+            entry = {"operation": "append", "add": add, "remove": [],
+                     **entry_extra}
+            if t._try_publish(attempt, entry):
+                if (
+                    t.checkpoint_interval
+                    and attempt % t.checkpoint_interval == 0
+                    and attempt > 0
+                ):
+                    t._write_checkpoint(attempt)
+                return attempt
+            attempt += 1
+        raise CommitConflict("append_batch: gave up after 20 retries")

@@ -123,3 +123,25 @@ def test_vacuum_keeps_retained_versions_readable(spark, tmp_path):
     assert t.read(2).count() == 10
     with pytest.raises(Exception):
         t.read(0).collect()          # vacuumed away
+
+
+def test_txsink_replay_is_noop_and_watermark_survives_checkpoint(spark, tmp_path):
+    from taxi_data_datapipeline_spark.sources.txlog import TxSink
+
+    t = _mk(spark, tmp_path, interval=2)
+    sink = TxSink(t, app_id="app1")
+    assert sink.last_committed_batch() == -1
+    assert sink.append_batch(_df(spark, 0, 10), 0) == 0
+    assert sink.append_batch(_df(spark, 10, 20), 1) == 1
+    assert t.read().count() == 20
+    # replays of already-committed batches commit nothing
+    assert sink.append_batch(_df(spark, 0, 10), 0) is None
+    assert sink.append_batch(_df(spark, 10, 20), 1) is None
+    assert t.read().count() == 20
+    # a second app's batches are independent
+    sink2 = TxSink(t, app_id="app2")
+    assert sink2.last_committed_batch() == -1
+    assert sink2.append_batch(_df(spark, 20, 25), 0) is not None
+    assert t.read().count() == 25
+    # the high-water mark folds correctly past a checkpointed prefix
+    assert sink.last_committed_batch() == 1
