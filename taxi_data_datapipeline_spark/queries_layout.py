@@ -253,3 +253,70 @@ def q_streaming_tx_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100
         ).alias("sum_value"),
     )
+
+
+@register(
+    "acid_merge_upsert",
+    """
+WITH src AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice
+  FROM orders WHERE o_orderstatus = 'F'
+  UNION ALL
+  SELECT o_orderkey + 1000000000, 'N' AS o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderstatus = 'P'),
+merged AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM src)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(38,0))) AS DOUBLE) / 100
+         AS sum_price
+FROM merged GROUP BY o_orderstatus
+""",
+)
+def q_acid_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO on the transactional table: commit orders as version 0,
+    upsert a source that UPDATES every finished order (price doubled)
+    and INSERTS key-shifted copies of the open ones, then aggregate the
+    merged snapshot. The oracle states the same WHEN MATCHED UPDATE /
+    WHEN NOT MATCHED INSERT semantics as an anti-join + union over the
+    source table — proving the copy-on-write rewrite byte-for-byte. The
+    pre-merge snapshot stays time-travel readable (pinned in
+    tests/test_txlog.py)."""
+    import shutil
+    import tempfile
+
+    from taxi_data_datapipeline_spark.sources.txlog import TxTable, merge_upsert
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tag = re.sub(r"[^A-Za-z0-9_.-]", "_", os.path.abspath(sf_dir).strip("/"))
+    tdir = os.path.join(
+        tempfile.gettempdir(), "spark_graft_layout", f"merge_{tag}"
+    )
+    shutil.rmtree(tdir, ignore_errors=True)
+    t = TxTable(spark, tdir)
+    t.append(orders)
+    updates = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+    )
+    inserts = orders.filter(F.col("o_orderstatus") == "P").select(
+        (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    merge_upsert(t, updates.unionByName(inserts), ["o_orderkey"])
+    return t.read().groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        (
+            F.sum((F.col("o_totalprice") * 100).cast("decimal(38,0)")).cast(
+                "double"
+            )
+            / 100
+        ).alias("sum_price"),
+    )

@@ -359,3 +359,31 @@ class TxSink:
                 return attempt
             attempt += 1
         raise CommitConflict("append_batch: gave up after 20 retries")
+
+
+def merge_upsert(
+    table: TxTable, source: DataFrame, key_cols: list[str]
+) -> int:
+    """MERGE (upsert) ``source`` into ``table`` on ``key_cols``: target
+    rows whose key appears in the source are replaced, all source rows
+    are inserted — the WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED THEN
+    INSERT contract, committed atomically as one exact-snapshot rewrite
+    (conflicts with any concurrent commit, like the public formats'
+    serializable MERGE).
+
+    This is the simple copy-on-write full-rewrite MERGE; a production
+    refinement prunes the rewrite to files whose stats overlap the
+    source keys (sources/stats_manifest.py provides exactly that file-
+    level pruning), which changes the cost, not the semantics."""
+    read_v = table.latest_version()
+    target = table.read(read_v)
+    keys = source.select(*key_cols).distinct()
+    kept = target.join(keys, key_cols, "left_anti")
+    merged = kept.unionByName(source)
+    victims = table.files_at(read_v)
+    # break the read-rewrite lineage before overwriting the files the
+    # plan is reading from (the incremental-refresh convention)
+    staged = table._stage(merged.localCheckpoint(eager=True))
+    return table._commit(
+        read_v, "merge", staged, victims, exact_snapshot=True
+    )

@@ -145,3 +145,22 @@ def test_txsink_replay_is_noop_and_watermark_survives_checkpoint(spark, tmp_path
     assert t.read().count() == 25
     # the high-water mark folds correctly past a checkpointed prefix
     assert sink.last_committed_batch() == 1
+
+
+def test_merge_upsert_updates_and_inserts(spark, tmp_path):
+    from taxi_data_datapipeline_spark.sources.txlog import merge_upsert
+
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, 0, 10))  # v = id*2
+    src = spark.range(5, 15).select(
+        F.col("id"), (F.col("id") * 100).alias("v")
+    )
+    v = merge_upsert(t, src, ["id"])
+    got = {r.id: r.v for r in t.read().collect()}
+    assert len(got) == 15
+    for i in range(0, 5):
+        assert got[i] == i * 2      # untouched
+    for i in range(5, 15):
+        assert got[i] == i * 100    # updated / inserted
+    assert t.read(0).count() == 10  # pre-merge snapshot intact
+    assert t.history()[v].operation == "merge"
