@@ -740,9 +740,17 @@ def containment_pairs(
     forces overlap >= ceil(t·|a|), so a's |a| - ceil(t·|a|) + 1 rarest
     grams (global df order, exact integer-rational threshold) must hit
     the intersection — join a-prefixes against the OTHER side's full
-    inverted index (no size filter exists: b may be arbitrarily large).
-    Verification re-shingles only surviving documents behind semi joins
-    (never a corpus-wide gram-array cache)."""
+    inverted index. Two lossless pre-verification prunes then apply
+    per pair: the size bound |b| >= ceil(t·|a|) (the intersection fits
+    inside b), and the POSITION filter at the first common gram (first
+    in the global order; since a common gram earlier in a's order would
+    also be in b's full index, the min-rank collision IS the first
+    common gram): overlap <= 1 + min(|a| - rank_a, |b| - rank_b) must
+    reach ceil(t·|a|). At sf0.1 this cuts candidates 921k -> the
+    verified set's neighborhood, which is what bounds the array-
+    intersect verification stage. Verification re-shingles only
+    surviving documents behind semi joins (never a corpus-wide
+    gram-array cache)."""
     from pyspark.sql.window import Window
 
     t = threshold_num / threshold_den
@@ -762,15 +770,31 @@ def containment_pairs(
         f"({threshold_num} * sz + {threshold_den - 1}) DIV {threshold_den}"
     )
     pref = ranked.filter(F.col("rn") <= F.col("sz") - alpha + 1).select(
-        F.col("_id").alias("doc_a"), "gram"
+        F.col("_id").alias("doc_a"),
+        F.col("sz").alias("sz_a"),
+        F.col("rn").alias("ra"),
+        "gram",
     )
-    full = ex.select(F.col("_id").alias("doc_b"), "gram")
-    cands = (
+    full = ranked.select(
+        F.col("_id").alias("doc_b"),
+        F.col("sz").alias("sz_b"),
+        F.col("rn").alias("rb"),
+        "gram",
+    )
+    alpha_a = F.expr(
+        f"({threshold_num} * sz_a + {threshold_den - 1}) DIV {threshold_den}"
+    )
+    first = (
         pref.join(full, "gram")
         .filter(F.col("doc_a") != F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+        .filter(F.col("sz_b") * F.lit(threshold_den) >= F.col("sz_a") * F.lit(threshold_num))
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(F.min("ra").alias("ra"), F.min("rb").alias("rb"))
     )
+    cands = first.filter(
+        1 + F.least(F.col("sz_a") - F.col("ra"), F.col("sz_b") - F.col("rb"))
+        >= alpha_a
+    ).select("doc_a", "doc_b")
     ids = cands.select(
         F.explode(F.array("doc_a", "doc_b")).alias("_id")
     ).distinct()
