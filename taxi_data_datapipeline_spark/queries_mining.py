@@ -966,3 +966,84 @@ def q_decision_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "info_gain"
         ),
     )
+
+
+# --- 12. sequential probability ratio test -----------------------------------------
+
+# Wald SPRT for the share of purchases landing in the treatment group:
+# H0 p = 0.5 vs H1 p = 0.6, alpha = beta = 0.05. Per-observation LLR
+# terms and the decision boundary ln(19) are Python-computed constants
+# rounded to 9 decimals and embedded in BOTH engines' plans, so every
+# cumulative sum is exact DECIMAL arithmetic.
+_SPRT_A = "0.182321557"   # ln(0.6/0.5)
+_SPRT_B = "-0.223143551"  # ln(0.4/0.5)
+_SPRT_BOUND = "2.944438979"  # ln((1-beta)/alpha) = ln(19)
+
+@register(
+    "sprt_sequential_test",
+    f"""
+WITH days AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) FILTER (WHERE user_id % 2 = 1) AS BIGINT) AS n_treat,
+         CAST(COUNT(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS n_ctrl
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+llr AS (
+  SELECT day, n_treat, n_ctrl,
+         CAST(n_treat AS DECIMAL(10,0)) * CAST({_SPRT_A} AS DECIMAL(18,12))
+           + CAST(n_ctrl AS DECIMAL(10,0)) * CAST({_SPRT_B} AS DECIMAL(18,12)) AS d
+  FROM days),
+cum AS (
+  SELECT a.day, a.n_treat, a.n_ctrl, SUM(b.d) AS llr_cum
+  FROM llr a JOIN llr b ON b.day <= a.day
+  GROUP BY a.day, a.n_treat, a.n_ctrl)
+SELECT day, n_treat, n_ctrl,
+       ROUND(CAST(llr_cum AS DOUBLE), 6) AS llr,
+       CASE WHEN llr_cum >= CAST({_SPRT_BOUND} AS DECIMAL(28,12)) THEN 'accept_h1'
+            WHEN llr_cum <= -CAST({_SPRT_BOUND} AS DECIMAL(28,12)) THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+FROM cum
+""",
+)
+def q_sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test (SPRT, 1945) — the
+    always-valid A/B monitor that stops a test the day the evidence
+    crosses the boundary instead of waiting for a fixed horizon. Tests
+    whether purchases skew to the treatment group (odd user_id): per-day
+    group counts fold into a cumulative log-likelihood ratio
+    (n_t·ln(p1/p0) + n_c·ln(q1/q0), exact DECIMAL with embedded
+    constants and NARROW operand types — a bigint × DECIMAL(28,12)
+    product overflows precision 38 and Spark silently rounds its scale
+    down, the documented decimal-multiply landmine) compared against ±ln 19 (α = β = 0.05). One shuffle to
+    the per-day table; the cumulation is a self-join on the ~30-row
+    day AGGREGATE, never a global window over raw events."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    days = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.when(F.col("user_id") % 2 == 1, 1)).cast("bigint").alias("n_treat"),
+        F.count(F.when(F.col("user_id") % 2 == 0, 1)).cast("bigint").alias("n_ctrl"),
+    )
+    a_c = F.lit(_SPRT_A).cast("decimal(18,12)")
+    b_c = F.lit(_SPRT_B).cast("decimal(18,12)")
+    bound = F.lit(_SPRT_BOUND).cast("decimal(28,12)")
+    llr = days.select(
+        "day", "n_treat", "n_ctrl",
+        (
+            F.col("n_treat").cast("decimal(10,0)") * a_c
+            + F.col("n_ctrl").cast("decimal(10,0)") * b_c
+        ).alias("d"),
+    )
+    b = llr.select(F.col("day").alias("day_b"), F.col("d").alias("d_b"))
+    cum = (
+        llr.join(F.broadcast(b), F.col("day_b") <= F.col("day"))
+        .groupBy("day", "n_treat", "n_ctrl")
+        .agg(F.sum("d_b").alias("llr_cum"))
+    )
+    return cum.select(
+        "day",
+        "n_treat",
+        "n_ctrl",
+        F.round(F.col("llr_cum").cast("double"), 6).alias("llr"),
+        F.when(F.col("llr_cum") >= bound, "accept_h1")
+        .when(F.col("llr_cum") <= -bound, "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    )

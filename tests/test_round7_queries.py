@@ -182,3 +182,16 @@ def test_stump_gains_nonnegative_and_cells_consistent(spark):
         assert r.n_l + r.n_r == rows[0].n_l + rows[0].n_r
         assert 0 <= r.pos_l <= r.n_l and 0 <= r.pos_r <= r.n_r
         assert r.info_gain >= -1e-9  # IG of any split is non-negative
+
+
+def test_sprt_decisions_consistent_with_boundary(spark):
+    rows = QUERIES["sprt_sequential_test"](spark, SF_SMOKE).collect()
+    assert rows
+    import math
+    bound = math.log(19)
+    for r in rows:
+        if r.llr >= bound + 1e-6:
+            assert r.decision == "accept_h1"
+        elif r.llr <= -bound - 1e-6:
+            assert r.decision == "accept_h0"
+        assert r.n_treat >= 0 and r.n_ctrl >= 0
