@@ -150,6 +150,21 @@ class TxTable:
 
     # -- writes ---------------------------------------------------------------
 
+    def _check_schema(self, df: DataFrame) -> None:
+        """Reject writes whose (name, type) column list differs from the
+        committed table's — silent schema drift corrupts every downstream
+        snapshot union. Evolution is an explicit overwrite, not an
+        accident of append."""
+        tip = self.latest_version()
+        if tip < 0:
+            return
+        current = [(f.name, f.dataType) for f in self.read(tip).schema.fields]
+        incoming = [(f.name, f.dataType) for f in df.schema.fields]
+        if current != incoming:
+            raise ValueError(
+                f"schema mismatch: table has {current}, append has {incoming}"
+            )
+
     def _stage(self, df: DataFrame) -> list[str]:
         """Write ``df`` under a uuid staging name; return relative paths of
         the parquet parts. Data is on disk but INVISIBLE until the log
@@ -253,6 +268,7 @@ class TxTable:
     def append(self, df: DataFrame) -> int:
         """Blind append: stages data, commits add-only (always rebases
         cleanly past concurrent appends)."""
+        self._check_schema(df)
         return self._commit(self.latest_version(), "append", self._stage(df), [])
 
     def overwrite(self, df: DataFrame) -> int:

@@ -164,3 +164,16 @@ def test_merge_upsert_updates_and_inserts(spark, tmp_path):
         assert got[i] == i * 100    # updated / inserted
     assert t.read(0).count() == 10  # pre-merge snapshot intact
     assert t.history()[v].operation == "merge"
+
+
+def test_append_rejects_schema_drift(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, 0, 10))
+    drifted = spark.range(0, 5).select(
+        F.col("id"), F.col("id").cast("string").alias("v")  # v: long -> string
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(drifted)
+    # overwrite is the explicit evolution path: allowed
+    t.overwrite(drifted)
+    assert dict(t.read().dtypes)["v"] == "string"
