@@ -279,12 +279,27 @@ class TxTable:
             read_v, "overwrite", self._stage(df), victims, exact_snapshot=True
         )
 
-    def compact(self) -> int:
+    def compact(
+        self, zorder_cols: list[str] | None = None, n_files: int = 1
+    ) -> int:
         """Rewrite the current snapshot as one staged file set (the OPTIMIZE
-        operation); conflicts if any input file was concurrently removed."""
+        operation); conflicts if any input file was concurrently removed.
+        With ``zorder_cols``, the rewrite range-partitions and sorts on the
+        Morton key (functions/layout.py) — OPTIMIZE ZORDER: each output
+        file becomes a compact k-dimensional tile, so the stats manifest /
+        min-max pruning can skip files for predicates on ANY of the
+        z-ordered columns, not just the leading sort column."""
         read_v = self.latest_version()
         victims = self.files_at(read_v)
-        merged = self.read(read_v).coalesce(1)
+        snapshot = self.read(read_v)
+        if zorder_cols:
+            from taxi_data_datapipeline_spark.functions.layout import (
+                zorder_dataframe,
+            )
+
+            merged = zorder_dataframe(snapshot, zorder_cols, n_files=n_files)
+        else:
+            merged = snapshot.coalesce(n_files)
         return self._commit(
             read_v, "compact", self._stage(merged), victims, exact_snapshot=True
         )

@@ -177,3 +177,23 @@ def test_append_rejects_schema_drift(spark, tmp_path):
     # overwrite is the explicit evolution path: allowed
     t.overwrite(drifted)
     assert dict(t.read().dtypes)["v"] == "string"
+
+
+def test_compact_zorder_preserves_contents_and_tiles_files(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, 0, 500))
+    t.append(_df(spark, 500, 1000))
+    before = {(r.id, r.v) for r in t.read().collect()}
+    v = t.compact(zorder_cols=["id", "v"], n_files=4)
+    assert {(r.id, r.v) for r in t.read().collect()} == before
+    files = t.files_at(v)
+    assert len(files) == 4
+    # each z-ordered file covers a bounded id range (tile property)
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in files:
+        tbl = pq.read_table(os.path.join(t.dir, f), columns=["id"])
+        ids = tbl.column("id").to_pylist()
+        spans.append(max(ids) - min(ids))
+    assert sum(spans) / len(spans) < 1000 * 0.75  # tighter than one global span
