@@ -304,6 +304,22 @@ class TxTable:
             read_v, "compact", self._stage(merged), victims, exact_snapshot=True
         )
 
+    def delete_where(self, condition) -> int:
+        """Row-level DELETE (the GDPR/right-to-be-forgotten operation):
+        copy-on-write rewrite of the current snapshot without the matching
+        rows, committed atomically with exact-snapshot conflict detection.
+        ``condition`` is a Column predicate. Old snapshots still contain
+        the rows until ``vacuum`` reclaims them — physical erasure =
+        delete_where + vacuum(retain_versions=1), the same two-step the
+        public formats document for compliance deletes."""
+        read_v = self.latest_version()
+        victims = self.files_at(read_v)
+        kept = self.read(read_v).filter(~condition)
+        staged = self._stage(kept.localCheckpoint(eager=True))
+        return self._commit(
+            read_v, "delete", staged, victims, exact_snapshot=True
+        )
+
     # -- reads ----------------------------------------------------------------
 
     def read(self, version: int | None = None) -> DataFrame:

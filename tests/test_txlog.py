@@ -197,3 +197,30 @@ def test_compact_zorder_preserves_contents_and_tiles_files(spark, tmp_path):
         ids = tbl.column("id").to_pylist()
         spans.append(max(ids) - min(ids))
     assert sum(spans) / len(spans) < 1000 * 0.75  # tighter than one global span
+
+
+def test_delete_where_and_physical_erasure(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, 0, 100))
+    v = t.delete_where(F.col("id") % 10 == 3)
+    ids = {r.id for r in t.read().collect()}
+    assert len(ids) == 90 and not any(i % 10 == 3 for i in ids)
+    assert t.history()[v].operation == "delete"
+    # rows survive in the old snapshot until vacuum (audit window) ...
+    assert t.read(0).count() == 100
+    # ... and physical erasure is delete + vacuum
+    t.vacuum(retain_versions=1)
+    import pyarrow.parquet as pq
+
+    remaining = set()
+    for f in t.files_at():
+        remaining.update(
+            pq.read_table(os.path.join(t.dir, f), columns=["id"])
+            .column("id").to_pylist()
+        )
+    assert not any(i % 10 == 3 for i in remaining)
+    # no other data files exist on disk anymore
+    on_disk = []
+    for root, _dirs, names in os.walk(t.dir):
+        on_disk += [n for n in names if n.endswith(".parquet")]
+    assert len(on_disk) == len(t.files_at())
