@@ -320,3 +320,59 @@ def q_acid_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100
         ).alias("sum_price"),
     )
+
+
+@register(
+    "acid_change_feed",
+    """
+WITH half AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-15'),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events)
+SELECT 0 AS version, 'append' AS operation, half.n AS n_rows FROM half
+UNION ALL
+SELECT 1, 'append', tot.n FROM tot
+UNION ALL
+SELECT 2, 'compact', tot.n FROM tot
+""",
+)
+def q_acid_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-feed over the transactional log: replay the audit trail
+    (version, operation) and the row count visible at each snapshot —
+    the table-history view a lakehouse exposes as DESCRIBE HISTORY +
+    change data feed. Reuses the acid_time_travel commit sequence
+    (append half / append rest / compact); each snapshot's count is an
+    independent time-travel read resolved through the log fold, so the
+    oracle (counts straight from the source) re-proves every
+    intermediate version, not just the tip."""
+    import shutil
+    import tempfile
+
+    from taxi_data_datapipeline_spark.sources.txlog import TxTable
+
+    ev = load(spark, sf_dir, "events").select("ts", "event_type", "value")
+    tag = re.sub(r"[^A-Za-z0-9_.-]", "_", os.path.abspath(sf_dir).strip("/"))
+    tdir = os.path.join(
+        tempfile.gettempdir(), "spark_graft_layout", f"cdf_{tag}"
+    )
+    shutil.rmtree(tdir, ignore_errors=True)
+    t = TxTable(spark, tdir)
+    cutoff = F.to_date(F.col("ts")) <= F.lit("2024-01-15").cast("date")
+    t.append(ev.filter(cutoff))
+    t.append(ev.filter(~cutoff))
+    t.compact()
+    feeds = []
+    for info in t.history():
+        feeds.append(
+            t.read(info.version)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+            .select(
+                F.lit(info.version).alias("version"),
+                F.lit(info.operation).alias("operation"),
+                "n_rows",
+            )
+        )
+    out = feeds[0]
+    for f in feeds[1:]:
+        out = out.unionByName(f)
+    return out
