@@ -224,3 +224,32 @@ def test_delete_where_and_physical_erasure(spark, tmp_path):
     for root, _dirs, names in os.walk(t.dir):
         on_disk += [n for n in names if n.endswith(".parquet")]
     assert len(on_disk) == len(t.files_at())
+
+
+def test_snapshot_stats_manifest_prunes_files(spark, tmp_path):
+    """A txlog snapshot composes with the stats-manifest data-skipping
+    layer: each committed batch covers a disjoint id range, so a range
+    predicate should scan a strict subset of the snapshot's files and
+    still return exactly the right rows."""
+    from taxi_data_datapipeline_spark.sources.stats_manifest import (
+        build_stats_manifest,
+        prune_files,
+    )
+
+    t = _mk(spark, tmp_path)
+    for i in range(5):
+        t.append(
+            spark.range(i * 100, (i + 1) * 100)
+            .coalesce(1)
+            .select(F.col("id"), (F.col("id") * 2).alias("v"))
+        )
+    files = [os.path.join(t.dir, f) for f in t.files_at()]
+    manifest = build_stats_manifest(spark, files, columns=["id"])
+    surviving = prune_files(manifest, "id", lo=120, hi=180, cast="bigint")
+    assert len(surviving) < len(files)
+    got = (
+        spark.read.parquet(*surviving)
+        .filter((F.col("id") >= 120) & (F.col("id") <= 180))
+        .count()
+    )
+    assert got == 61
