@@ -1047,3 +1047,94 @@ def q_sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("continue")
         .alias("decision"),
     )
+
+
+# --- 13. Markov next-event prediction eval ------------------------------------------
+
+_SQL_USER_TEST = (
+    "CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 2)) AS INT) % 5 = 0"
+)
+
+@register(
+    "markov_next_event_eval",
+    f"""
+WITH seq AS (
+  SELECT user_id, {_SQL_USER_TEST} AS is_test, event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_type
+  FROM events),
+train AS (
+  SELECT from_type, to_type, COUNT(*) AS n FROM seq
+  WHERE NOT is_test AND to_type IS NOT NULL GROUP BY 1, 2),
+pred AS (
+  SELECT from_type, to_type AS pred_to,
+         ROW_NUMBER() OVER (PARTITION BY from_type
+                            ORDER BY n DESC, to_type) AS rk
+  FROM train),
+test AS (
+  SELECT from_type, to_type FROM seq WHERE is_test AND to_type IS NOT NULL)
+SELECT t.from_type, p.pred_to,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(COUNT(CASE WHEN t.to_type = p.pred_to THEN 1 END) AS BIGINT)
+         AS n_correct,
+       ROUND(CAST(COUNT(CASE WHEN t.to_type = p.pred_to THEN 1 END) AS DOUBLE)
+             / COUNT(*), 6) AS accuracy
+FROM test t JOIN pred p ON p.from_type = t.from_type AND p.rk = 1
+GROUP BY t.from_type, p.pred_to
+""",
+)
+def q_markov_next_event_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event prediction, trained and evaluated in-engine: fit the
+    first-order Markov argmax (most frequent successor per event type,
+    ties to the alphabetically-first successor) on 80% of USERS (md5
+    hash split — landmine 18: never modulo a key), score top-1 accuracy
+    on the held-out users' transitions. The train matrix is k×k
+    aggregate-sized and broadcast onto the test stream; the only
+    data-sized shuffle is the per-user lead(), the same exchange
+    sessionization pays."""
+    ev = load(spark, sf_dir, "events")
+    is_test = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 2), 16, 10)
+        .cast("int") % 5 == 0
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        is_test.alias("is_test"),
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    train = (
+        seq.filter(~F.col("is_test"))
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pred = (
+        train.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("from_type").orderBy(F.desc("n"), "to_type")
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("from_type", F.col("to_type").alias("pred_to"))
+    )
+    test = seq.filter(F.col("is_test")).select("from_type", "to_type")
+    return (
+        test.join(F.broadcast(pred), "from_type")
+        .groupBy("from_type", "pred_to")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.count(F.when(F.col("to_type") == F.col("pred_to"), 1))
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+        .select(
+            "from_type",
+            "pred_to",
+            "n_test",
+            "n_correct",
+            F.round(
+                F.col("n_correct").cast("double") / F.col("n_test"), 6
+            ).alias("accuracy"),
+        )
+    )
