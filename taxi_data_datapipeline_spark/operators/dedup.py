@@ -592,6 +592,33 @@ def minhash_lsh_incremental(
     )
 
 
+def ranked_gram_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+) -> DataFrame:
+    """(_id, sz, gram, rn) for every document's distinct shingles, ranked
+    by the GLOBAL rarity order (corpus document frequency, ties by gram
+    string) — the shared substrate of every prefix-filter join. Flat
+    narrow rows (never gram ARRAYS — the GC-cliff rule), so callers may
+    localCheckpoint it and serve several joins from one shingling pass."""
+    from pyspark.sql.window import Window
+
+    g = df.select(
+        F.col(id_col).alias("_id"),
+        ngram_shingles(F.col(text_col), ngram).alias("grams"),
+    )
+    ex = g.select(
+        "_id", F.size("grams").alias("sz"), F.explode("grams").alias("gram")
+    )
+    dfreq = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    return ex.join(dfreq, "gram").withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("_id").orderBy("df", "gram")),
+    ).select("_id", "sz", "gram", "rn")
+
+
 def prefix_filter_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -599,6 +626,7 @@ def prefix_filter_jaccard_pairs(
     ngram: int = 3,
     threshold_num: int = 1,
     threshold_den: int = 2,
+    ranked: DataFrame | None = None,
 ) -> DataFrame:
     """Global (blocking-free) exact-Jaccard similarity self-join via
     PREFIX FILTERING — the AllPairs/PPJoin candidate generator
@@ -635,25 +663,9 @@ def prefix_filter_jaccard_pairs(
     minhash_lsh_pairs). Output: (doc_a, doc_b, jaccard >= t), jaccard
     rounded to 6 for cross-engine parity.
     """
-    from pyspark.sql.window import Window
-
     t = threshold_num / threshold_den
-    g = df.select(
-        F.col(id_col).alias("_id"),
-        ngram_shingles(F.col(text_col), ngram).alias("grams"),
-    )
-    ex = g.select(
-        "_id", F.size("grams").alias("sz"), F.explode("grams").alias("gram")
-    )
-    dfreq = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
-    # Global rarity order; the rank window partitions per document, so no
-    # unbounded global window appears in the plan.
-    ranked = ex.join(dfreq, "gram").withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("_id").orderBy("df", "gram")
-        ),
-    )
+    if ranked is None:
+        ranked = ranked_gram_index(df, text_col, id_col, ngram)
     alpha = F.expr(
         f"({threshold_num} * sz + {threshold_den - 1}) DIV {threshold_den}"
     )
@@ -728,6 +740,7 @@ def containment_pairs(
     ngram: int = 3,
     threshold_num: int = 1,
     threshold_den: int = 2,
+    ranked: DataFrame | None = None,
 ) -> DataFrame:
     """Directed CONTAINMENT similarity join: ordered pairs (a, b), a != b,
     with |grams(a) ∩ grams(b)| / |grams(a)| >= t — Broder's containment
@@ -751,21 +764,9 @@ def containment_pairs(
     intersect verification stage. Verification re-shingles only
     surviving documents behind semi joins (never a corpus-wide
     gram-array cache)."""
-    from pyspark.sql.window import Window
-
     t = threshold_num / threshold_den
-    g = df.select(
-        F.col(id_col).alias("_id"),
-        ngram_shingles(F.col(text_col), ngram).alias("grams"),
-    )
-    ex = g.select(
-        "_id", F.size("grams").alias("sz"), F.explode("grams").alias("gram")
-    )
-    dfreq = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
-    ranked = ex.join(dfreq, "gram").withColumn(
-        "rn",
-        F.row_number().over(Window.partitionBy("_id").orderBy("df", "gram")),
-    )
+    if ranked is None:
+        ranked = ranked_gram_index(df, text_col, id_col, ngram)
     alpha = F.expr(
         f"({threshold_num} * sz + {threshold_den - 1}) DIV {threshold_den}"
     )

@@ -22,9 +22,29 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from taxi_data_datapipeline_spark.operators.dedup import prefix_filter_jaccard_pairs
+from taxi_data_datapipeline_spark.operators.dedup import (
+    prefix_filter_jaccard_pairs,
+    ranked_gram_index,
+)
 from taxi_data_datapipeline_spark.operators.skyline import skyline_2d
 from taxi_data_datapipeline_spark.queries import load, register
+
+# Memoized df-ranked shingle index, one per (app, sf_dir): the shared
+# substrate of the prefix-filter family (setsim + containment both fold
+# it), localCheckpointed ONCE per session like the co-purchase pair
+# table in the graph/recommender family. Flat narrow rows — not the
+# gram-ARRAY frame of the GC-cliff landmine.
+_GRAM_INDEX_CACHE: dict = {}
+
+
+def _shared_gram_index(spark: SparkSession, sf_dir: str):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _GRAM_INDEX_CACHE.get(key)
+    if cached is None:
+        docs = load(spark, sf_dir, "documents", fan_out=True)
+        cached = ranked_gram_index(docs).localCheckpoint(eager=True)
+        _GRAM_INDEX_CACHE[key] = cached
+    return cached
 
 _SQL_TOKS = r"list_filter(string_split_regex(text, '\s+'), t -> t != '')"
 _SQL_GRAMS = f"""
@@ -73,7 +93,10 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     one. See operators/dedup.py:prefix_filter_jaccard_pairs."""
     docs = load(spark, sf_dir, "documents", fan_out=True)
     return prefix_filter_jaccard_pairs(
-        docs, threshold_num=1, threshold_den=2
+        docs,
+        threshold_num=1,
+        threshold_den=2,
+        ranked=_shared_gram_index(spark, sf_dir),
     ).select("doc_a", "doc_b", "jaccard")
 
 
@@ -739,9 +762,12 @@ def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents", fan_out=True)
     from taxi_data_datapipeline_spark.operators.dedup import containment_pairs
 
-    return containment_pairs(docs, threshold_num=1, threshold_den=2).select(
-        "doc_a", "doc_b", "containment"
-    )
+    return containment_pairs(
+        docs,
+        threshold_num=1,
+        threshold_den=2,
+        ranked=_shared_gram_index(spark, sf_dir),
+    ).select("doc_a", "doc_b", "containment")
 
 
 # --- 10. naive Bayes source classifier --------------------------------------------
