@@ -1164,3 +1164,169 @@ def q_markov_next_event_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("accuracy"),
         )
     )
+
+
+# --- 14. Markov removal-effect attribution -------------------------------------------
+
+_MK_UNITS = 10**12
+_MK_ITERS = 16
+_MK_CHANNELS = ["click", "error", "signup", "view"]
+
+def _markov_attr_oracle() -> str:
+    """Unrolled absorbing-chain oracle: the same journey/edge CTEs as the
+    Spark side, then 5 scenarios (full + one channel removed each) of 16
+    fixed-point value-iteration steps. Reads of a removed channel's
+    absorption probability are zeroed in the join condition; every
+    arithmetic step is integer (units 10^12, BIGINT products, truncating
+    division), so any engine reproduces the vector bit-for-bit."""
+    scen = [("full", "__none__")] + [(c, c) for c in _MK_CHANNELS]
+    parts = []
+    finals = []
+    for tag, removed in scen:
+        prev = f"p_{tag}_0"
+        parts.append(
+            f"{prev}(s, p) AS MATERIALIZED (SELECT 'CONV', CAST({_MK_UNITS} AS BIGINT))"
+        )
+        for k in range(1, _MK_ITERS + 1):
+            cur = f"p_{tag}_{k}"
+            parts.append(f"""{cur}(s, p) AS MATERIALIZED (
+  SELECT t.src,
+         CAST(SUM(t.n * COALESCE(p.p, 0)) // MAX(tot.tot) AS BIGINT)
+  FROM trans t JOIN tot ON tot.src = t.src
+  LEFT JOIN {prev} p ON p.s = t.dst AND t.dst != '{removed}'
+  GROUP BY t.src
+  UNION ALL SELECT 'CONV', CAST({_MK_UNITS} AS BIGINT))""")
+            prev = cur
+        finals.append(
+            f"SELECT '{tag}' AS tag, p FROM {prev} WHERE s = 'START'"
+        )
+    scen_sql = ",\n".join(parts)
+    finals_sql = " UNION ALL ".join(finals)
+    return f"""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+fp AS MATERIALIZED (
+  SELECT user_id, MIN(CASE WHEN event_type = 'purchase' THEN rn END) AS prn
+  FROM ordered GROUP BY user_id),
+kept AS MATERIALIZED (
+  SELECT o.user_id,
+         CASE WHEN o.event_type = 'purchase' THEN 'CONV' ELSE o.event_type END AS st,
+         o.rn
+  FROM ordered o JOIN fp ON fp.user_id = o.user_id
+  WHERE fp.prn IS NULL OR o.rn <= fp.prn),
+j AS MATERIALIZED (
+  SELECT user_id, st, rn,
+         LEAD(st) OVER (PARTITION BY user_id ORDER BY rn) AS nxt,
+         MIN(rn) OVER (PARTITION BY user_id) AS mn
+  FROM kept),
+edges AS MATERIALIZED (
+  SELECT 'START' AS src, st AS dst FROM j WHERE rn = mn
+  UNION ALL
+  SELECT st, COALESCE(nxt, 'NULL') FROM j WHERE st != 'CONV'),
+trans AS (SELECT src, dst, COUNT(*) AS n FROM edges GROUP BY 1, 2),
+tot AS (SELECT src, SUM(n) AS tot FROM trans GROUP BY 1),
+{scen_sql},
+res AS MATERIALIZED ({finals_sql}),
+re AS MATERIALIZED (
+  SELECT c.tag AS channel,
+         (SELECT p FROM res WHERE tag = 'full') - c.p AS re_units
+  FROM res c WHERE c.tag != 'full')
+SELECT channel, CAST(re_units AS BIGINT) AS removal_units,
+       ROUND(CAST(re_units AS DOUBLE)
+             / (SELECT SUM(re_units) FROM re), 6) AS share
+FROM re
+"""
+
+
+@register("markov_attribution", _markov_attr_oracle())
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain multi-touch attribution by REMOVAL EFFECT (Anderl et
+    al. 2014): model user journeys (events up to the first purchase) as
+    an absorbing Markov chain over channels, compute the conversion
+    probability from START by 16 fixed-point value-iteration steps, then
+    re-compute with each channel's absorption zeroed — the drop is the
+    channel's removal effect, normalized into attribution shares. The
+    third member of the attribution family next to position-based
+    (attribution_linear) and cooperative-game (shapley_attribution).
+
+    The DISTRIBUTED work is journey construction (one per-user window,
+    same exchange as sessionization) folded to a <=6x6 transition-count
+    matrix; the chain algebra runs driver-side on that k-row seed in
+    exact Python integers (units 10^12, truncating division) that the
+    oracle's unrolled CTEs reproduce bit-for-bit. At 100 TB the matrix
+    is still 6x6 — this split is the right one at any scale."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+    )
+    fp = ordered.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "purchase", F.col("rn"))).alias("prn")
+    )
+    kept = (
+        ordered.join(fp, "user_id")
+        .filter(F.col("prn").isNull() | (F.col("rn") <= F.col("prn")))
+        .select(
+            "user_id",
+            F.when(F.col("event_type") == "purchase", "CONV")
+            .otherwise(F.col("event_type"))
+            .alias("st"),
+            "rn",
+        )
+    )
+    wk = Window.partitionBy("user_id").orderBy("rn")
+    j = kept.select(
+        "user_id",
+        "st",
+        "rn",
+        F.lead("st").over(wk).alias("nxt"),
+        F.min("rn").over(Window.partitionBy("user_id")).alias("mn"),
+    )
+    edges = (
+        j.filter(F.col("rn") == F.col("mn"))
+        .select(F.lit("START").alias("src"), F.col("st").alias("dst"))
+        .unionByName(
+            j.filter(F.col("st") != "CONV").select(
+                F.col("st").alias("src"),
+                F.coalesce("nxt", F.lit("NULL")).alias("dst"),
+            )
+        )
+    )
+    trans = {
+        (r.src, r.dst): r.n
+        for r in edges.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # <=6x6 matrix: the k-row seed of the chain algebra
+    }
+    tot: dict[str, int] = {}
+    for (src, _dst), n in trans.items():
+        tot[src] = tot.get(src, 0) + n
+
+    def absorb(removed: str) -> int:
+        p = {"CONV": _MK_UNITS}
+        for _ in range(_MK_ITERS):
+            nxt = {}
+            for src in tot:
+                acc = 0
+                for (s, d), n in trans.items():
+                    if s == src and d != removed:
+                        acc += n * p.get(d, 0)
+                nxt[src] = acc // tot[src]
+            nxt["CONV"] = _MK_UNITS
+            p = nxt
+        return p.get("START", 0)
+
+    p_full = absorb("__none__")
+    re = {c: p_full - absorb(c) for c in _MK_CHANNELS}
+    total = sum(re.values())
+    rows = [
+        (c, int(u), round(u / total, 6) if total else None)
+        for c, u in sorted(re.items())
+    ]
+    return spark.createDataFrame(
+        rows, "channel string, removal_units long, share double"
+    )

@@ -195,3 +195,13 @@ def test_sprt_decisions_consistent_with_boundary(spark):
         elif r.llr <= -bound - 1e-6:
             assert r.decision == "accept_h0"
         assert r.n_treat >= 0 and r.n_ctrl >= 0
+
+
+def test_markov_attribution_shares_form_distribution(spark):
+    rows = QUERIES["markov_attribution"](spark, SF_SMOKE).collect()
+    assert {r.channel for r in rows} == {"click", "error", "signup", "view"}
+    for r in rows:
+        # removing a channel reroutes its traffic to NULL, so conversion
+        # probability can only drop: removal effects are non-negative
+        assert r.removal_units >= 0
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-5
