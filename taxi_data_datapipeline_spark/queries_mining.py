@@ -1330,3 +1330,122 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "channel string, removal_units long, share double"
     )
+
+
+# --- 15. uplift by score decile -------------------------------------------------------
+
+@register(
+    "uplift_by_decile",
+    """
+WITH users AS (
+  SELECT user_id,
+         CAST(user_id % 2 AS INT) AS grp,
+         CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
+           AS clicks,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS responded
+  FROM events GROUP BY user_id),
+b AS (
+  SELECT CAST(LEAST(clicks // 2, 9) AS INT) AS bucket, grp, responded
+  FROM users)
+SELECT bucket,
+       CAST(COUNT(CASE WHEN grp = 1 THEN 1 END) AS BIGINT) AS n_treat,
+       CAST(COUNT(CASE WHEN grp = 0 THEN 1 END) AS BIGINT) AS n_ctrl,
+       CAST(SUM(CASE WHEN grp = 1 THEN responded ELSE 0 END) AS BIGINT)
+         AS resp_treat,
+       CAST(SUM(CASE WHEN grp = 0 THEN responded ELSE 0 END) AS BIGINT)
+         AS resp_ctrl,
+       ROUND(CAST(SUM(CASE WHEN grp = 1 THEN responded ELSE 0 END) AS DOUBLE)
+               / NULLIF(COUNT(CASE WHEN grp = 1 THEN 1 END), 0)
+             - CAST(SUM(CASE WHEN grp = 0 THEN responded ELSE 0 END) AS DOUBLE)
+               / NULLIF(COUNT(CASE WHEN grp = 0 THEN 1 END), 0), 6) AS uplift
+FROM b GROUP BY bucket
+""",
+)
+def q_uplift_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift (incremental-response) table by engagement bucket — the
+    Qini-curve substrate of uplift modeling: per score bucket (click
+    count, FIXED value buckets so the plan is window-free), treated vs
+    control response rates and their difference. Two aggregations: one
+    per-user fold (same user_id exchange every behavioral query pays),
+    one bucket rollup; all counts exact integers, one final division."""
+    ev = load(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "click", 1))
+        .cast("bigint")
+        .alias("clicks"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("responded"),
+    ).select(
+        (F.col("user_id") % 2).cast("int").alias("grp"),
+        F.least(F.expr("clicks DIV 2"), F.lit(9)).cast("int").alias("bucket"),
+        "responded",
+    )
+    t_resp = F.sum(F.when(F.col("grp") == 1, F.col("responded")).otherwise(0))
+    c_resp = F.sum(F.when(F.col("grp") == 0, F.col("responded")).otherwise(0))
+    t_n = F.count(F.when(F.col("grp") == 1, 1))
+    c_n = F.count(F.when(F.col("grp") == 0, 1))
+    return users.groupBy("bucket").agg(
+        t_n.cast("bigint").alias("n_treat"),
+        c_n.cast("bigint").alias("n_ctrl"),
+        t_resp.cast("bigint").alias("resp_treat"),
+        c_resp.cast("bigint").alias("resp_ctrl"),
+        F.round(
+            t_resp.cast("double") / F.nullif(t_n, F.lit(0))
+            - c_resp.cast("double") / F.nullif(c_n, F.lit(0)),
+            6,
+        ).alias("uplift"),
+    )
+
+
+# --- 16. burstiness (Fano factor) -----------------------------------------------------
+
+@register(
+    "burstiness_fano",
+    """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(c) AS BIGINT) AS s1,
+         CAST(SUM(c * c) AS BIGINT) AS s2
+  FROM daily GROUP BY 1)
+SELECT event_type, n_days,
+       ROUND(CAST(s1 AS DOUBLE) / n_days, 6) AS mean_daily,
+       ROUND(CAST(n_days * s2 - s1 * s1 AS DOUBLE)
+             / (CAST(n_days AS DOUBLE) * s1), 6) AS fano
+FROM m
+""",
+)
+def q_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness of each event type's daily arrival counts via the Fano
+    factor (variance-to-mean ratio of counts; 1 = Poisson, >1 = bursty —
+    the bot/incident-detection screen): population variance and mean
+    derive from exact integer (n, Σc, Σc²) per type, so the only float
+    op is the final division. Two aggregations, both map-side combined;
+    the per-type frame is answer-sized."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("c").cast("bigint").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+    )
+    return m.select(
+        "event_type",
+        "n_days",
+        F.round(F.col("s1").cast("double") / F.col("n_days"), 6).alias(
+            "mean_daily"
+        ),
+        F.round(
+            (F.col("n_days") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+                "double"
+            )
+            / (F.col("n_days").cast("double") * F.col("s1")),
+            6,
+        ).alias("fano"),
+    )
