@@ -1449,3 +1449,141 @@ def q_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fano"),
     )
+
+
+# --- 17. HLL set-algebra: intersection via register merge ----------------------------
+
+_IHLL_M = 256
+_IHLL_NUM = (0.7213 / (1 + 1.079 / _IHLL_M)) * _IHLL_M * _IHLL_M * float(1 << 33)
+
+def _ihll_regs_sql(pred: str) -> str:
+    return f"""
+  SELECT CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 2)) AS BIGINT)
+           AS bucket,
+         MAX(CASE WHEN CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 3, 8))
+                       AS BIGINT) = 0 THEN 33
+                  ELSE 33 - length(bin(CAST(('0x' || substring(md5(CAST(user_id
+                       AS VARCHAR)), 3, 8)) AS BIGINT))) END) AS mr
+  FROM events WHERE {pred} GROUP BY 1"""
+
+_IHLL_EST = (
+    f"{_IHLL_NUM!r} / (s_present + ({_IHLL_M} - n_present) * 8589934592)"
+)
+
+@register(
+    "hll_set_intersection",
+    f"""
+WITH ra AS ({_ihll_regs_sql("event_type = 'purchase'")}),
+rb AS ({_ihll_regs_sql("event_type = 'click'")}),
+ru AS (
+  SELECT COALESCE(ra.bucket, rb.bucket) AS bucket,
+         GREATEST(COALESCE(ra.mr, 0), COALESCE(rb.mr, 0)) AS mr
+  FROM ra FULL OUTER JOIN rb ON ra.bucket = rb.bucket),
+folds AS (
+  SELECT 'a' AS s, CAST(SUM(CAST(1 AS BIGINT) << (33 - mr)) AS BIGINT)
+           AS s_present, COUNT(*) AS n_present FROM ra
+  UNION ALL
+  SELECT 'b', CAST(SUM(CAST(1 AS BIGINT) << (33 - mr)) AS BIGINT), COUNT(*)
+  FROM rb
+  UNION ALL
+  SELECT 'u', CAST(SUM(CAST(1 AS BIGINT) << (33 - mr)) AS BIGINT), COUNT(*)
+  FROM ru),
+ests AS (SELECT s, {_IHLL_EST} AS est FROM folds),
+exact AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersection FROM (
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'click'))
+SELECT exact_intersection,
+       (SELECT est FROM ests WHERE s = 'a') AS est_purchasers,
+       (SELECT est FROM ests WHERE s = 'b') AS est_clickers,
+       (SELECT est FROM ests WHERE s = 'u') AS est_union,
+       (SELECT est FROM ests WHERE s = 'a') + (SELECT est FROM ests WHERE s = 'b')
+         - (SELECT est FROM ests WHERE s = 'u') AS est_intersection
+FROM exact
+""",
+)
+def q_hll_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set algebra under the full oracle: |A ∩ B| estimated by
+    inclusion-exclusion over three sketches — purchasers, clickers, and
+    their UNION built purely by MERGING the two register tables
+    (element-wise MAX, never re-scanning the data): the mergeability
+    that makes HLL the 100 TB distinct-count workhorse, here proven
+    value-exactly. Same derandomized md5 construction and exact integer
+    harmonic fold as hll_portable_daily; each estimate is ONE IEEE
+    division and the intersection is one add/subtract chain, identical
+    on both engines."""
+    ev = load(spark, sf_dir, "events")
+    h = F.md5(F.col("user_id").cast("string"))
+    base = ev.select(
+        "event_type",
+        "user_id",
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("bigint").alias("bucket"),
+        F.when(
+            F.conv(F.substring(h, 3, 8), 16, 10).cast("bigint") == 0, F.lit(33)
+        )
+        .otherwise(
+            F.lit(33)
+            - F.length(F.bin(F.conv(F.substring(h, 3, 8), 16, 10).cast("bigint")))
+        )
+        .alias("rho"),
+    )
+
+    def regs(pred):
+        return (
+            base.filter(pred).groupBy("bucket").agg(F.max("rho").alias("mr"))
+        )
+
+    ra = regs(F.col("event_type") == "purchase")
+    rb = regs(F.col("event_type") == "click")
+    ru = (
+        ra.select(F.col("bucket").alias("ba"), F.col("mr").alias("ma"))
+        .join(
+            rb.select(F.col("bucket").alias("bb"), F.col("mr").alias("mb")),
+            F.col("ba") == F.col("bb"),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("ba", "bb").alias("bucket"),
+            F.greatest(
+                F.coalesce("ma", F.lit(0)), F.coalesce("mb", F.lit(0))
+            ).alias("mr"),
+        )
+    )
+
+    def est(r, name):
+        return r.agg(
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 33 - mr)")).alias(
+                "s_present"
+            ),
+            F.count(F.lit(1)).alias("n_present"),
+        ).select(
+            (
+                F.lit(_IHLL_NUM)
+                / (
+                    F.col("s_present")
+                    + (_IHLL_M - F.col("n_present")) * F.lit(1 << 33)
+                ).cast("double")
+            ).alias(name)
+        )
+
+    pa = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    pb = ev.filter(F.col("event_type") == "click").select("user_id")
+    exact = (
+        pa.intersect(pb)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_intersection"))
+    )
+    out = (
+        exact.crossJoin(F.broadcast(est(ra, "est_purchasers")))
+        .crossJoin(F.broadcast(est(rb, "est_clickers")))
+        .crossJoin(F.broadcast(est(ru, "est_union")))
+    )
+    return out.select(
+        "exact_intersection",
+        "est_purchasers",
+        "est_clickers",
+        "est_union",
+        (
+            F.col("est_purchasers") + F.col("est_clickers") - F.col("est_union")
+        ).alias("est_intersection"),
+    )

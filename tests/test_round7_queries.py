@@ -205,3 +205,15 @@ def test_markov_attribution_shares_form_distribution(spark):
         # probability can only drop: removal effects are non-negative
         assert r.removal_units >= 0
     assert abs(sum(r.share for r in rows) - 1.0) < 1e-5
+
+
+def test_hll_intersection_within_error_band(spark):
+    r = QUERIES["hll_set_intersection"](spark, SF_SMOKE).collect()[0]
+    assert r.exact_intersection > 0
+    # 3-sketch inclusion-exclusion compounds the per-sketch ~6.5% bound;
+    # the union estimate must sit between max(A,B) and A+B
+    assert r.est_union <= r.est_purchasers + r.est_clickers
+    assert r.est_union >= max(r.est_purchasers, r.est_clickers) * 0.8
+    assert abs(r.est_intersection - r.exact_intersection) < 0.5 * max(
+        r.exact_intersection, 50
+    )
