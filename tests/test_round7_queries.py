@@ -208,12 +208,17 @@ def test_markov_attribution_shares_form_distribution(spark):
 
 
 def test_hll_intersection_within_error_band(spark):
+    # structural invariants hold at any scale: merged-register union
+    # dominates each input sketch and never exceeds their sum
     r = QUERIES["hll_set_intersection"](spark, SF_SMOKE).collect()[0]
     assert r.exact_intersection > 0
-    # 3-sketch inclusion-exclusion compounds the per-sketch ~6.5% bound;
-    # the union estimate must sit between max(A,B) and A+B
-    assert r.est_union <= r.est_purchasers + r.est_clickers
-    assert r.est_union >= max(r.est_purchasers, r.est_clickers) * 0.8
-    assert abs(r.est_intersection - r.exact_intersection) < 0.5 * max(
-        r.exact_intersection, 50
+    assert r.est_union <= r.est_purchasers + r.est_clickers + 1e-9
+    assert r.est_union >= max(r.est_purchasers, r.est_clickers) - 1e-9
+    # the ~6.5%-per-sketch error band only applies in HLL's design regime
+    # n >> m (m = 256): assert it at sf0.1 (n = 1500), not at smoke scale
+    # where raw HLL without the linear-counting branch overestimates
+    big = QUERIES["hll_set_intersection"](spark, "/root/testdata/sf0.1").collect()[0]
+    assert (
+        abs(big.est_intersection - big.exact_intersection)
+        < 0.25 * big.exact_intersection
     )
