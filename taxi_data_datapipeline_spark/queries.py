@@ -149,48 +149,45 @@ from taxi_data_datapipeline_spark import queries_mining  # noqa: E402,F401
 # can only ever produce a weaker check. Queries beyond the window keep their
 # registration order and stay covered by tools/check_oracle.py.
 # ---------------------------------------------------------------------------
-# Round-6 rotation policy (VERDICT r5 §next-round #1): all 42 non-pinned
-# r5 seats went green and rotate out at once; sessionize_events is now
-# multi-round green and rotates out too. Only the 8 reference-core queries
-# stay pinned. The 42 open seats go to queries the driver has NEVER
-# officially checked (per tools/coverage_ledger.py), prioritizing the
-# r5-verdict-named queue (lsh_screen_eval, nucleus_vocab_coverage,
-# weighted_median_price, hll_portable_daily, the orc/csv/jsonl/xml
-# round-trips, and the 13 session-4 adds) plus the oldest never-seated
-# families (two-phase distinct, split/sample/mix curation, text scrub,
-# PII, fuzzy blocking, sketches, storage layout, streaming IVM).
-# Cumulative driver-verified coverage grows 152 -> up to 194.
+# Round-8 rotation policy (VERDICT r7 §next-round #1): CORRECTNESS_r07
+# landed 50/50 green, so all 42 non-pinned r6/r7 seats rotate out and the
+# prepared branch from ROUND_NOTES "Round-8 rotation plan" takes effect.
+# Only the 8 reference-core queries stay pinned. The 42 open seats go to
+# queries the driver has NEVER officially checked (per
+# tools/coverage_ledger.py): the 13 round-6 adds, the 21 round-7 adds
+# (all full-gate green and partition-fuzzed at r7 close), and 8 backfill
+# from the oldest never-seated ledger families (semantic dedup, PQ,
+# CDC chunking, span dedup, multimodal resize/resample).
+# Cumulative driver-verified coverage grows 194 -> up to 236.
 #
 # ROTATION_BASELINE_ROUND pins which CORRECTNESS_r*.json files existed when
 # this window was curated; tests/test_driver_window.py asserts >=40 window
 # seats were never green in rounds <= baseline, so a stalled rotation fails
 # the suite (VERDICT r5 next-round #8). Bump it each time the window rotates.
-ROTATION_BASELINE_ROUND = 5
+ROTATION_BASELINE_ROUND = 7
 DRIVER_WINDOW: list[str] = [
     # Reference-pipeline queries (SURVEY.md §2 core) — pinned
     "hourly_pivot", "normalize_project", "long_counts", "low_count_filter",
     "month_mismatch_audit", "latlon_place_key", "epoch_coercion",
     "sql_hourly_pivot",
-    # r5-verdict-named queue (first-time seats)
-    "lsh_screen_eval", "nucleus_vocab_coverage", "weighted_median_price",
-    "hll_portable_daily",
-    # Format round-trips (first-time)
-    "orc_roundtrip_agg", "csv_roundtrip_agg", "jsonl_roundtrip_quarantine",
-    "xml_roundtrip_agg",
-    # r5 session-4 adds (first-time)
-    "streaming_interval_attribution", "mv_incremental_revenue",
-    "histogram_quantile_estimate", "grouped_histogram_quantiles",
-    "partitioned_scan_prune", "schema_evolution_union", "kmv_set_sketch",
-    "aqp_group_revenue", "rolling_origin_cv", "token_budget_mix",
-    "point_in_polygon", "streaming_record_highs",
-    # Oldest never-seated curation / sampling family (first-time)
-    "distinct_users_twophase", "train_val_split", "repetition_ratio",
-    "stratified_sample", "source_mix", "vocab_topk", "map_funcs",
-    "text_scrub", "chunk_split", "kmeans_assign", "psi_source_drift",
-    "multimodal_features_checked", "weighted_sample", "dedup_apply",
-    "fuzzy_match_blocked", "temperature_mix", "decayed_event_score",
-    "pii_scrub", "ngram_dup_fraction", "negative_pairs",
-    "equidepth_buckets", "embedding_standardize",
+    # Round-6 adds (first-time seats)
+    "kcore_bipartite", "bloom_contamination_screen",
+    "multimodal_ahash_dedup", "conformal_event_interval",
+    "isotonic_daily_revenue", "cf_ndcg_at10", "cusum_changepoint",
+    "bh_sign_trend", "t_closeness_audit", "shapley_attribution",
+    "streaming_sessions_tws", "rrf_hybrid_rank", "fairness_parity_audit",
+    # Round-7 adds (first-time seats)
+    "setsim_prefix_join", "snm_candidate_pairs", "random_projection_jl",
+    "lm_quality_score", "skyline_orders", "cms_join_size",
+    "did_purchase_effect", "mmr_rerank", "containment_join",
+    "nb_lang_classifier", "decision_stump_split", "sprt_sequential_test",
+    "markov_next_event_eval", "acid_time_travel", "acid_merge_upsert",
+    "acid_change_feed", "streaming_tx_sink", "markov_attribution",
+    "uplift_by_decile", "burstiness_fano", "hll_set_intersection",
+    # Backfill from the oldest never-seated ledger families (first-time)
+    "dsir_importance", "semdedup", "multimodal_resize", "pq_encode",
+    "cdc_chunking", "dup_span_islands", "multimodal_resize_real",
+    "multimodal_wav_resample",
 ]
 
 

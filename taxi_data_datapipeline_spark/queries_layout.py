@@ -184,7 +184,10 @@ def q_acid_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = TxTable(spark, tdir)
     cutoff = F.to_date(F.col("ts")) <= F.lit("2024-01-15").cast("date")
     t.append(ev.filter(cutoff))
-    t.append(ev.filter(~cutoff))
+    # explicit complement: NULL-ts rows must land in exactly one append
+    # (a bare ~cutoff drops them from BOTH halves while the oracle's
+    # unfiltered aggregates still count them)
+    t.append(ev.filter(~F.coalesce(cutoff, F.lit(False))))
     t.compact()
 
     def agg(df: DataFrame, tag: str) -> DataFrame:
@@ -359,7 +362,10 @@ def q_acid_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = TxTable(spark, tdir)
     cutoff = F.to_date(F.col("ts")) <= F.lit("2024-01-15").cast("date")
     t.append(ev.filter(cutoff))
-    t.append(ev.filter(~cutoff))
+    # explicit complement: NULL-ts rows must land in exactly one append
+    # (a bare ~cutoff drops them from BOTH halves while the oracle's
+    # unfiltered aggregates still count them)
+    t.append(ev.filter(~F.coalesce(cutoff, F.lit(False))))
     t.compact()
     feeds = []
     for info in t.history():

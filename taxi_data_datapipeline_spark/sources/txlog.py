@@ -312,9 +312,15 @@ class TxTable:
         the rows until ``vacuum`` reclaims them — physical erasure =
         delete_where + vacuum(retain_versions=1), the same two-step the
         public formats document for compliance deletes."""
+        from pyspark.sql import functions as F
+
         read_v = self.latest_version()
         victims = self.files_at(read_v)
-        kept = self.read(read_v).filter(~condition)
+        # SQL DELETE removes only rows where the predicate is TRUE; rows
+        # where it evaluates to NULL are KEPT.  A bare ~condition would
+        # propagate NULL and silently erase them, so keep NOT(coalesce(
+        # condition, FALSE)).
+        kept = self.read(read_v).filter(~F.coalesce(condition, F.lit(False)))
         staged = self._stage(kept.localCheckpoint(eager=True))
         return self._commit(
             read_v, "delete", staged, victims, exact_snapshot=True
@@ -333,14 +339,30 @@ class TxTable:
 
     # -- maintenance ----------------------------------------------------------
 
-    def vacuum(self, retain_versions: int = 1) -> list[str]:
+    def vacuum(
+        self, retain_versions: int = 1, min_age_seconds: float = 3600.0
+    ) -> list[str]:
         """Delete staged data files unreachable from the ``retain_versions``
         most recent snapshots (crashed-writer debris included). Returns
-        the deleted relative paths."""
+        the deleted relative paths.
+
+        ``min_age_seconds`` is the in-flight-writer guard: a concurrent
+        writer stages data BEFORE its log entry exists, so at the moment
+        vacuum lists the directory those parquet files are unreferenced
+        but about to be committed. Deleting them would let the writer
+        publish a log entry pointing at missing files — table corruption.
+        Stage directories younger than the threshold are therefore
+        skipped, the same tombstone-retention rule the public formats
+        apply (Delta's ``deletedFileRetentionDuration``). Pass ``0.0``
+        only when no concurrent writer can exist (tests, single-process
+        maintenance windows)."""
+        import time
+
         tip = self.latest_version()
         keep: set[str] = set()
         for v in range(max(0, tip - retain_versions + 1), tip + 1):
             keep.update(self.files_at(v))
+        now = time.time()
         deleted = []
         for stage in os.listdir(self.dir):
             if stage == LOG_DIR:
@@ -348,6 +370,8 @@ class TxTable:
             sdir = os.path.join(self.dir, stage)
             if not os.path.isdir(sdir):
                 continue
+            if now - os.path.getmtime(sdir) < min_age_seconds:
+                continue  # possible in-flight writer between stage and publish
             for n in os.listdir(sdir):
                 rel = os.path.join(stage, n)
                 if n.endswith(".parquet") and rel not in keep:
@@ -389,11 +413,21 @@ class TxSink:
         if batch_id <= self.last_committed_batch():
             return None  # replayed batch: exactly-once no-op
         t = self.table
+        t._check_schema(df)  # the unattended path needs the drift gate most
         add = t._stage(df)
         entry_extra = {"txn": {"app": self.app_id, "batch": batch_id}}
         # same OCC loop as _commit, with the txn action attached
         attempt = t.latest_version() + 1
         for _ in range(20):
+            # Re-validate the txn high-water mark against the CURRENT tip
+            # on every attempt (Delta re-checks txn actions on each commit
+            # retry): two concurrent re-deliveries of the same batch_id can
+            # both pass the entry check above, and only this per-attempt
+            # re-read stops the loser from committing the batch twice.
+            if attempt - 1 >= 0 and (
+                t.txn_state(attempt - 1).get(self.app_id, -1) >= batch_id
+            ):
+                return None  # batch landed concurrently: exactly-once no-op
             entry = {"operation": "append", "add": add, "remove": [],
                      **entry_extra}
             if t._try_publish(attempt, entry):

@@ -52,7 +52,7 @@ def test_staged_data_invisible_until_commit(spark, tmp_path):
     # simulate a crashed writer: staged files, no log entry
     t._stage(_df(spark, 500, 600))
     assert t.read().count() == 10           # reader never sees the debris
-    deleted = t.vacuum(retain_versions=1)
+    deleted = t.vacuum(retain_versions=1, min_age_seconds=0.0)
     assert deleted                           # debris collected
     assert t.read().count() == 10
 
@@ -109,7 +109,7 @@ def test_compact_preserves_contents_and_time_travel(spark, tmp_path):
     assert len(t.files_at(v)) == 1
     assert t.read(0).count() == 10  # pre-compaction snapshots intact
     # vacuum keeping only the tip removes the pre-compaction files
-    t.vacuum(retain_versions=1)
+    t.vacuum(retain_versions=1, min_age_seconds=0.0)
     assert {(r.id, r.v) for r in t.read().collect()} == before
 
 
@@ -118,7 +118,7 @@ def test_vacuum_keeps_retained_versions_readable(spark, tmp_path):
     t.append(_df(spark, 0, 10))
     t.overwrite(_df(spark, 50, 55))
     t.append(_df(spark, 55, 60))
-    t.vacuum(retain_versions=2)
+    t.vacuum(retain_versions=2, min_age_seconds=0.0)
     assert t.read(1).count() == 5    # within horizon
     assert t.read(2).count() == 10
     with pytest.raises(Exception):
@@ -209,7 +209,7 @@ def test_delete_where_and_physical_erasure(spark, tmp_path):
     # rows survive in the old snapshot until vacuum (audit window) ...
     assert t.read(0).count() == 100
     # ... and physical erasure is delete + vacuum
-    t.vacuum(retain_versions=1)
+    t.vacuum(retain_versions=1, min_age_seconds=0.0)
     import pyarrow.parquet as pq
 
     remaining = set()
@@ -253,3 +253,75 @@ def test_snapshot_stats_manifest_prunes_files(spark, tmp_path):
         .count()
     )
     assert got == 61
+
+def test_vacuum_age_guard_protects_inflight_stage(spark, tmp_path):
+    """A writer stages data BEFORE publishing its log entry; vacuum's
+    retention-age guard must not delete those fresh unreferenced files
+    (deleting them would let the writer commit a log entry pointing at
+    missing files — table corruption under multi-writer OCC)."""
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, 0, 10))
+    staged = t._stage(_df(spark, 100, 110))  # in-flight writer, not yet published
+    assert t.vacuum(retain_versions=1) == []  # default min_age: skipped
+    # the in-flight writer can still publish safely
+    v = t._commit(t.latest_version(), "append", staged, [])
+    assert t.read(v).count() == 20
+    # once committed the files are referenced; an aged vacuum keeps them too
+    assert t.vacuum(retain_versions=1, min_age_seconds=0.0) == []
+    assert t.read().count() == 20
+
+
+def test_txsink_rechecks_watermark_on_commit_retry(spark, tmp_path, monkeypatch):
+    """Two concurrent re-deliveries of the same (app, batch) can both pass
+    the entry check; the OCC loop must re-read txn_state on every retry so
+    the loser returns None instead of committing the batch twice."""
+    from taxi_data_datapipeline_spark.sources.txlog import TxSink
+
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, 0, 10))
+    sink = TxSink(t, app_id="app1")
+    orig = t._try_publish
+    raced = {"done": False}
+
+    def racing_publish(version, entry):
+        # interleave the rival's commit of the SAME batch just before our
+        # first publish attempt — the classic lost-race window
+        if not raced["done"] and entry.get("txn"):
+            raced["done"] = True
+            assert orig(version, {"operation": "append", "add": [],
+                                  "remove": [],
+                                  "txn": {"app": "app1", "batch": 0}})
+        return orig(version, entry)
+
+    monkeypatch.setattr(t, "_try_publish", racing_publish)
+    assert sink.append_batch(_df(spark, 0, 10), 0) is None  # loser backs off
+    monkeypatch.setattr(t, "_try_publish", orig)
+    assert t.read().count() == 10  # rival's empty commit, no double rows
+    assert sink.last_committed_batch() == 0
+
+
+def test_txsink_rejects_schema_drift(spark, tmp_path):
+    from taxi_data_datapipeline_spark.sources.txlog import TxSink
+
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, 0, 10))
+    sink = TxSink(t, app_id="app1")
+    drifted = spark.range(0, 5).select(
+        F.col("id"), F.col("id").cast("string").alias("v")
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        sink.append_batch(drifted, 0)
+    assert t.read().count() == 10
+
+
+def test_delete_where_keeps_null_predicate_rows(spark, tmp_path):
+    """SQL DELETE WHERE removes only rows where the predicate is TRUE;
+    NULL-predicate rows must be kept, not silently erased."""
+    t = _mk(spark, tmp_path)
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "x"), (4, None)], "id bigint, s string"
+    )
+    t.append(df)
+    t.delete_where(F.col("s") == "x")
+    got = sorted(r.id for r in t.read().collect())
+    assert got == [1, 2, 4]  # NULL-s rows survive
