@@ -248,8 +248,17 @@ def main() -> None:
     }
     if errors:
         detail["errors"] = errors
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
+    here = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(here, "bench_detail.json")
     with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    # Per-round snapshot so every round's FULL per-query map stays diffable
+    # in git (bench_detail.json is overwritten by every run — VERDICT r7
+    # missing #2). SPARK_GRAFT_ROUND names the snapshot; bump it each round.
+    rnd = os.environ.get("SPARK_GRAFT_ROUND", "8")
+    hist = os.path.join(here, "bench_history")
+    os.makedirs(hist, exist_ok=True)
+    with open(os.path.join(hist, f"bench_detail_r{rnd}.json"), "w") as f:
         json.dump(detail, f, indent=1)
     print(json.dumps(detail), file=sys.stderr)
 

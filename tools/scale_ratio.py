@@ -54,7 +54,7 @@ def main() -> None:
                     "which cancels in the ratio)")
     ap.add_argument("--small", default="/root/testdata/sf0.1")
     ap.add_argument("--big", default=os.path.join(REPO, ".scale", "sf1"))
-    ap.add_argument("--out", default="scale_ratio.json",
+    ap.add_argument("--out", default="bench_history/scale_ratio_r8.json",
                     help="output JSON filename (repo-relative) — name runs "
                     "distinctly so a new run never clobbers a committed record")
     args = ap.parse_args()
