@@ -13,14 +13,15 @@ Convention for image/audio/video at 100 TB scale:
   (``spark.sql.execution.arrow.maxRecordsPerBatch`` caps rows).
 
 Codec reality in this container: BMP (24-bit BI_RGB), WAV (PCM mono
-16-bit), and PNG (8-bit grayscale, stdlib zlib, all five scanline
-filters) are implemented FOR REAL in pure numpy/struct/zlib below —
+16-bit), and PNG (all 8-bit non-palette color types — gray, RGB,
+gray+alpha, RGBA — stdlib zlib, all five scanline filters) are
+implemented FOR REAL in pure numpy/struct/zlib below —
 header parsing, stride padding, bottom-up rows, RIFF chunk walking,
 per-chunk CRC verification, filter inversion — each round-trip proven
 by a SQL value-hash oracle (multimodal_bmp_roundtrip /
 multimodal_wav_roundtrip / multimodal_png_roundtrip). ``decode_image``
 routes those formats to the built-in codecs unconditionally; remaining
-compressed formats (JPEG, color/16-bit PNG, MP3/ffmpeg) stay gated on
+compressed formats (JPEG, palette/16-bit PNG, MP3/ffmpeg) stay gated on
 an optional Pillow import: real decode when present (``HAS_PIL``), a
 clean NotImplementedError when not. The generic feature extractor uses
 a deterministic byte-derived stand-in so its oracle is engine-exact.
@@ -65,11 +66,12 @@ FEATURE_SCHEMA = T.StructType(
 
 def decode_image(payload: bytes) -> "object":
     """Decode an image payload. Built-in pure-Python codecs handle the
-    formats this engine can always decode — 8-bit grayscale PNG
-    (``decode_png8``, stdlib zlib) and 24-bit BMP (``decode_bmp24``) —
-    returning HxW uint8 numpy arrays; anything else (JPEG, color/16-bit
-    PNG, …) routes to Pillow when available and raises a clean
-    NotImplementedError otherwise (capability flag: ``HAS_PIL``)."""
+    formats this engine can always decode — any 8-bit non-palette PNG
+    (gray/RGB/gray+alpha/RGBA, ``decode_png8``, stdlib zlib) and 24-bit
+    BMP (``decode_bmp24``) — returning HxW / HxWxC uint8 numpy arrays;
+    anything else (JPEG, palette/16-bit/interlaced PNG, …) routes to
+    Pillow when available and raises a clean NotImplementedError
+    otherwise (capability flag: ``HAS_PIL``)."""
     if payload[:8] == _PNG_SIG:
         try:
             return decode_png8(payload)
@@ -730,14 +732,65 @@ def encode_png8(pix) -> bytes:
     )
 
 
+def encode_png24(pix) -> bytes:
+    """Encode an HxWx3 uint8 RGB array as a spec-compliant truecolor PNG
+    (8-bit, color type 2), stdlib zlib only. Rows cycle through all five
+    scanline filters like ``encode_png8``, but the left-predictor
+    distance is bpp=3 bytes — a decoder that reuses the grayscale
+    distance cannot round-trip any Sub/Average/Paeth row."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    pix = np.asarray(pix, dtype=np.uint8)
+    h, w, ch = pix.shape
+    if ch != 3:
+        raise ValueError(f"encode_png24 needs HxWx3, got {pix.shape}")
+    wb = w * ch
+    flat = pix.reshape(h, wb)
+    raw = bytearray()
+    prior = np.zeros(wb, dtype=np.int16)
+    for y in range(h):
+        row = flat[y].astype(np.int16)
+        ft = y % 5
+        shift = np.concatenate((np.zeros(ch, dtype=np.int16), row[:-ch]))
+        if ft == 0:
+            out = row.copy()
+        elif ft == 1:  # Sub
+            out = row - shift
+        elif ft == 2:  # Up
+            out = row - prior
+        elif ft == 3:  # Average
+            out = row - (shift + prior) // 2
+        else:  # Paeth
+            pshift = np.concatenate((np.zeros(ch, dtype=np.int16), prior[:-ch]))
+            out = row.copy()
+            for x in range(wb):
+                out[x] = row[x] - _paeth(int(shift[x]), int(prior[x]), int(pshift[x]))
+        raw.append(ft)
+        raw.extend((out % 256).astype(np.uint8).tobytes())
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 9))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def decode_png8(payload: bytes):
-    """Decode an 8-bit grayscale non-interlaced PNG to an HxW uint8 array
-    using only stdlib zlib. Verifies the signature and EVERY chunk CRC,
-    walks chunks by declared length (concatenating multiple IDATs, the
-    part a fixed-offset reader gets wrong), and un-applies all five
-    scanline filters including Average's floor-division and the Paeth
-    predictor — the parts an incorrect decoder silently gets wrong,
-    which the round-trip oracle catches via the position-weighted sum."""
+    """Decode any 8-bit non-palette non-interlaced PNG (color types
+    0/2/4/6: gray, RGB, gray+alpha, RGBA) to an HxW / HxWxC uint8 array
+    using only stdlib zlib. Verifies the signature and EVERY chunk CRC, walks chunks
+    by declared length (concatenating multiple IDATs, the part a
+    fixed-offset reader gets wrong), and un-applies all five scanline
+    filters including Average's floor-division and the Paeth predictor —
+    all BYTEWISE with the left-neighbor at distance bpp (per the spec a
+    pixel's predecessor is the byte bpp positions back, the detail an
+    RGB decoder ported naively from grayscale gets wrong) — which the
+    round-trip oracle catches via the position-weighted sum."""
     import struct
     import zlib
 
@@ -747,6 +800,7 @@ def decode_png8(payload: bytes):
         raise ValueError("not a PNG payload")
     off = len(_PNG_SIG)
     w = h = None
+    ch = 1
     idat = bytearray()
     saw_end = False
     while off + 8 <= len(payload):
@@ -762,11 +816,19 @@ def decode_png8(payload: bytes):
             w, h, depth, ctype_c, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if depth != 8 or ctype_c != 0 or comp != 0 or filt != 0 or interlace != 0:
+            if (
+                depth != 8
+                or ctype_c not in (0, 2, 4, 6)
+                or comp != 0
+                or filt != 0
+                or interlace != 0
+            ):
                 raise ValueError(
                     f"unsupported PNG variant: depth={depth} color={ctype_c}"
                     f" interlace={interlace}"
                 )
+            # channels per color type: gray / RGB / gray+alpha / RGBA
+            ch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype_c]
         elif ctype == b"IDAT":
             idat.extend(body)
         elif ctype == b"IEND":
@@ -778,36 +840,37 @@ def decode_png8(payload: bytes):
     if not saw_end:
         raise ValueError("missing IEND chunk (truncated PNG)")
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (w + 1):
+    wb = w * ch  # scanline bytes (bpp = ch for 8-bit)
+    if len(raw) != h * (wb + 1):
         raise ValueError("IDAT length mismatch")
-    out = np.zeros((h, w), dtype=np.uint8)
-    prior = np.zeros(w, dtype=np.int32)
-    stride = w + 1
+    out = np.zeros((h, wb), dtype=np.uint8)
+    prior = np.zeros(wb, dtype=np.int32)
+    stride = wb + 1
     for y in range(h):
         ft = raw[y * stride]
-        line = np.frombuffer(raw, dtype=np.uint8, count=w, offset=y * stride + 1)
+        line = np.frombuffer(raw, dtype=np.uint8, count=wb, offset=y * stride + 1)
         row = line.astype(np.int32)
         if ft == 0:
             pass
         elif ft == 1:  # Sub — running left dependency, sequential
-            for x in range(1, w):
-                row[x] = (row[x] + row[x - 1]) % 256
+            for x in range(ch, wb):
+                row[x] = (row[x] + row[x - ch]) % 256
         elif ft == 2:  # Up
             row = (row + prior) % 256
         elif ft == 3:  # Average
-            for x in range(w):
-                left = row[x - 1] if x else 0
+            for x in range(wb):
+                left = row[x - ch] if x >= ch else 0
                 row[x] = (row[x] + (left + prior[x]) // 2) % 256
         elif ft == 4:  # Paeth
-            for x in range(w):
-                left = row[x - 1] if x else 0
-                upleft = prior[x - 1] if x else 0
+            for x in range(wb):
+                left = row[x - ch] if x >= ch else 0
+                upleft = prior[x - ch] if x >= ch else 0
                 row[x] = (row[x] + _paeth(int(left), int(prior[x]), int(upleft))) % 256
         else:
             raise ValueError(f"bad filter type {ft}")
         out[y] = row.astype(np.uint8)
         prior = row
-    return out
+    return out if ch == 1 else out.reshape(h, w, ch)
 
 
 def png_roundtrip(df: "DataFrame", text_col: str = "text", w: int = 8, h: int = 6) -> "DataFrame":

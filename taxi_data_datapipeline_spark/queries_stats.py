@@ -646,6 +646,21 @@ def q_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = daily.select(
         F.datediff("day", F.lit("1992-01-01").cast("date")).alias("d"), "y"
     )
+    # Calendar bound on the checkpointed pair set: n_days^2/2 pairs.
+    # TPC-H's 2,400 days -> ~2.9M rows (fine even at 100x data volume —
+    # the day count doesn't grow with rows); a 30-year corpus (~11k days)
+    # is ~60M, still executor-sized but past the point where the full
+    # pair materialization is the right plan. Guard it: beyond ~20k days
+    # fail fast and point at the repeated-median/day-sampling refactor
+    # instead of silently checkpointing ~200M+ rows.
+    n_days_ = pts.count()
+    if n_days_ > 20_000:
+        raise ValueError(
+            f"theil_sen_slope: {n_days_} days -> "
+            f"~{n_days_ * (n_days_ - 1) // 2:,} slope pairs; "
+            "past the materialization bound (~20k days). Aggregate to a "
+            "coarser grain or sample days before the pairwise step."
+        )
     a = pts.select(F.col("d").alias("d1"), F.col("y").alias("y1"))
     b = pts.select(F.col("d").alias("d2"), F.col("y").alias("y2"))
     pairs = (
@@ -661,7 +676,6 @@ def q_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_pairs_, lo, hi = pairs.agg(
         F.count(F.lit(1)), F.min("slope"), F.max("slope")
     ).collect()[0]
-    n_days_ = pts.count()
     if n_pairs_ == 0:
         return spark.createDataFrame(
             [], "n_days bigint, n_pairs bigint, median_slope double"

@@ -33,17 +33,41 @@ def test_decode_gated_without_codec():
         decode_image(b"\xff\xd8\xff")
 
 
-@pytest.mark.skipif(not HAS_PIL, reason="Pillow not installed in this container")
-def test_decode_real_png_when_codec_present():
-    # 1x1 red PNG, generated once with Pillow and inlined as bytes.
+def test_decode_real_color_png_builtin():
+    """A real color PNG (1x1 red RGBA, color type 6, generated once with
+    a reference encoder and inlined as bytes) decodes through the
+    built-in codec — no Pillow gate remains for 8-bit non-palette
+    PNGs. (The previous inlined payload had a corrupt IDAT CRC and was
+    only reachable behind the Pillow skip; this one is spec-valid.)"""
     import base64
 
+    import numpy as np
+
     png = base64.b64decode(
-        "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR4nGP4"
-        "z8DwHwAFAAH/q842iQAAAABJRU5ErkJggg=="
+        "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP4"
+        "z8DwHwAFAAH/VscvDQAAAABJRU5ErkJggg=="
     )
-    img = decode_image(png)
-    assert img.size == (1, 1)
+    arr = np.asarray(decode_image(png))
+    assert arr.shape == (1, 1, 4)  # RGBA
+    assert tuple(int(v) for v in arr[0, 0]) == (255, 0, 0, 255)
+
+
+def test_png24_roundtrip_all_filters():
+    """encode_png24 cycles all five scanline filters with the bpp=3 left
+    predictor; the decoder must reproduce the RGB array exactly (>=6 rows
+    so every filter type appears at least once)."""
+    import numpy as np
+
+    from taxi_data_datapipeline_spark.operators.multimodal import (
+        decode_png8,
+        encode_png24,
+    )
+
+    rng = np.arange(7 * 5 * 3, dtype=np.uint64)
+    pix = ((rng * 2654435761) % 256).astype(np.uint8).reshape(7, 5, 3)
+    out = decode_png8(encode_png24(pix))
+    assert out.shape == (7, 5, 3)
+    assert (out == pix).all()
 
 
 def test_extract_features_schema_and_determinism(spark, payloads):
@@ -336,15 +360,11 @@ def test_decode_image_builtin_codecs_no_pillow():
     assert (np.asarray(out_png) == pix).all()
     assert (np.asarray(out_bmp) == pix).all()
 
-    rgb_png = base64.b64decode(  # 1x1 red, color type 2 — not 8-bit gray
-        "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR4nGP4"
-        "z8DwHwAFAAH/q842iQAAAABJRU5ErkJggg=="
+    rgb_png = base64.b64decode(  # 1x1 red RGBA, color type 6
+        "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP4"
+        "z8DwHwAFAAH/VscvDQAAAABJRU5ErkJggg=="
     )
-    if HAS_PIL:
-        assert decode_image(rgb_png).size == (1, 1)
-    else:
-        with pytest.raises(NotImplementedError):
-            decode_image(rgb_png)
+    assert np.asarray(decode_image(rgb_png)).shape == (1, 1, 4)
 
     corrupt = bytearray(encode_png8(pix))
     corrupt[40] ^= 0xFF
