@@ -136,6 +136,7 @@ from taxi_data_datapipeline_spark import queries_formats  # noqa: E402,F401
 from taxi_data_datapipeline_spark import queries_incremental  # noqa: E402,F401
 from taxi_data_datapipeline_spark import queries_layout  # noqa: E402,F401
 from taxi_data_datapipeline_spark import queries_mining  # noqa: E402,F401
+from taxi_data_datapipeline_spark import queries_eval  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver correctness window: the external gate checks the FIRST 50 queries in
