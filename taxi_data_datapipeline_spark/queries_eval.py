@@ -786,3 +786,216 @@ def q_ppmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("pmi", 6).alias("ppmi"),
         )
     )
+
+
+# --- V-measure: entropy-based clustering agreement ------------------------------
+
+
+@register(
+    "v_measure",
+    """
+WITH pts AS (
+  SELECT label,
+         4 * CAST(embedding[1] > 0 AS INT)
+           + 2 * CAST(embedding[2] > 0 AS INT)
+           + CAST(embedding[3] > 0 AS INT) AS cluster
+  FROM embeddings),
+cont AS (SELECT cluster, label, CAST(COUNT(*) AS BIGINT) AS nij
+         FROM pts GROUP BY 1, 2),
+n AS (SELECT CAST(SUM(nij) AS BIGINT) AS nn FROM cont),
+ks AS (SELECT cluster, CAST(SUM(nij) AS BIGINT) AS nk FROM cont GROUP BY 1),
+cs AS (SELECT label, CAST(SUM(nij) AS BIGINT) AS nc FROM cont GROUP BY 1),
+hck AS (
+  SELECT CAST(SUM(CAST(ROUND(-(CAST(nij AS DOUBLE) / n.nn)
+                             * ln(CAST(nij AS DOUBLE) / ks.nk), 9)
+                       AS DECIMAL(28,12))) AS DOUBLE) AS v
+  FROM cont JOIN ks USING (cluster) CROSS JOIN n),
+hkc AS (
+  SELECT CAST(SUM(CAST(ROUND(-(CAST(nij AS DOUBLE) / n.nn)
+                             * ln(CAST(nij AS DOUBLE) / cs.nc), 9)
+                       AS DECIMAL(28,12))) AS DOUBLE) AS v
+  FROM cont JOIN cs USING (label) CROSS JOIN n),
+hc AS (
+  SELECT CAST(SUM(CAST(ROUND(-(CAST(nc AS DOUBLE) / n.nn)
+                             * ln(CAST(nc AS DOUBLE) / n.nn), 9)
+                       AS DECIMAL(28,12))) AS DOUBLE) AS v
+  FROM cs CROSS JOIN n),
+hk AS (
+  SELECT CAST(SUM(CAST(ROUND(-(CAST(nk AS DOUBLE) / n.nn)
+                             * ln(CAST(nk AS DOUBLE) / n.nn), 9)
+                       AS DECIMAL(28,12))) AS DOUBLE) AS v
+  FROM ks CROSS JOIN n),
+hv AS (
+  SELECT 1 - hck.v / hc.v AS h, 1 - hkc.v / hk.v AS c
+  FROM hck CROSS JOIN hkc CROSS JOIN hc CROSS JOIN hk)
+SELECT ROUND(h, 6) AS homogeneity, ROUND(c, 6) AS completeness,
+       ROUND(2 * h * c / (h + c), 6) AS v_measure
+FROM hv
+""",
+)
+def q_v_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V-measure (Rosenberg & Hirschberg 2007): the entropy-based
+    homogeneity / completeness / harmonic-mean triple for the same
+    sign-pattern clustering ARI scores — the two standard external
+    clustering metrics disagree exactly when a clustering trades purity
+    for coverage, so evaluation pipelines report both. All entropies are
+    sums over the k x labels contingency (<= 80 rows): each term is a
+    log of a rational of exact integers, rounded to 9 decimals and
+    summed as DECIMAL; h, c, v are closed-form doubles at the end. The
+    only shuffle is the contingency groupBy."""
+    emb = load(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "label",
+        (
+            F.lit(4) * (F.element_at("embedding", 1) > 0).cast("int")
+            + F.lit(2) * (F.element_at("embedding", 2) > 0).cast("int")
+            + (F.element_at("embedding", 3) > 0).cast("int")
+        ).alias("cluster"),
+    )
+    cont = pts.groupBy("cluster", "label").agg(F.count(F.lit(1)).alias("nij"))
+    n = cont.agg(F.sum("nij").alias("nn"))
+    ks = cont.groupBy("cluster").agg(F.sum("nij").alias("nk"))
+    cs = cont.groupBy("label").agg(F.sum("nij").alias("nc"))
+
+    def ent_sum(df: DataFrame, num: str, den: str) -> DataFrame:
+        term = F.round(
+            -(F.col(num).cast("double") / F.col("nn"))
+            * F.log(F.col(num).cast("double") / F.col(den)),
+            9,
+        ).cast("decimal(28,12)")
+        return df.agg(F.sum(term).cast("double").alias("v"))
+
+    hck = ent_sum(cont.join(F.broadcast(ks), "cluster").crossJoin(F.broadcast(n)), "nij", "nk")
+    hkc = ent_sum(cont.join(F.broadcast(cs), "label").crossJoin(F.broadcast(n)), "nij", "nc")
+    hc = ent_sum(cs.crossJoin(F.broadcast(n)).withColumn("nn2", F.col("nn")), "nc", "nn")
+    hk = ent_sum(ks.crossJoin(F.broadcast(n)).withColumn("nn2", F.col("nn")), "nk", "nn")
+    hv = (
+        hck.select(F.col("v").alias("hck"))
+        .crossJoin(F.broadcast(hkc.select(F.col("v").alias("hkc"))))
+        .crossJoin(F.broadcast(hc.select(F.col("v").alias("hc"))))
+        .crossJoin(F.broadcast(hk.select(F.col("v").alias("hk"))))
+        .select(
+            (F.lit(1) - F.col("hck") / F.col("hc")).alias("h"),
+            (F.lit(1) - F.col("hkc") / F.col("hk")).alias("c"),
+        )
+    )
+    return hv.select(
+        F.round("h", 6).alias("homogeneity"),
+        F.round("c", 6).alias("completeness"),
+        F.round(
+            F.lit(2) * F.col("h") * F.col("c") / (F.col("h") + F.col("c")), 6
+        ).alias("v_measure"),
+    )
+
+
+# --- Brier score Murphy decomposition -------------------------------------------
+
+
+@register(
+    "brier_decomposition",
+    """
+WITH ev AS (
+  SELECT CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 10 AS bucket,
+         dayofweek(ts) AS dow,
+         CAST(event_type = 'purchase' AS INT) AS y
+  FROM events WHERE event_type IN ('purchase', 'view')),
+tr AS (
+  SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_tr,
+         CAST(SUM(y) AS BIGINT) AS y_tr
+  FROM ev WHERE bucket < 8 GROUP BY dow),
+te AS (
+  SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_te,
+         CAST(SUM(y) AS BIGINT) AS y_te
+  FROM ev WHERE bucket >= 8 GROUP BY dow),
+tot AS (
+  SELECT CAST(SUM(n_te) AS BIGINT) AS nn, CAST(SUM(y_te) AS BIGINT) AS yy
+  FROM te),
+bins AS (
+  SELECT te.dow, te.n_te, te.y_te, tr.n_tr, tr.y_tr, tot.nn, tot.yy,
+         CAST(ROUND(CAST(te.n_te AS DOUBLE) / tot.nn
+              * (CAST(tr.y_tr AS DOUBLE) / tr.n_tr
+                 - CAST(te.y_te AS DOUBLE) / te.n_te)
+              * (CAST(tr.y_tr AS DOUBLE) / tr.n_tr
+                 - CAST(te.y_te AS DOUBLE) / te.n_te), 9)
+              AS DECIMAL(28,12)) AS rel_term,
+         CAST(ROUND(CAST(te.n_te AS DOUBLE) / tot.nn
+              * (CAST(te.y_te AS DOUBLE) / te.n_te
+                 - CAST(tot.yy AS DOUBLE) / tot.nn)
+              * (CAST(te.y_te AS DOUBLE) / te.n_te
+                 - CAST(tot.yy AS DOUBLE) / tot.nn), 9)
+              AS DECIMAL(28,12)) AS res_term
+  FROM te JOIN tr USING (dow) CROSS JOIN tot)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+       (SELECT nn FROM tot) AS n_eval,
+       ROUND(CAST(SUM(rel_term) AS DOUBLE), 6) AS reliability,
+       ROUND(CAST(SUM(res_term) AS DOUBLE), 6) AS resolution,
+       ROUND((SELECT CAST(yy AS DOUBLE) / nn * (1 - CAST(yy AS DOUBLE) / nn)
+              FROM tot), 6) AS uncertainty
+FROM bins
+""",
+)
+def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score (reliability - resolution
+    + uncertainty) for a day-of-week base-rate forecaster of purchase
+    probability, fit on the md5 80% shard and scored on the held-out
+    20%: the standard diagnostic separating calibration error from
+    discrimination for ANY probabilistic prediction. Forecast bins are
+    the 7 day-of-week cells, so after the one groupBy everything is
+    closed-form rationals of exact counts: per-bin terms are identical
+    doubles in both engines, rounded to 9 decimals and decimal-summed.
+    This is forecast EVALUATION (is the predictor calibrated? does it
+    discriminate?) complementing logistic_calibration's reliability
+    table with the quantitative partition."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "view"))
+        .select(
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 10
+            ).alias("bucket"),
+            F.dayofweek("ts").alias("dow"),
+            (F.col("event_type") == "purchase").cast("int").alias("y"),
+        )
+    )
+    tr = ev.filter(F.col("bucket") < 8).groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_tr"), F.sum("y").alias("y_tr")
+    )
+    te = ev.filter(F.col("bucket") >= 8).groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_te"), F.sum("y").alias("y_te")
+    )
+    tot = te.agg(F.sum("n_te").alias("nn"), F.sum("y_te").alias("yy"))
+    p_tr = F.col("y_tr").cast("double") / F.col("n_tr")
+    o_te = F.col("y_te").cast("double") / F.col("n_te")
+    obar = F.col("yy").cast("double") / F.col("nn")
+    wt = F.col("n_te").cast("double") / F.col("nn")
+    bins = (
+        te.join(tr, "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(wt * (p_tr - o_te) * (p_tr - o_te), 9)
+            .cast("decimal(28,12)")
+            .alias("rel_term"),
+            F.round(wt * (o_te - obar) * (o_te - obar), 9)
+            .cast("decimal(28,12)")
+            .alias("res_term"),
+            "nn",
+            "yy",
+        )
+    )
+    return bins.groupBy("nn", "yy").agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.round(F.sum("rel_term").cast("double"), 6).alias("reliability"),
+        F.round(F.sum("res_term").cast("double"), 6).alias("resolution"),
+    ).select(
+        "n_bins",
+        F.col("nn").alias("n_eval"),
+        "reliability",
+        "resolution",
+        F.round(obar * (1 - obar), 6).alias("uncertainty"),
+    )

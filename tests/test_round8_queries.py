@@ -186,3 +186,28 @@ def test_ppmi_topk_rank_contract(spark):
         assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
         for x, y in zip(rs, rs[1:]):
             assert (x.ppmi, ) >= (y.ppmi, ) or x.ppmi > y.ppmi - 1e-9
+
+
+def test_v_measure_identities(spark):
+    """h, c, v all in [0, 1]; v is the harmonic mean of h and c; and on
+    the same clustering ARI scored, v must agree in sign of quality
+    (both near 0 for the sign-pattern projection vs 10 random labels)."""
+    row = QUERIES["v_measure"](spark, SF_SMOKE).collect()[0]
+    assert 0.0 <= row.homogeneity <= 1.0
+    assert 0.0 <= row.completeness <= 1.0
+    hm = 2 * row.homogeneity * row.completeness / (
+        row.homogeneity + row.completeness
+    )
+    assert abs(row.v_measure - hm) < 1e-5
+
+
+def test_brier_decomposition_identities(spark):
+    """REL >= 0, RES >= 0, RES <= UNC (resolution is bounded by the
+    outcome variance), and UNC = obar(1-obar) <= 0.25."""
+    row = QUERIES["brier_decomposition"](spark, SF_SMOKE).collect()[0]
+    assert row.reliability >= 0
+    assert row.resolution >= 0
+    assert row.uncertainty <= 0.25 + 1e-9
+    assert row.resolution <= row.uncertainty + 1e-6
+    assert row.n_bins <= 7
+    assert row.n_eval > 0
