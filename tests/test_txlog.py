@@ -325,3 +325,50 @@ def test_delete_where_keeps_null_predicate_rows(spark, tmp_path):
     t.delete_where(F.col("s") == "x")
     got = sorted(r.id for r in t.read().collect())
     assert got == [1, 2, 4]  # NULL-s rows survive
+
+
+def test_concurrent_blind_appends_all_land_exactly_once(spark, tmp_path):
+    """Real multi-writer OCC: 8 threads race blind appends through the
+    same table directory. The O_EXCL publish plus rebase must land every
+    append exactly once — no lost commits, no duplicated rows, contiguous
+    version numbers."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, 0, 1))  # v0
+
+    def writer(i: int) -> int:
+        lo = 1000 * (i + 1)
+        return t.append(_df(spark, lo, lo + 10))
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        versions = list(ex.map(writer, range(8)))
+    assert sorted(versions) == list(range(1, 9))  # contiguous, no gaps
+    assert t.latest_version() == 8
+    ids = sorted(r.id for r in t.read().collect())
+    expect = [0] + [x for i in range(8) for x in range(1000 * (i + 1), 1000 * (i + 1) + 10)]
+    assert ids == sorted(expect)
+
+
+def test_concurrent_txsink_same_batch_single_commit(spark, tmp_path):
+    """Real duplicate-delivery race: 6 threads all try to commit the SAME
+    (app, batch). Exactly one version may carry the batch's rows; the
+    rest must return None (the per-retry txn re-validation closes the
+    window the initial check leaves open)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from taxi_data_datapipeline_spark.sources.txlog import TxSink
+
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, 0, 5))
+    sink = TxSink(t, app_id="dup_app")
+
+    def deliver(_i: int):
+        return sink.append_batch(_df(spark, 100, 110), 7)
+
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        results = list(ex.map(deliver, range(6)))
+    committed = [r for r in results if r is not None]
+    assert len(committed) == 1  # exactly-once under real concurrency
+    assert t.read().count() == 15  # 5 base + one 10-row batch
+    assert sink.last_committed_batch() == 7
