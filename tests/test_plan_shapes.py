@@ -241,3 +241,33 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_welch_is_two_aggregate_stages_no_join(spark):
+    """Welch reduces to sufficient statistics in one partial-merge
+    aggregation plus a 2-row pick aggregation: two key shuffles, zero
+    joins, pushdown of the event_type IN filter to the scan."""
+    plan = plan_of(spark, "welch_t_test")
+    assert semantic_shuffles(plan) == 2
+    assert "Join" not in plan
+    assert "PushedFilters" in plan and "In(event_type" in plan
+
+
+def test_silhouette_broadcasts_centroid_table(spark):
+    """The k x dims centroid table must broadcast against the exploded
+    point-dim stream — a shuffle join here would move every point row
+    twice at corpus scale."""
+    plan = plan_of(spark, "silhouette_simplified")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bigram_perplexity_count_tables_stay_joinable(spark):
+    """Eval bigrams join the train count tables without any cartesian
+    product (the only BNL join allowed is the broadcast 1-row vocab
+    scalar)."""
+    plan = plan_of(spark, "bigram_perplexity")
+    assert "CartesianProduct" not in plan
+    # the vocab scalar rides a broadcast nested loop; everything keyed
+    # is hash-joined
+    assert "BroadcastHashJoin" in plan
