@@ -96,7 +96,9 @@ def main() -> None:
         "triangle_count", "label_propagation", "bfs_hops",
         "assoc_rules", "pagerank_weighted",
         "neighbor_jaccard", "modularity_communities", "item_cf_scores",
-        "cf_holdout_hitrate",  # consumes the shared pair table too
+        # consume the shared pair table AND share the _cf_eval_frames
+        # memo (split + scores + top-10 built once for both metrics)
+        "cf_holdout_hitrate", "cf_ndcg_at10",
         # shared-LSH-pairs consumers (minhash_lsh_dedup builds the memo)
         "dedup_groups_cc", "dedup_groups_cc_star", "cluster_split",
         # trained-chain consumers

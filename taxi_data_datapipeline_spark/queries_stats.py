@@ -4739,77 +4739,12 @@ def q_cf_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph/recommender family) is the only large intermediate; the
     candidate generation joins history items against its symmetric view
     (map-side broadcast of nothing — both sides shuffle on item), and
-    every window is per-customer partitioned. Evaluation at 100 TB is
-    the same plan with the pair table persisted between ingests."""
-    from taxi_data_datapipeline_spark.queries_advanced import (
-        _copurchase_pair_counts,
-    )
-
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    o = load(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
-    )
-    ranked = o.select(
-        "o_custkey",
-        "o_orderkey",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("o_custkey")).alias("n_orders"),
-    ).filter(F.col("n_orders") >= 2)
-    holdout = ranked.filter(F.col("rn") == 1).select("o_custkey", "o_orderkey")
-    history = (
-        ranked.filter(F.col("rn") > 1)
-        .join(li, ranked.o_orderkey == li.l_orderkey)
-        .select("o_custkey", F.col("l_partkey").alias("item"))
-        .distinct()
-    )
-    pairs = _copurchase_pair_counts(spark, sf_dir)
-    sym_all = pairs.select(
-        F.col("a").alias("item"), F.col("b").alias("cand"), "support"
-    ).unionAll(
-        pairs.select(
-            F.col("b").alias("item"), F.col("a").alias("cand"), "support"
-        )
-    )
-    # Item-neighborhood truncation (Sarwar et al. 2001 model pruning):
-    # keep each item's top-20 co-purchase partners. Without it candidate
-    # generation materializes |history| x avg-partner-fanout rows (~150M
-    # at sf0.1, 30 s); with it the model is the bounded item-item matrix
-    # a production recommender actually serves.
-    wnb = Window.partitionBy("item").orderBy(F.col("support").desc(), "cand")
-    sym = (
-        sym_all.withColumn("nb", F.row_number().over(wnb))
-        .filter(F.col("nb") <= 20)
-        .drop("nb")
-    )
-    h2 = history.select(
-        F.col("o_custkey").alias("c2"), F.col("item").alias("cand2")
-    )
-    scores = (
-        history.join(sym, "item")
-        .join(
-            h2,
-            (F.col("o_custkey") == F.col("c2")) & (F.col("cand") == F.col("cand2")),
-            "left_anti",
-        )
-        .groupBy("o_custkey", "cand")
-        .agg(F.sum("support").cast("bigint").alias("score"))
-    )
-    wk = Window.partitionBy("o_custkey").orderBy(F.col("score").desc(), "cand")
-    topk = (
-        scores.withColumn("rk", F.row_number().over(wk))
-        .filter(F.col("rk") <= 10)
-        .select("o_custkey", "cand")
-    )
-    truth = (
-        holdout.join(li, holdout.o_orderkey == li.l_orderkey)
-        .select("o_custkey", F.col("l_partkey").alias("item"))
-        .distinct()
-    )
+    every window is per-customer partitioned. The split/score/top-10
+    scaffolding is built once and shared with `cf_ndcg_at10`
+    (`_cf_eval_frames`). Evaluation at 100 TB is the same plan with the
+    pair table persisted between ingests."""
+    holdout, topk_rk, truth = _cf_eval_frames(spark, sf_dir)
+    topk = topk_rk.select("o_custkey", "cand")
     tr = truth.select(
         F.col("o_custkey").alias("tc"), F.col("item").alias("tcand")
     )
@@ -4832,6 +4767,123 @@ def q_cf_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"(n_hits * 1000000) DIV {n_customers}").alias("hitrate_ppm"),
         )
     )
+
+
+_CF_EVAL_CACHE: dict = {}
+_CF_EVAL_LOCK = None  # created lazily; threading imported function-local
+
+
+def _cf_eval_frames(spark: SparkSession, sf_dir: str):
+    """Shared leave-last-order-out recommender-eval scaffolding for
+    `cf_holdout_hitrate` and `cf_ndcg_at10` — the two metrics evaluate
+    the SAME model on the SAME split, so the expensive part (candidate
+    generation + per-customer top-10) is built once per (app, sf) and
+    localCheckpointed, the co-purchase-pair-table convention.
+
+    Returns (holdout, topk, truth): holdout = (o_custkey, o_orderkey)
+    of each held-out last order; topk = (o_custkey, cand, rk) top-10
+    recommendations; truth = (o_custkey, item) held-out basket items.
+
+    Candidate scoring anti-joins the customer's already-bought items
+    AFTER the (o_custkey, cand) support aggregation, not before: the
+    anti-join key IS the group key, so filtering groups is algebraically
+    identical to filtering their raw rows, but the anti-join probe
+    shrinks from |history x top-20 fanout| candidate rows to the
+    aggregated (customer, candidate) pairs — and both sides already
+    hash-partition on the same key, so no extra exchange."""
+    import threading
+
+    global _CF_EVAL_LOCK
+    if _CF_EVAL_LOCK is None:
+        _CF_EVAL_LOCK = threading.Lock()
+    from taxi_data_datapipeline_spark.queries_advanced import (
+        _copurchase_pair_counts,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    with _CF_EVAL_LOCK:
+        cached = _CF_EVAL_CACHE.get(key)
+        if cached is not None:
+            return cached
+        li = (
+            load(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+        )
+        o = load(spark, sf_dir, "orders")
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+        )
+        ranked = o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("o_custkey"))
+            .alias("n_orders"),
+        ).filter(F.col("n_orders") >= 2)
+        holdout = ranked.filter(F.col("rn") == 1).select(
+            "o_custkey", "o_orderkey"
+        )
+        history = (
+            ranked.filter(F.col("rn") > 1)
+            .join(li, ranked.o_orderkey == li.l_orderkey)
+            .select("o_custkey", F.col("l_partkey").alias("item"))
+            .distinct()
+        )
+        pairs = _copurchase_pair_counts(spark, sf_dir)
+        sym_all = pairs.select(
+            F.col("a").alias("item"), F.col("b").alias("cand"), "support"
+        ).unionAll(
+            pairs.select(
+                F.col("b").alias("item"), F.col("a").alias("cand"), "support"
+            )
+        )
+        # Item-neighborhood truncation (Sarwar et al. 2001 model
+        # pruning): keep each item's top-20 co-purchase partners; the
+        # bounded item-item matrix a production recommender serves.
+        wnb = Window.partitionBy("item").orderBy(
+            F.col("support").desc(), "cand"
+        )
+        sym = (
+            sym_all.withColumn("nb", F.row_number().over(wnb))
+            .filter(F.col("nb") <= 20)
+            .drop("nb")
+        )
+        h2 = history.select(
+            F.col("o_custkey").alias("c2"), F.col("item").alias("cand2")
+        )
+        scores = (
+            history.join(sym, "item")
+            .groupBy("o_custkey", "cand")
+            .agg(F.sum("support").cast("bigint").alias("score"))
+            .join(
+                h2,
+                (F.col("o_custkey") == F.col("c2"))
+                & (F.col("cand") == F.col("cand2")),
+                "left_anti",
+            )
+        )
+        wk = Window.partitionBy("o_custkey").orderBy(
+            F.col("score").desc(), "cand"
+        )
+        topk = (
+            scores.withColumn("rk", F.row_number().over(wk))
+            .filter(F.col("rk") <= 10)
+            .select("o_custkey", "cand", "rk")
+        )
+        truth = (
+            holdout.join(li, holdout.o_orderkey == li.l_orderkey)
+            .select("o_custkey", F.col("l_partkey").alias("item"))
+            .distinct()
+        )
+        result = (
+            holdout.localCheckpoint(eager=True),
+            topk.localCheckpoint(eager=True),
+            truth.localCheckpoint(eager=True),
+        )
+        _CF_EVAL_CACHE[key] = result
+        return result
 
 
 # NDCG@10 discount weights as exact integers, computed ONCE driver-side
@@ -4939,73 +4991,11 @@ def q_cf_ndcg_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL (order-independent), so the engines agree bit-for-bit
     without trusting two log() implementations to round identically.
 
-    Plan shape identical to the hitrate query (shared memoized pair
-    table, per-customer windows); the extra work is two broadcast joins
-    against 10-row literal tables."""
-    from taxi_data_datapipeline_spark.queries_advanced import (
-        _copurchase_pair_counts,
-    )
-
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    o = load(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
-    )
-    ranked = o.select(
-        "o_custkey",
-        "o_orderkey",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("o_custkey")).alias("n_orders"),
-    ).filter(F.col("n_orders") >= 2)
-    holdout = ranked.filter(F.col("rn") == 1).select("o_custkey", "o_orderkey")
-    history = (
-        ranked.filter(F.col("rn") > 1)
-        .join(li, ranked.o_orderkey == li.l_orderkey)
-        .select("o_custkey", F.col("l_partkey").alias("item"))
-        .distinct()
-    )
-    pairs = _copurchase_pair_counts(spark, sf_dir)
-    sym_all = pairs.select(
-        F.col("a").alias("item"), F.col("b").alias("cand"), "support"
-    ).unionAll(
-        pairs.select(
-            F.col("b").alias("item"), F.col("a").alias("cand"), "support"
-        )
-    )
-    wnb = Window.partitionBy("item").orderBy(F.col("support").desc(), "cand")
-    sym = (
-        sym_all.withColumn("nb", F.row_number().over(wnb))
-        .filter(F.col("nb") <= 20)
-        .drop("nb")
-    )
-    h2 = history.select(
-        F.col("o_custkey").alias("c2"), F.col("item").alias("cand2")
-    )
-    scores = (
-        history.join(sym, "item")
-        .join(
-            h2,
-            (F.col("o_custkey") == F.col("c2")) & (F.col("cand") == F.col("cand2")),
-            "left_anti",
-        )
-        .groupBy("o_custkey", "cand")
-        .agg(F.sum("support").cast("bigint").alias("score"))
-    )
-    wk = Window.partitionBy("o_custkey").orderBy(F.col("score").desc(), "cand")
-    topk = (
-        scores.withColumn("rk", F.row_number().over(wk))
-        .filter(F.col("rk") <= 10)
-        .select("o_custkey", "cand", "rk")
-    )
-    truth = (
-        holdout.join(li, holdout.o_orderkey == li.l_orderkey)
-        .select("o_custkey", F.col("l_partkey").alias("item"))
-        .distinct()
-    )
+    Plan shape identical to the hitrate query (shared memoized
+    `_cf_eval_frames` scaffolding — split, scores, top-10 built once for
+    both metrics); the extra work here is two broadcast joins against
+    10-row literal tables."""
+    _holdout, topk, truth = _cf_eval_frames(spark, sf_dir)
     wtab = spark.createDataFrame(
         [(r, _NDCG_W[r]) for r in range(1, 11)], "rk int, w bigint"
     )
