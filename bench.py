@@ -131,23 +131,38 @@ def main() -> None:
                 run(name)
         else:
             # The streaming pool OVERLAPS the batch pool instead of
-            # running after it: the streaming chain is ~12 s of mostly
-            # micro-batch coordination latency (not CPU), and running it
-            # strictly after the batch phase added its full wall to the
-            # suite (73 s = 48 s batch + 12 s streaming + sched at r8).
-            # Streaming stays capped at 4 concurrent drains — the
-            # state-store setup burst is what contended historically,
-            # not the overlap itself. Ordered longest-first (LPT) so the
-            # heavy interval-join drain starts immediately.
+            # running after it: at sf0.1 the streaming chain is ~12 s of
+            # mostly micro-batch coordination latency (not CPU), and
+            # running it strictly after the batch phase added its full
+            # wall to the suite (73 s = 48 s batch + 12 s streaming +
+            # sched at r8). At sf1 each drain is 30-120 s of real CPU
+            # and the overlap inflates per-query times ~2x via 16-way
+            # oversubscription — but a same-day A/B still favors it on
+            # WALL (424 s overlapped vs 521 s phase-separated: the
+            # separated run's 4-way streaming tail packs poorly), so
+            # overlap stays the default at every sf.
+            # SPARK_GRAFT_BENCH_STREAM_OVERLAP=0 forces the separated
+            # phases (per-query times then reflect true 12-way batch
+            # contention only). Streaming stays capped at 4 concurrent
+            # drains — the state-store setup burst is what contended
+            # historically. Ordered longest-first (LPT) so the heavy
+            # interval-join drain starts immediately.
+            overlap = os.environ.get("SPARK_GRAFT_BENCH_STREAM_OVERLAP") != "0"
             stream_order = sorted(
                 serial, key=lambda n: -times.get(n, 0.0)
             ) or sorted(serial)
-            with ThreadPoolExecutor(max_workers=par) as pool, \
-                    ThreadPoolExecutor(max_workers=min(4, par)) as spool:
-                sfut = [spool.submit(run, n) for n in stream_order]
-                list(pool.map(run, batch))
-                for f in sfut:
-                    f.result()
+            if overlap:
+                with ThreadPoolExecutor(max_workers=par) as pool, \
+                        ThreadPoolExecutor(max_workers=min(4, par)) as spool:
+                    sfut = [spool.submit(run, n) for n in stream_order]
+                    list(pool.map(run, batch))
+                    for f in sfut:
+                        f.result()
+            else:
+                with ThreadPoolExecutor(max_workers=par) as pool:
+                    list(pool.map(run, batch))
+                with ThreadPoolExecutor(max_workers=min(4, par)) as spool:
+                    list(spool.map(run, stream_order))
         return round(time.time() - wall0, 3)
 
     # Repeated timed passes, headline = fastest. Pass 1 pays every query's
