@@ -188,6 +188,36 @@ def main() -> None:
             buf = hashlib.sha256(buf).digest() * 128  # 4096 bytes again
         return round((time.perf_counter() - t0) * 1000, 1)
 
+    def cpu_probe_par_ms() -> float:
+        # The single-thread probe misses DEGRADED-MULTICORE windows:
+        # neighbor tenants bursting on other cores leave a lone probe
+        # healthy (9.8-11 ms) while 12-way suite walls run 1.4-1.8x
+        # slow (observed r8: probes 9.8-11.0 around a 127.9 s wall for
+        # a suite whose quiet wall was 73 s — a false convergence).
+        # Eight threads each hashing 256 KiB blocks: hashlib releases
+        # the GIL for buffers >= 2 KiB, and at 256 KiB per call the
+        # Python loop overhead is negligible, so the threads really run
+        # in parallel — the wall is ~1x a lone thread's on an idle
+        # multicore host and inflates with many-core contention. (A
+        # 4 KiB-block variant measured 54x the lone thread: per-call
+        # bytecode overhead turned it into a GIL convoy, not a CPU
+        # probe.)
+        import hashlib
+        import threading
+
+        def work():
+            buf = b"\x5a" * 262144
+            for _ in range(60):
+                buf = hashlib.sha256(buf).digest() * 8192  # 256 KiB again
+
+        ts = [threading.Thread(target=work) for _ in range(8)]
+        t0 = time.perf_counter()
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        return round((time.perf_counter() - t0) * 1000, 1)
+
     n_min = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     n_max = max(n_min, int(os.environ.get("SPARK_GRAFT_BENCH_MAX_RUNS", "4")))
     # Total-time guard: never start a pass that could push the run past
@@ -216,9 +246,11 @@ def main() -> None:
     # the same load-robust estimator the headline wall already uses.
     min_times: dict[str, float] = {}
     t_budget0 = t_start  # reset to pass-1 end once it completes (fix (a))
+    par_probes: list[float] = []
     for i in range(n_max):
         loads.append(round(os.getloadavg()[0], 1))
         probes.append(cpu_probe_ms())
+        par_probes.append(cpu_probe_par_ms())
         times.clear()
         walls.append(one_pass())
         if i == 0:
@@ -228,6 +260,7 @@ def main() -> None:
         # probes 15.6/10.8 ms around an 83.7/83.3 s wall pair — a false
         # convergence 25% above the real wall).
         probes.append(cpu_probe_ms())
+        par_probes.append(cpu_probe_par_ms())
         for n, t in times.items():
             if t < min_times.get(n, float("inf")):
                 min_times[n] = t
@@ -245,7 +278,15 @@ def main() -> None:
             # still bound the loop and the min wall is reported as before.
             k = walls.index(lo[0])
             pass_ok = max(probes[2 * k], probes[2 * k + 1]) <= 1.30 * min(probes)
-            if lo[1] <= 1.10 * lo[0] and pass_ok:
+            # The parallel probe catches degraded-MULTICORE windows the
+            # lone-thread probe cannot (see cpu_probe_par_ms): the
+            # fastest pass must also bracket within 40% of the best
+            # parallel probe seen this run.
+            par_ok = (
+                max(par_probes[2 * k], par_probes[2 * k + 1])
+                <= 1.40 * min(par_probes)
+            )
+            if lo[1] <= 1.10 * lo[0] and pass_ok and par_ok:
                 break  # fastest wall reproduced within 10% on a quiet host
         # Healthy = both bracketing probes near the best probe of the run;
         # while none has landed, stretch the budget toward hard_cap for one
@@ -272,6 +313,7 @@ def main() -> None:
         "walls": walls,
         "loadavg_at_pass_start": loads,
         "cpu_probe_ms": probes,
+        "cpu_probe_par_ms": par_probes,
         "queries": {n: times[n] for n in qs if n in times},
         "sf": sf,
         "parallelism": par,
@@ -303,6 +345,7 @@ def main() -> None:
         "walls": walls,
         "loadavg_at_pass_start": loads,
         "cpu_probe_ms": probes,
+        "cpu_probe_par_ms": par_probes,
         "queries": slowest,
         "sf": sf,
         "parallelism": par,
