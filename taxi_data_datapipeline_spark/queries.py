@@ -150,45 +150,49 @@ from taxi_data_datapipeline_spark import queries_eval  # noqa: E402,F401
 # can only ever produce a weaker check. Queries beyond the window keep their
 # registration order and stay covered by tools/check_oracle.py.
 # ---------------------------------------------------------------------------
-# Round-8 rotation policy (VERDICT r7 §next-round #1): CORRECTNESS_r07
-# landed 50/50 green, so all 42 non-pinned r6/r7 seats rotate out and the
-# prepared branch from ROUND_NOTES "Round-8 rotation plan" takes effect.
-# Only the 8 reference-core queries stay pinned. The 42 open seats go to
-# queries the driver has NEVER officially checked (per
-# tools/coverage_ledger.py): the 13 round-6 adds, the 21 round-7 adds
-# (all full-gate green and partition-fuzzed at r7 close), and 8 backfill
-# from the oldest never-seated ledger families (semantic dedup, PQ,
-# CDC chunking, span dedup, multimodal resize/resample).
-# Cumulative driver-verified coverage grows 194 -> up to 236.
+# Round-9 rotation policy (VERDICT r8 §next-round #1): CORRECTNESS_r08
+# landed 50/50 green, so all 42 non-pinned r6/r7/backfill seats rotate out
+# and the prepared branch from ROUND_NOTES "Round-9 rotation plan" takes
+# effect. Only the 8 reference-core queries stay pinned. The 42 open seats
+# go to queries the driver has NEVER officially checked (per
+# tools/coverage_ledger.py): the 10 round-8 model/data-evaluation adds,
+# the 6 TPC-H/SQL-text stragglers (reference-bar queries a real user hits
+# first), and 26 spread across the oldest never-seated ledger families.
+# Cumulative driver-verified coverage grows 235 -> up to 277; the
+# remaining 42 never-seated queries exactly fill the round-10 window.
 #
 # ROTATION_BASELINE_ROUND pins which CORRECTNESS_r*.json files existed when
-# this window was curated; tests/test_driver_window.py asserts >=40 window
-# seats were never green in rounds <= baseline, so a stalled rotation fails
-# the suite (VERDICT r5 next-round #8). Bump it each time the window rotates.
-ROTATION_BASELINE_ROUND = 7
-DRIVER_WINDOW: list[str] = [
-    # Reference-pipeline queries (SURVEY.md §2 core) — pinned
+# this window was curated; tests/test_driver_window.py asserts EVERY
+# non-pinned window seat was never green in rounds <= baseline, so a stalled
+# or partially wasted rotation fails the suite (VERDICT r5 next-round #8,
+# r8 next-round #4). Bump it each time the window rotates.
+ROTATION_BASELINE_ROUND = 8
+# The 8 reference-core queries keep permanent seats — they re-verify the
+# SURVEY §2 pipeline surface every round.
+PINNED_SEATS: list[str] = [
     "hourly_pivot", "normalize_project", "long_counts", "low_count_filter",
     "month_mismatch_audit", "latlon_place_key", "epoch_coercion",
     "sql_hourly_pivot",
-    # Round-6 adds (first-time seats)
-    "kcore_bipartite", "bloom_contamination_screen",
-    "multimodal_ahash_dedup", "conformal_event_interval",
-    "isotonic_daily_revenue", "cf_ndcg_at10", "cusum_changepoint",
-    "bh_sign_trend", "t_closeness_audit", "shapley_attribution",
-    "streaming_sessions_tws", "rrf_hybrid_rank", "fairness_parity_audit",
-    # Round-7 adds (first-time seats)
-    "setsim_prefix_join", "snm_candidate_pairs", "random_projection_jl",
-    "lm_quality_score", "skyline_orders", "cms_join_size",
-    "did_purchase_effect", "mmr_rerank", "containment_join",
-    "nb_lang_classifier", "decision_stump_split", "sprt_sequential_test",
-    "markov_next_event_eval", "acid_time_travel", "acid_merge_upsert",
-    "acid_change_feed", "streaming_tx_sink", "markov_attribution",
-    "uplift_by_decile", "burstiness_fano", "hll_set_intersection",
-    # Backfill from the oldest never-seated ledger families (first-time)
-    "dsir_importance", "semdedup", "multimodal_resize", "pq_encode",
-    "cdc_chunking", "dup_span_islands", "multimodal_resize_real",
-    "multimodal_wav_resample",
+]
+DRIVER_WINDOW: list[str] = [
+    # Reference-pipeline queries (SURVEY.md §2 core) — pinned
+    *PINNED_SEATS,
+    # Round-8 model/data-evaluation adds (first-time seats)
+    "welch_t_test", "wilcoxon_signed_rank", "pr_auc",
+    "mcnemar_naive_forecasts", "bigram_perplexity", "adjusted_rand_index",
+    "silhouette_simplified", "ppmi_topk", "v_measure", "brier_decomposition",
+    # TPC-H / SQL-text stragglers (first-time seats)
+    "q7_volume_shipping", "q11_important_value", "q16_supplier_cnt",
+    "q20_excess_suppliers", "sql_shipping_priority", "sql_pivot_clause",
+    # Oldest never-seated ledger families (first-time seats)
+    "table_profile", "dq_checks", "markov_transitions", "regr_fit",
+    "seasonal_adjust", "pagerank_weighted", "rolling_active_users",
+    "streaming_hll_registers", "streaming_geohash_counts", "token_entropy",
+    "bpe_pair_counts", "bpe_encode_vocab", "neighbor_jaccard",
+    "modularity_communities", "mann_whitney_u", "anova_oneway",
+    "bollinger_bands", "gini_revenue", "rolling_median_revenue",
+    "hazard_curve", "item_cf_scores", "rake_keywords", "dp_noisy_counts",
+    "multimodal_bytes_arrow", "hourly_pivot_multi", "cms_heavy_hitters",
 ]
 
 

@@ -11,6 +11,8 @@ order.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -4770,7 +4772,7 @@ def q_cf_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CF_EVAL_CACHE: dict = {}
-_CF_EVAL_LOCK = None  # created lazily; threading imported function-local
+_CF_EVAL_LOCK = threading.Lock()  # import-time: lazy check-then-set races
 
 
 def _cf_eval_frames(spark: SparkSession, sf_dir: str):
@@ -4791,11 +4793,6 @@ def _cf_eval_frames(spark: SparkSession, sf_dir: str):
     shrinks from |history x top-20 fanout| candidate rows to the
     aggregated (customer, candidate) pairs — and both sides already
     hash-partition on the same key, so no extra exchange."""
-    import threading
-
-    global _CF_EVAL_LOCK
-    if _CF_EVAL_LOCK is None:
-        _CF_EVAL_LOCK = threading.Lock()
     from taxi_data_datapipeline_spark.queries_advanced import (
         _copurchase_pair_counts,
     )

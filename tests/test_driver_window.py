@@ -30,15 +30,20 @@ def test_window_is_first_50_and_fully_oracle_backed():
 
 
 def test_window_rotation_not_stalled():
-    """>=40 seats must be first-time (never green in any round up to the
-    rotation baseline). Guards against a rotation silently stalling — the
-    registry outgrew the 50-seat window, so re-seating multi-green queries
-    burns the only mechanism that turns local green into official green
-    (VERDICT r5 next-round #8). Bump ROTATION_BASELINE_ROUND in queries.py
+    """EVERY non-pinned seat must be first-time (never green in any round up
+    to the rotation baseline). Guards against a rotation silently stalling —
+    the registry outgrew the 50-seat window, so re-seating already-green
+    queries burns the only mechanism that turns local green into official
+    green (VERDICT r5 next-round #8). Round 8 tightened >=40 to ALL: a
+    single wasted seat (cusum_changepoint, r8) slipped under the old bound
+    (VERDICT r8 next-round #4). Bump ROTATION_BASELINE_ROUND in queries.py
     whenever the window rotates."""
     import json
 
-    from taxi_data_datapipeline_spark.queries import ROTATION_BASELINE_ROUND
+    from taxi_data_datapipeline_spark.queries import (
+        PINNED_SEATS,
+        ROTATION_BASELINE_ROUND,
+    )
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     seated: set[str] = set()
@@ -52,10 +57,12 @@ def test_window_rotation_not_stalled():
             if res.get("rows_match") and res.get("schema_match") \
                     and res.get("hash_match"):
                 seated.add(name)
-    first_time = [n for n in DRIVER_WINDOW if n not in seated]
-    assert len(first_time) >= 40, (
-        f"only {len(first_time)} first-time seats; rotate the window "
-        f"(re-seated: {[n for n in DRIVER_WINDOW if n in seated][:15]}...)")
+    assert set(PINNED_SEATS) <= set(DRIVER_WINDOW)
+    wasted = [n for n in DRIVER_WINDOW
+              if n not in PINNED_SEATS and n in seated]
+    assert not wasted, (
+        f"{len(wasted)} non-pin seats already driver-green (wasted): "
+        f"{wasted}")
 
 
 @pytest.fixture(scope="module")
