@@ -46,6 +46,39 @@ import __spark_entry__ as e
 from taxi_data_datapipeline_spark.session import get_spark
 
 
+def probe_verdict_for(walls, probes, par_probes) -> str:
+    """QUIET iff the fastest pass's bracketing probes meet both the
+    convergence gate's relative bounds and tools/host_probe.py's absolute
+    host bounds; NOISY walls are upper bounds, not records (VERDICT r8
+    wrong #2)."""
+    k = walls.index(min(walls))
+    single = max(probes[2 * k], probes[2 * k + 1])
+    par = max(par_probes[2 * k], par_probes[2 * k + 1])
+    quiet = (
+        single <= 1.30 * min(probes)
+        and par <= 1.40 * min(par_probes)
+        and single <= 13.0
+        and par <= 1.6 * single
+    )
+    return "QUIET" if quiet else "NOISY"
+
+
+def snapshot_path(hist: str, rnd: str, wall: float, force: bool) -> str:
+    """Per-round detail snapshot target: a SLOWER wall must not clobber the
+    round's record (ADVICE r8: a degraded-host rerun overwrote the 72.5 s
+    r8 record) — it diverts to a _rerun sibling unless forced."""
+    snap = os.path.join(hist, f"bench_detail_r{rnd}.json")
+    if os.path.exists(snap) and not force:
+        try:
+            with open(snap) as f:
+                prev_wall = json.load(f).get("value", float("inf"))
+        except (OSError, ValueError):
+            prev_wall = float("inf")
+        if wall >= prev_wall:
+            snap = os.path.join(hist, f"bench_detail_r{rnd}_rerun.json")
+    return snap
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     par = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PAR", "12")))  # swept 6-16 on local[32]: 12 min-wall (8 underlaps the long tail, 16 oversubscribes)
@@ -307,22 +340,9 @@ def main() -> None:
     wall = min(walls)
 
     # Machine-readable contention verdict for the REPORTED (fastest) pass, so
-    # a reader never has to recompute the gate's thresholds from the raw probe
-    # arrays (VERDICT r8 wrong #2). QUIET = the fastest pass's bracketing
-    # probes meet both the relative bounds the convergence gate uses AND the
-    # absolute host bounds from tools/host_probe.py (single <= 13 ms,
-    # parallel <= 1.6x single); anything else is NOISY and the wall must be
-    # read as an upper bound, not a record.
-    k_best = walls.index(wall)
-    best_single = max(probes[2 * k_best], probes[2 * k_best + 1])
-    best_par = max(par_probes[2 * k_best], par_probes[2 * k_best + 1])
-    quiet = (
-        best_single <= 1.30 * min(probes)
-        and best_par <= 1.40 * min(par_probes)
-        and best_single <= 13.0
-        and best_par <= 1.6 * best_single
-    )
-    probe_verdict = "QUIET" if quiet else "NOISY"
+    # a reader never has to recompute the gate's thresholds from the raw
+    # probe arrays.
+    probe_verdict = probe_verdict_for(walls, probes, par_probes)
 
     detail = {
         "metric": "operator_suite_wall_seconds",
@@ -347,22 +367,13 @@ def main() -> None:
     # Per-round snapshot so every round's FULL per-query map stays diffable
     # in git (bench_detail.json is overwritten by every run — VERDICT r7
     # missing #2). SPARK_GRAFT_ROUND names the snapshot; bump it each round.
-    # A later SLOWER run must not clobber the round's record (ADVICE r8:
-    # a degraded-host rerun overwrote the 72.5 s r8 record): slower walls
-    # divert to a _rerun sibling unless SPARK_GRAFT_BENCH_FORCE_SNAPSHOT=1.
     rnd = os.environ.get("SPARK_GRAFT_ROUND", "9")
     hist = os.path.join(here, "bench_history")
     os.makedirs(hist, exist_ok=True)
-    snap = os.path.join(hist, f"bench_detail_r{rnd}.json")
-    force = os.environ.get("SPARK_GRAFT_BENCH_FORCE_SNAPSHOT") == "1"
-    if os.path.exists(snap) and not force:
-        try:
-            with open(snap) as f:
-                prev_wall = json.load(f).get("value", float("inf"))
-        except (OSError, ValueError):
-            prev_wall = float("inf")
-        if wall >= prev_wall:
-            snap = os.path.join(hist, f"bench_detail_r{rnd}_rerun.json")
+    snap = snapshot_path(
+        hist, rnd, wall,
+        force=os.environ.get("SPARK_GRAFT_BENCH_FORCE_SNAPSHOT") == "1",
+    )
     with open(snap, "w") as f:
         json.dump(detail, f, indent=1)
     print(json.dumps(detail), file=sys.stderr)
