@@ -256,6 +256,7 @@ def cluster_block_semdedup(
     den: int = 100,
     id_col: str = "vec_id",
     vec_col: str = "v",
+    cells_per_chunk: int = 4_000_000,
 ) -> DataFrame:
     """SemDeDup's within-cluster duplicate marking (Abbas et al., arXiv
     2303.09540) as ONE grouped-map pass: ``assigned`` carries
@@ -275,10 +276,17 @@ def cluster_block_semdedup(
     margin are re-checked in exact Python integers. No float decides any
     boundary — the no-float-cosine guarantee of the SQL form survives.
 
-    Scale shape: shuffle on cluster (the one shuffle the stage needs);
-    per-group memory is the cluster block, which SemDeDup's k ~ n/500
-    scaling keeps ~constant, so groups fit executors at any corpus size;
-    a hot cluster gets the same cap treatment as LSH buckets."""
+    Scale shape: shuffle on cluster (the one shuffle the stage needs).
+    The Gram never materializes as a c x c matrix: rows are processed in
+    chunks of ~4M cells (chunk x c tiles, <= ~32 MB of int64 each), so
+    per-group MEMORY is O(c * dims + chunk * c) — linear in the cluster —
+    while results stay bit-identical (each tile sees the same exact int64
+    dots). CPU within a cluster is inherently quadratic (that IS
+    SemDeDup); the paper's k ~ n/500 scaling keeps cluster sizes, and
+    hence per-cluster CPU, ~constant as the corpus grows — the fixed-k
+    evaluation queries deliberately do NOT rescale k, which is why the
+    sf1->sf3->sf6 ladder shows their documented ~quadratic growth
+    (bench_history/scale_ratio_r9_sf6.json: 3.6x at 2x data)."""
     import numpy as np
     import pandas as pd
 
@@ -287,21 +295,29 @@ def cluster_block_semdedup(
         order = np.argsort(ids)
         ids = ids[order]
         M = np.array(pdf[vec_col].tolist(), dtype=np.int64)[order]
-        G = M @ M.T
-        N = np.diag(G).astype(np.float64)
-        Gf = G.astype(np.float64)
-        lhs = float(den) * Gf * Gf
-        rhs = float(num) * np.outer(N, N)
-        pos = G > 0
-        tri = np.tri(len(ids), k=-1, dtype=bool).T  # strict upper: i < j
-        clear_yes = pos & tri & (lhs > rhs * (1 + 1e-9))
-        border = pos & tri & ~clear_yes & (lhs >= rhs * (1 - 1e-9))
-        dup = clear_yes
-        for i, j in zip(*np.nonzero(border)):
-            d, na, nb = int(G[i, j]), int(G[i, i]), int(G[j, j])
-            if den * d * d >= num * na * nb:
-                dup[i, j] = True
-        return pd.DataFrame({id_col: ids[np.unique(np.nonzero(dup)[1])]})
+        n = len(ids)
+        norms = np.einsum("ij,ij->i", M, M)  # int64-exact |v|^2 (<= 2^46)
+        nf = norms.astype(np.float64)
+        dup_col = np.zeros(n, dtype=bool)
+        chunk = max(1, cells_per_chunk // max(n, 1))
+        cols = np.arange(n)[None, :]
+        for s in range(0, n, chunk):
+            t = min(s + chunk, n)
+            G = M[s:t] @ M.T  # (t-s, n) tile, exact int64
+            Gf = G.astype(np.float64)
+            lhs = float(den) * Gf * Gf
+            rhs = float(num) * np.outer(nf[s:t], nf)
+            tri = np.arange(s, t)[:, None] < cols  # strict upper: i < j
+            pos = G > 0
+            clear_yes = pos & tri & (lhs > rhs * (1 + 1e-9))
+            border = pos & tri & ~clear_yes & (lhs >= rhs * (1 - 1e-9))
+            dup = clear_yes
+            for i, j in zip(*np.nonzero(border)):
+                d, na, nb = int(G[i, j]), int(norms[s + i]), int(norms[j])
+                if den * d * d >= num * na * nb:
+                    dup[i, j] = True
+            dup_col |= dup.any(axis=0)
+        return pd.DataFrame({id_col: ids[np.nonzero(dup_col)[0]]})
 
     return assigned.groupBy("cluster").applyInPandas(
         block, f"{id_col} long"

@@ -46,3 +46,38 @@ def test_lloyd_matches_numpy_reference(spark):
     assert mismatches == 0, f"{mismatches} label mismatches"
     # Lloyd's guarantee: inertia never increases.
     assert all(b <= a * (1 + 1e-12) for a, b in zip(hist, hist[1:])), hist
+
+
+def test_semdedup_chunked_gram_matches_monolithic(spark):
+    """The row-chunked Gram tiles (per-group memory O(chunk*c), ADVICE-class
+    100 TB fix: a hot cluster previously built a c x c int64 matrix) must
+    return the bit-identical dup set as a single-tile run. 600 vectors in
+    ONE cluster with planted exact duplicates and near-boundary pairs;
+    cells_per_chunk=1200 forces 2-row tiles (300 chunks), the default is a
+    single tile at this size."""
+    import pandas as pd
+
+    from taxi_data_datapipeline_spark.operators.clustering import (
+        cluster_block_semdedup,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(-(2 ** 18), 2 ** 18, size=(200, 16), dtype=np.int64)
+    rows = []
+    vid = 0
+    for i in range(200):
+        rows.append((vid, 0, [int(x) for x in base[i]])); vid += 1
+        # exact duplicate (cos = 1) of every 5th vector
+        if i % 5 == 0:
+            rows.append((vid, 0, [int(x) for x in base[i]])); vid += 1
+        # scaled copy (cos = 1, different norm) of every 7th
+        if i % 7 == 0:
+            rows.append((vid, 0, [int(x * 3) for x in base[i]])); vid += 1
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "cluster", "v"])
+    )
+    mono = cluster_block_semdedup(df, num=9, den=100)
+    tiled = cluster_block_semdedup(df, num=9, den=100, cells_per_chunk=1200)
+    a = sorted(r["vec_id"] for r in mono.collect())
+    b = sorted(r["vec_id"] for r in tiled.collect())
+    assert a == b and len(a) > 0, (len(a), len(b))
