@@ -83,6 +83,17 @@ def main() -> int:
         "never_seated_rows_only": never_rows_only,
         "seated_but_removed": sorted(stale),
     }
+    # Seated once but never green AND now oracle-backed: these need a
+    # (re-)seat just like the never-seated — the rotation target is "every
+    # oracle-backed query green at least once", not "seated at least once"
+    # (found in r9: embedding_lsh_topk was seated rows-only in r1 with
+    # err=no_oracle, gained its full oracle in r2, and sat invisible
+    # between the two lists for seven rounds).
+    seated_never_green = sorted(
+        n for n in seated
+        if n in QUERIES and n in ORACLES and n not in green
+    )
+    ledger["seated_never_green_oracle_backed"] = seated_never_green
 
     if args.json:
         print(json.dumps(ledger, indent=2))
@@ -98,6 +109,13 @@ def main() -> int:
     print(f"never seated, rows-only ({len(never_rows_only)}) — not seatable by policy:")
     for n in never_rows_only:
         print(f"  {n}")
+    if seated_never_green:
+        print(
+            f"seated but never green, oracle-backed "
+            f"({len(seated_never_green)}) — ALSO rotation candidates:"
+        )
+        for n in seated_never_green:
+            print(f"  {n}")
     if stale:
         print(f"seated in past rounds but no longer registered: {sorted(stale)}")
     return 0
