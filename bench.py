@@ -44,21 +44,29 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as e
 from taxi_data_datapipeline_spark.session import get_spark
+from tools.probe_thresholds import (
+    PAR_OVER_SINGLE_MAX,
+    PAR_PROBE_REL,
+    SINGLE_PROBE_ABS_MS,
+    SINGLE_PROBE_REL,
+)
 
 
 def probe_verdict_for(walls, probes, par_probes) -> str:
     """QUIET iff the fastest pass's bracketing probes meet both the
     convergence gate's relative bounds and tools/host_probe.py's absolute
     host bounds; NOISY walls are upper bounds, not records (VERDICT r8
-    wrong #2)."""
+    wrong #2). Thresholds are shared module constants
+    (tools/probe_thresholds.py) so this verdict can never disagree with
+    the convergence gate that selected the pass (ADVICE r9)."""
     k = walls.index(min(walls))
     single = max(probes[2 * k], probes[2 * k + 1])
     par = max(par_probes[2 * k], par_probes[2 * k + 1])
     quiet = (
-        single <= 1.30 * min(probes)
-        and par <= 1.40 * min(par_probes)
-        and single <= 13.0
-        and par <= 1.6 * single
+        single <= SINGLE_PROBE_REL * min(probes)
+        and par <= PAR_PROBE_REL * min(par_probes)
+        and single <= SINGLE_PROBE_ABS_MS
+        and par <= PAR_OVER_SINGLE_MAX * single
     )
     return "QUIET" if quiet else "NOISY"
 
@@ -66,17 +74,44 @@ def probe_verdict_for(walls, probes, par_probes) -> str:
 def snapshot_path(hist: str, rnd: str, wall: float, force: bool) -> str:
     """Per-round detail snapshot target: a SLOWER wall must not clobber the
     round's record (ADVICE r8: a degraded-host rerun overwrote the 72.5 s
-    r8 record) — it diverts to a _rerun sibling unless forced."""
+    r8 record) — and no committed bytes are EVER destroyed on the slow
+    path: an unreadable/corrupt round record also diverts (its bytes may
+    be partially recoverable), and rerun slots are suffixed uniquely so a
+    second degraded rerun can't clobber the first (ADVICE r9)."""
     snap = os.path.join(hist, f"bench_detail_r{rnd}.json")
-    if os.path.exists(snap) and not force:
-        try:
-            with open(snap) as f:
-                prev_wall = json.load(f).get("value", float("inf"))
-        except (OSError, ValueError):
-            prev_wall = float("inf")
-        if wall >= prev_wall:
-            snap = os.path.join(hist, f"bench_detail_r{rnd}_rerun.json")
-    return snap
+    if not os.path.exists(snap) or force:
+        return snap
+    try:
+        with open(snap) as f:
+            prev_wall = json.load(f).get("value", float("-inf"))
+    except (OSError, ValueError):
+        prev_wall = float("-inf")  # corrupt record: preserve, divert
+    if wall < prev_wall:
+        return snap
+    k = 1
+    while True:
+        suffix = "_rerun" if k == 1 else f"_rerun{k}"
+        rerun = os.path.join(hist, f"bench_detail_r{rnd}{suffix}.json")
+        if not os.path.exists(rerun):
+            return rerun
+        k += 1
+
+
+def round_best_wall(hist: str, rnd: str, wall: float) -> float:
+    """The round's fastest recorded wall (guarded snapshot vs this run), so
+    BENCH_r*.json top-lines stay comparable across rounds even when the
+    driver's run lands on a degraded host (VERDICT r9 wrong #2: r9's
+    top-line was a 93.9 s rerun while the round's converged best was
+    89.65 s)."""
+    snap = os.path.join(hist, f"bench_detail_r{rnd}.json")
+    try:
+        with open(snap) as f:
+            prev = json.load(f).get("value")
+    except (OSError, ValueError):
+        prev = None
+    if isinstance(prev, (int, float)):
+        return round(min(float(prev), wall), 3)
+    return round(wall, 3)
 
 
 def main() -> None:
@@ -310,14 +345,17 @@ def main() -> None:
             # run; when the host never quiets, the budget guard / n_max
             # still bound the loop and the min wall is reported as before.
             k = walls.index(lo[0])
-            pass_ok = max(probes[2 * k], probes[2 * k + 1]) <= 1.30 * min(probes)
+            pass_ok = (
+                max(probes[2 * k], probes[2 * k + 1])
+                <= SINGLE_PROBE_REL * min(probes)
+            )
             # The parallel probe catches degraded-MULTICORE windows the
             # lone-thread probe cannot (see cpu_probe_par_ms): the
             # fastest pass must also bracket within 40% of the best
             # parallel probe seen this run.
             par_ok = (
                 max(par_probes[2 * k], par_probes[2 * k + 1])
-                <= 1.40 * min(par_probes)
+                <= PAR_PROBE_REL * min(par_probes)
             )
             if lo[1] <= 1.10 * lo[0] and pass_ok and par_ok:
                 break  # fastest wall reproduced within 10% on a quiet host
@@ -325,7 +363,8 @@ def main() -> None:
         # while none has landed, stretch the budget toward hard_cap for one
         # more shot at a quiet window (fix (b)).
         any_healthy = any(
-            max(probes[2 * j], probes[2 * j + 1]) <= 1.30 * min(probes)
+            max(probes[2 * j], probes[2 * j + 1])
+            <= SINGLE_PROBE_REL * min(probes)
             for j in range(len(walls))
         )
         limit = budget if any_healthy else hard_cap
@@ -344,6 +383,14 @@ def main() -> None:
     # probe arrays.
     probe_verdict = probe_verdict_for(walls, probes, par_probes)
 
+    # The round's fastest wall (this run vs the guarded round snapshot), so
+    # cross-round BENCH_r*.json top-lines stay comparable even when the
+    # recorded run landed on a degraded host (VERDICT r9 wrong #2).
+    here = os.path.dirname(os.path.abspath(__file__))
+    hist = os.path.join(here, "bench_history")
+    rnd = os.environ.get("SPARK_GRAFT_ROUND", "10")
+    best = round_best_wall(hist, rnd, wall)
+
     detail = {
         "metric": "operator_suite_wall_seconds",
         "value": wall,
@@ -353,6 +400,7 @@ def main() -> None:
         "cpu_probe_ms": probes,
         "cpu_probe_par_ms": par_probes,
         "probe_verdict": probe_verdict,
+        "round_best_wall": best,
         "queries": {n: times[n] for n in qs if n in times},
         "sf": sf,
         "parallelism": par,
@@ -360,15 +408,12 @@ def main() -> None:
     }
     if errors:
         detail["errors"] = errors
-    here = os.path.dirname(os.path.abspath(__file__))
     detail_path = os.path.join(here, "bench_detail.json")
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
     # Per-round snapshot so every round's FULL per-query map stays diffable
     # in git (bench_detail.json is overwritten by every run — VERDICT r7
     # missing #2). SPARK_GRAFT_ROUND names the snapshot; bump it each round.
-    rnd = os.environ.get("SPARK_GRAFT_ROUND", "9")
-    hist = os.path.join(here, "bench_history")
     os.makedirs(hist, exist_ok=True)
     snap = snapshot_path(
         hist, rnd, wall,
@@ -390,6 +435,7 @@ def main() -> None:
         "cpu_probe_ms": probes,
         "cpu_probe_par_ms": par_probes,
         "probe_verdict": probe_verdict,
+        "round_best_wall": best,
         "queries": slowest,
         "sf": sf,
         "parallelism": par,

@@ -28,6 +28,17 @@ def register(name: str, oracle: str | None = None):
     """Register a query; ``oracle=None`` -> rows-only check (non-SQL ops)."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        # A duplicate name would SILENTLY shadow the earlier registration:
+        # the loser becomes dead code that looks covered (the name stays
+        # green under the survivor's oracle) while never being tested —
+        # exactly what happened to queries_advanced's count-based CUSUM
+        # until round 10 (VERDICT r9 wrong #1). Fail at import instead.
+        if name in QUERIES:
+            raise ValueError(
+                f"duplicate query registration: {name!r} "
+                f"(already registered as {QUERIES[name].__module__}."
+                f"{QUERIES[name].__qualname__})"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
@@ -150,49 +161,56 @@ from taxi_data_datapipeline_spark import queries_eval  # noqa: E402,F401
 # can only ever produce a weaker check. Queries beyond the window keep their
 # registration order and stay covered by tools/check_oracle.py.
 # ---------------------------------------------------------------------------
-# Round-9 rotation policy (VERDICT r8 §next-round #1): CORRECTNESS_r08
-# landed 50/50 green, so all 42 non-pinned r6/r7/backfill seats rotate out
-# and the prepared branch from ROUND_NOTES "Round-9 rotation plan" takes
-# effect. Only the 8 reference-core queries stay pinned. The 42 open seats
-# go to queries the driver has NEVER officially checked (per
-# tools/coverage_ledger.py): the 10 round-8 model/data-evaluation adds,
-# the 6 TPC-H/SQL-text stragglers (reference-bar queries a real user hits
-# first), and 26 spread across the oldest never-seated ledger families.
-# Cumulative driver-verified coverage grows 235 -> up to 277; the
-# remaining 42 never-seated queries exactly fill the round-10 window.
+# Round-10 rotation policy (VERDICT r9 §next-round #1): CORRECTNESS_r09
+# landed 50/50 green, so the prepared branch from ROUND_NOTES "Round-10
+# rotation plan" takes effect — the queue-clearing round. The 43 open
+# seats are the ENTIRE remaining un-green oracle-backed set: the 42
+# never-seated queries (tools/coverage_ledger.py) plus embedding_lsh_topk
+# (seated rows-only in r1 before it gained its oracle in r2 — the
+# ledger's seated-but-never-green section). To make room for the 43rd
+# seat, sql_hourly_pivot is unpinned for THIS ROUND ONLY (its computation
+# stays covered by the pinned hourly_pivot and it has 9 green rounds of
+# history); restore the 8th pin at round 11. A green CORRECTNESS_r10
+# makes every oracle-backed query in the registry driver-green at least
+# once (320/320 of the r9-frozen set) — the coverage goal since round 5.
+# The one r10 registry add (cusum_count_changepoint, un-shadowed from
+# queries_advanced by the register() uniqueness fix) enters the
+# never-seated queue for round 11, when normal adds resume.
 #
 # ROTATION_BASELINE_ROUND pins which CORRECTNESS_r*.json files existed when
 # this window was curated; tests/test_driver_window.py asserts EVERY
 # non-pinned window seat was never green in rounds <= baseline, so a stalled
 # or partially wasted rotation fails the suite (VERDICT r5 next-round #8,
 # r8 next-round #4). Bump it each time the window rotates.
-ROTATION_BASELINE_ROUND = 8
-# The 8 reference-core queries keep permanent seats — they re-verify the
-# SURVEY §2 pipeline surface every round.
+ROTATION_BASELINE_ROUND = 9
+# The reference-core queries keep permanent seats — they re-verify the
+# SURVEY §2 pipeline surface every round. (7 this round, 8 normally:
+# sql_hourly_pivot re-joins at round 11.)
 PINNED_SEATS: list[str] = [
     "hourly_pivot", "normalize_project", "long_counts", "low_count_filter",
     "month_mismatch_audit", "latlon_place_key", "epoch_coercion",
-    "sql_hourly_pivot",
 ]
 DRIVER_WINDOW: list[str] = [
     # Reference-pipeline queries (SURVEY.md §2 core) — pinned
     *PINNED_SEATS,
-    # Round-8 model/data-evaluation adds (first-time seats)
-    "welch_t_test", "wilcoxon_signed_rank", "pr_auc",
-    "mcnemar_naive_forecasts", "bigram_perplexity", "adjusted_rand_index",
-    "silhouette_simplified", "ppmi_topk", "v_measure", "brier_decomposition",
-    # TPC-H / SQL-text stragglers (first-time seats)
-    "q7_volume_shipping", "q11_important_value", "q16_supplier_cnt",
-    "q20_excess_suppliers", "sql_shipping_priority", "sql_pivot_clause",
-    # Oldest never-seated ledger families (first-time seats)
-    "table_profile", "dq_checks", "markov_transitions", "regr_fit",
-    "seasonal_adjust", "pagerank_weighted", "rolling_active_users",
-    "streaming_hll_registers", "streaming_geohash_counts", "token_entropy",
-    "bpe_pair_counts", "bpe_encode_vocab", "neighbor_jaccard",
-    "modularity_communities", "mann_whitney_u", "anova_oneway",
-    "bollinger_bands", "gini_revenue", "rolling_median_revenue",
-    "hazard_curve", "item_cf_scores", "rake_keywords", "dp_noisy_counts",
-    "multimodal_bytes_arrow", "hourly_pivot_multi", "cms_heavy_hitters",
+    # Seated r1 rows-only, oracle added r2, never green officially
+    "embedding_lsh_topk",
+    # The 42 never-seated queries, oldest families first
+    "jaccard_threshold_sweep", "embedding_centroid_drift",
+    "langid_cohens_kappa", "jackknife_event_counts", "jackknife_revenue_ci",
+    "hopping_window_counts", "anomaly_mad", "grid_density_join",
+    "value_histogram", "trimmed_mean_prices", "rolling_beta",
+    "interval_coverage", "watermark_late_audit", "count_distinct_window",
+    "l_diversity_report", "share_of_parent", "growth_accounting",
+    "bitemporal_asof", "funnel_latency_quantiles", "stats_moments",
+    "ewma_event_types", "quality_rule_funnel", "benford_first_digit",
+    "shard_assignment", "ols_two_factor", "ab_test_proportions",
+    "cohort_ltv", "grid_dbscan", "forecast_eval_naive", "target_encoding",
+    "brand_top_part", "kendall_tau_daily", "ntile_quartiles",
+    "lorenz_user_activity", "bitmap_distinct_users", "hash_random_walks",
+    "quantile_normalize_lengths", "walk_skipgram_pairs",
+    "source_overlap_matrix", "sentence_stats", "seasonal_anomalies",
+    "pareto_revenue_share",
 ]
 
 

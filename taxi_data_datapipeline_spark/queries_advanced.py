@@ -2632,7 +2632,7 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "cusum_changepoint",
+    "cusum_count_changepoint",
     """
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
@@ -2657,10 +2657,12 @@ FROM (
 GROUP BY event_type
 """,
 )
-def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUSUM change-point detection per event type: cumulative sum of
-    mean-centered daily counts, peak |CUSUM| marks the most likely level
-    shift. Exactness: deviations are scaled by the day count
+def q_cusum_count_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per event type on the daily COUNT
+    series (the revenue-series twin is ``cusum_changepoint`` in
+    queries_stats.py — this one watches event volume, that one watches
+    value): cumulative sum of mean-centered daily counts, peak |CUSUM|
+    marks the most likely level shift. Exactness: deviations are scaled by the day count
     (n_d * D - S) so everything stays BIGINT — no float mean, no fold
     order. One shuffle builds daily counts; the per-type totals re-join
     broadcast; cumsum + argmax windows share the event_type partitioning

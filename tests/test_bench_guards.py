@@ -18,7 +18,7 @@ import os
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import probe_verdict_for, snapshot_path
+from bench import probe_verdict_for, round_best_wall, snapshot_path
 
 
 class TestProbeVerdict:
@@ -78,10 +78,84 @@ class TestSnapshotGuard:
         p = snapshot_path(str(tmp_path), "9", 132.5, force=True)
         assert p.endswith("bench_detail_r9.json")
 
-    def test_corrupt_existing_snapshot_is_not_overwritten(self, tmp_path):
-        # Unreadable record: treat its wall as unknown-best (inf) so the
-        # new run still lands in the round slot only if nothing readable
-        # is lost — prev_wall=inf means any wall replaces it.
+    def test_corrupt_existing_snapshot_diverts_to_rerun(self, tmp_path):
+        # Unreadable record: its bytes may be partially recoverable, so
+        # the new run diverts to the rerun sibling instead of destroying
+        # them (ADVICE r9 — the old behavior clobbered the corrupt file).
         (tmp_path / "bench_detail_r9.json").write_text("{corrupt")
         p = snapshot_path(str(tmp_path), "9", 100.0, force=False)
-        assert p.endswith("bench_detail_r9.json")
+        assert p.endswith("bench_detail_r9_rerun.json")
+
+    def test_second_rerun_gets_unique_suffix(self, tmp_path):
+        # A second degraded rerun must not clobber the first rerun's
+        # per-query detail (ADVICE r9 — same data-loss class, one tier
+        # down).
+        self._write(tmp_path / "bench_detail_r9.json", 72.5)
+        self._write(tmp_path / "bench_detail_r9_rerun.json", 120.0)
+        p = snapshot_path(str(tmp_path), "9", 132.5, force=False)
+        assert p.endswith("bench_detail_r9_rerun2.json")
+        self._write(tmp_path / "bench_detail_r9_rerun2.json", 132.5)
+        p = snapshot_path(str(tmp_path), "9", 140.0, force=False)
+        assert p.endswith("bench_detail_r9_rerun3.json")
+
+
+class TestRoundBestWall:
+    def _write(self, path, wall):
+        with open(path, "w") as f:
+            json.dump({"value": wall, "queries": {}}, f)
+
+    def test_no_snapshot_yet_reports_this_run(self, tmp_path):
+        assert round_best_wall(str(tmp_path), "10", 88.2) == 88.2
+
+    def test_slower_rerun_still_reports_round_best(self, tmp_path):
+        # VERDICT r9 wrong #2: BENCH_r09's top-line was a 93.9 s rerun
+        # while the round's converged best was 89.65 s — the published
+        # JSON must carry the round-best alongside the run's own wall.
+        self._write(tmp_path / "bench_detail_r10.json", 89.65)
+        assert round_best_wall(str(tmp_path), "10", 93.87) == 89.65
+
+    def test_faster_run_updates_round_best(self, tmp_path):
+        self._write(tmp_path / "bench_detail_r10.json", 89.65)
+        assert round_best_wall(str(tmp_path), "10", 71.0) == 71.0
+
+    def test_corrupt_snapshot_falls_back_to_this_run(self, tmp_path):
+        (tmp_path / "bench_detail_r10.json").write_text("{corrupt")
+        assert round_best_wall(str(tmp_path), "10", 90.0) == 90.0
+
+
+class TestThresholdSharing:
+    def test_verdict_and_gate_share_constants(self):
+        # ADVICE r9: probe_verdict_for once re-hardcoded the gate's
+        # thresholds; both must come from tools/probe_thresholds so an
+        # edit can't desync them. Source-level pin: no bare numeric
+        # threshold literals left in either site.
+        import inspect
+
+        import bench
+        from tools import probe_thresholds as pt
+
+        src = inspect.getsource(bench.probe_verdict_for)
+        for lit in ("1.30", "1.40", "13.0", "1.6"):
+            assert lit not in src, f"hardcoded threshold {lit} in verdict"
+        assert pt.quiet_verdict(10.0, 14.0) == "QUIET"
+        assert pt.quiet_verdict(10.0, 17.0) == "NOISY"
+        assert pt.quiet_verdict(14.0, 15.0) == "NOISY"
+
+
+class TestFlagshipArtifacts:
+    def test_samples_accumulate_never_overwrite(self, tmp_path):
+        # VERDICT r9 wrong #3: flagship samples were prose-only; now each
+        # run persists a probe-bracketed JSON to a fresh slot.
+        import importlib.util
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        spec = importlib.util.spec_from_file_location(
+            "pivot_throughput", os.path.join(repo, "tools", "pivot_throughput.py")
+        )
+        pt = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(pt)
+        p1 = pt.flagship_artifact_path(str(tmp_path), "10")
+        assert p1.endswith("flagship_r10_1.json")
+        open(p1, "w").write("{}")
+        p2 = pt.flagship_artifact_path(str(tmp_path), "10")
+        assert p2.endswith("flagship_r10_2.json")

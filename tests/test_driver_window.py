@@ -95,3 +95,29 @@ def test_window_outputs_are_driver_hashable_and_type_aligned(spark, duck):
                 problems.append(f"{name}.{col}: oracle {dtl} vs spark {st} "
                                 "(cast both engines to one concrete type)")
     assert not problems, "\n".join(problems)
+
+
+def test_register_rejects_duplicate_names():
+    """register() must raise on a name collision: a duplicate silently
+    shadows the earlier query — the loser becomes dead code that LOOKS
+    covered because the name stays green under the survivor's oracle
+    (VERDICT r9 wrong #1: queries_advanced's count-CUSUM was shadowed by
+    queries_stats' revenue-CUSUM for three rounds)."""
+    from taxi_data_datapipeline_spark.queries import register
+
+    existing = next(iter(QUERIES))
+    with pytest.raises(ValueError, match="duplicate query registration"):
+        register(existing)(QUERIES[existing])
+    # every @register call site produced exactly one registry entry
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg = os.path.join(repo, "taxi_data_datapipeline_spark")
+    out = subprocess.run(
+        ["grep", "-rc", "^@register(", pkg], capture_output=True, text=True
+    ).stdout
+    call_sites = sum(int(line.rsplit(":", 1)[1]) for line in out.splitlines())
+    assert call_sites == len(QUERIES), (
+        f"{call_sites} @register call sites vs {len(QUERIES)} registry "
+        "entries — a collision is being masked somewhere"
+    )

@@ -25,6 +25,10 @@ import sys
 import threading
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.probe_thresholds import quiet_verdict  # noqa: E402
+
 
 def single_ms() -> float:
     buf = b"\x5a" * 4096
@@ -53,7 +57,7 @@ def main() -> None:
     for _ in range(trials):
         s, p = single_ms(), parallel_ms()
         load = round(os.getloadavg()[0], 2)
-        verdict = "QUIET" if (s <= 13 and p <= 1.6 * s) else "NOISY"
+        verdict = quiet_verdict(s, p)
         print(f"single {s:6.1f} ms | parallel(8) {p:6.1f} ms | "
               f"loadavg {load:5.2f} | {verdict}", flush=True)
         time.sleep(1)

@@ -29,9 +29,12 @@ SCHEMA_RE = re.compile(r"ReadSchema: struct<([^>]*)>")
 # localCheckpoint makes every consumer plan read `Scan ExistingRDD`, hiding
 # the builder's parquet scans from this tool — which previously mislabeled
 # the CF-eval queries "(no parquet scan — generated input)" (ADVICE r8).
-# Keyed by the builder symbol as it appears in the consumer query's source;
-# matched mechanically via inspect.getsource, so new consumers inherit the
-# right label without touching this file.
+# Keyed by the builder symbol; matched mechanically against the consumer
+# function's code-object name tables (co_names, recursively through nested
+# code objects), so new consumers inherit the right label without touching
+# this file — and a mere MENTION of a builder in a comment or docstring
+# cannot mislabel provenance (ADVICE r9: the old inspect.getsource substring
+# match would).
 MEMO_SOURCES = {
     "_cf_eval_frames": (
         "via _cf_eval_frames memo: lineitem(l_orderkey, l_partkey); "
@@ -49,16 +52,32 @@ MEMO_SOURCES = {
 }
 
 
-def memo_note(fn) -> str | None:
-    """Provenance note when a query consumes a checkpoint-memoized builder."""
-    import inspect
+def referenced_names(fn) -> set[str]:
+    """Every global/attribute name the function's code actually references,
+    including inside nested functions/lambdas — docstrings and comments are
+    not code, so they can't appear here."""
+    import types
 
     try:
-        src = inspect.getsource(fn)
-    except (OSError, TypeError):
-        return None
+        stack = [fn.__code__]
+    except AttributeError:
+        return set()
+    names: set[str] = set()
+    while stack:
+        code = stack.pop()
+        names.update(code.co_names)
+        names.update(code.co_freevars)
+        for const in code.co_consts:
+            if isinstance(const, types.CodeType):
+                stack.append(const)
+    return names
+
+
+def memo_note(fn) -> str | None:
+    """Provenance note when a query consumes a checkpoint-memoized builder."""
+    names = referenced_names(fn)
     for builder, note in MEMO_SOURCES.items():
-        if builder + "(" in src:
+        if builder in names:
             return note
     return None
 

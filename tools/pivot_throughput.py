@@ -20,6 +20,13 @@ Usage:
 
 Prints one JSON line: {"rows": N, "wall_sec": W, "rows_per_sec": R,
 "baseline_rows_per_sec": 4329435, "speedup_vs_baseline": R/B, ...}.
+
+Every run is bracketed by the same single-thread + 8-thread CPU probes
+bench.py uses (VERDICT r9 wrong #3: flagship samples were prose-only and
+unauditable against host contention) — the JSON carries cpu_probe_ms /
+cpu_probe_par_ms / probe_verdict, and the line is persisted to
+bench_history/flagship_r{SPARK_GRAFT_ROUND}_{i}.json (first free i, never
+overwriting an earlier sample).
 """
 
 from __future__ import annotations
@@ -34,6 +41,18 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BASELINE_ROWS_PER_SEC = 3_410_052_578 / 787.67  # performance.md:33
+
+
+def flagship_artifact_path(hist: str, rnd: str) -> str:
+    """First free bench_history/flagship_r{rnd}_{i}.json — samples from the
+    same round accumulate instead of overwriting (the auditable-trail rule
+    snapshot_path enforces for suite details)."""
+    i = 1
+    while True:
+        p = os.path.join(hist, f"flagship_r{rnd}_{i}.json")
+        if not os.path.exists(p):
+            return p
+        i += 1
 
 
 def generate(data_dir: str, n_rows: int, n_files: int) -> int:
@@ -119,11 +138,21 @@ def main() -> None:
         name_filter="tripdata",
         report_path=None,
     )
+    # Bracket the measured run with bench.py's probe pair so the sample
+    # self-labels host contention (QUIET samples are record-grade; NOISY
+    # ones are floor-bounded by tenancy, not the engine).
+    from tools.host_probe import parallel_ms, single_ms
+    from tools.probe_thresholds import quiet_verdict
+
+    probes = [single_ms()]
+    par_probes = [parallel_ms()]
     t0 = time.time()
     metrics = run_pivot_pipeline(spark, cfg)
     wall = time.time() - t0
+    probes.append(single_ms())
+    par_probes.append(parallel_ms())
     rps = metrics.input_rows / wall if wall else 0.0
-    print(json.dumps({
+    result = {
         "metric": "pivot_end_to_end_rows_per_sec",
         "rows": metrics.input_rows,
         "output_rows": metrics.output_rows,
@@ -134,7 +163,21 @@ def main() -> None:
         "workers": args.workers,
         "baseline_rows_per_sec": int(BASELINE_ROWS_PER_SEC),
         "speedup_vs_baseline": round(rps / BASELINE_ROWS_PER_SEC, 2),
-    }))
+        "loadavg": round(os.getloadavg()[0], 2),
+        "cpu_probe_ms": probes,
+        "cpu_probe_par_ms": par_probes,
+        "probe_verdict": quiet_verdict(max(probes), max(par_probes)),
+    }
+    line = json.dumps(result)
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    hist = os.path.join(here, "bench_history")
+    os.makedirs(hist, exist_ok=True)
+    rnd = os.environ.get("SPARK_GRAFT_ROUND", "10")
+    artifact = flagship_artifact_path(hist, rnd)
+    with open(artifact, "w") as f:
+        f.write(line + "\n")
+    print(f"sample persisted to {artifact}", file=sys.stderr)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,27 @@
+"""Single source of truth for the host-contention probe thresholds.
+
+Four numbers decide whether a bench pass ran in a quiet window; they were
+previously hard-coded twice in bench.py (the convergence gate and
+probe_verdict_for) and once in tools/host_probe.py, so editing one site
+silently desynced the published probe_verdict from the gate that actually
+selected the pass (ADVICE r9). Every consumer imports from here.
+
+* SINGLE_PROBE_REL / PAR_PROBE_REL — a pass counts as healthy only when its
+  bracketing single/parallel probes are within these factors of the best
+  probe seen in the same run (relative: catches bursts that start mid-run).
+* SINGLE_PROBE_ABS_MS / PAR_OVER_SINGLE_MAX — absolute host bounds: the
+  lone-thread sha256 probe's quiet-host time, and how much slower the
+  8-thread probe may be before neighbors are evidently bursting on other
+  cores (the degraded-multicore signature loadavg can't see).
+"""
+
+SINGLE_PROBE_REL = 1.30
+PAR_PROBE_REL = 1.40
+SINGLE_PROBE_ABS_MS = 13.0
+PAR_OVER_SINGLE_MAX = 1.6
+
+
+def quiet_verdict(single_ms: float, par_ms: float) -> str:
+    """Absolute host-health verdict (tools/host_probe.py's gate)."""
+    ok = single_ms <= SINGLE_PROBE_ABS_MS and par_ms <= PAR_OVER_SINGLE_MAX * single_ms
+    return "QUIET" if ok else "NOISY"
