@@ -149,6 +149,64 @@ from taxi_data_datapipeline_spark import queries_layout  # noqa: E402,F401
 from taxi_data_datapipeline_spark import queries_mining  # noqa: E402,F401
 from taxi_data_datapipeline_spark import queries_eval  # noqa: E402,F401
 
+def clear_memos(sf_dir: str | None = None) -> int:
+    """Release the memoized heavy builds (checkpointed pair tables, LSH
+    pair sets, CF-eval frames, trained chains, PQ codebooks, gram indexes)
+    and the scan memo — the memo layer's cache-invalidation API.
+
+    The memos are keyed by (applicationId, sf_dir, ...) and hold
+    localCheckpoint blocks PINNED in the unified memory pool for the
+    session's lifetime. In a long-lived session that switches datasets
+    (the sf3 -> sf6 scale ladder; a production job retiring one table
+    generation for the next) the retired dataset's blocks squeeze the
+    execution pool until aggregations die with UNABLE_TO_ACQUIRE_MEMORY —
+    found live when the sf6 pair-table build OOMed under the sf3 memo's
+    residency. ``sf_dir=None`` clears everything; passing a path clears
+    only that dataset's entries (the second key element by convention).
+
+    Returns the number of cache entries released. Thread-safety matches
+    the memos' own benign-race discipline: clearing while a consumer
+    builds can strand one redundant build, never corrupt results.
+    """
+    import importlib
+
+    specs = [
+        ("taxi_data_datapipeline_spark.queries", "_LOAD_CACHE"),
+        ("taxi_data_datapipeline_spark.queries_advanced", "_EDGE_CACHE"),
+        ("taxi_data_datapipeline_spark.queries_data", "_LSH_PAIRS_CACHE"),
+        ("taxi_data_datapipeline_spark.queries_data", "_KMEANS_UNITS_CACHE"),
+        ("taxi_data_datapipeline_spark.queries_data", "_PQ_CACHE"),
+        ("taxi_data_datapipeline_spark.queries_mining", "_GRAM_INDEX_CACHE"),
+        ("taxi_data_datapipeline_spark.queries_stats", "_LOGIT_CHAIN_CACHE"),
+        ("taxi_data_datapipeline_spark.queries_stats", "_CF_EVAL_CACHE"),
+    ]
+
+    def unpersist(value) -> None:
+        if isinstance(value, (tuple, list)):
+            for v in value:
+                unpersist(v)
+        elif hasattr(value, "unpersist"):
+            try:
+                value.unpersist()
+            except Exception:
+                pass  # session already stopped — nothing to release
+
+    released = 0
+    for mod_name, attr in specs:
+        try:
+            cache = getattr(importlib.import_module(mod_name), attr)
+        except (ImportError, AttributeError):
+            continue
+        keys = [
+            k for k in list(cache)
+            if sf_dir is None or (len(k) > 1 and k[1] == sf_dir)
+        ]
+        for k in keys:
+            unpersist(cache.pop(k))
+            released += 1
+    return released
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window: the external gate checks the FIRST 50 queries in
 # registration order, so the first 50 are curated to sample every operator

@@ -57,6 +57,11 @@ def main() -> None:
     ap.add_argument("--out", default="bench_history/scale_ratio_r8.json",
                     help="output JSON filename (repo-relative) — name runs "
                     "distinctly so a new run never clobbers a committed record")
+    ap.add_argument("--clear-memos-per-query", action="store_true",
+                    help="release BOTH datasets' memoized heavy builds after "
+                    "each query (clear_memos API) — bounds peak memory on "
+                    "constrained heaps at the cost of cross-query memo "
+                    "sharing; timings then include each query's own build")
     args = ap.parse_args()
 
     import __spark_entry__ as e
@@ -76,6 +81,15 @@ def main() -> None:
     spark = get_spark("scale_ratio")
     # One global warm-up amortizes JVM/codegen start-up out of the first row.
     qs["hourly_pivot"](spark, args.small).write.format("noop").mode("overwrite").save()
+    # Bracket the whole run with the host probes (tools/probe_thresholds):
+    # ladder walls are contention-confounded like every other number on
+    # this host, and a NOISY label tells the reader to trust the RATIOS
+    # (both sides ran under the same tenancy) over the absolute seconds.
+    from tools.host_probe import parallel_ms, single_ms
+    from tools.probe_thresholds import quiet_verdict
+
+    probes = [single_ms()]
+    par_probes = [parallel_ms()]
     rows = []
     for name in names:
         load0 = round(os.getloadavg()[0], 1)
@@ -86,6 +100,10 @@ def main() -> None:
             rows.append({"query": name, "error": str(ex).split("\n")[0][:160]})
             print(f"| {name} | ERROR | | | {rows[-1]['error']} |", flush=True)
             continue
+        if args.clear_memos_per_query:
+            from taxi_data_datapipeline_spark.queries import clear_memos
+
+            clear_memos()
         ratio = round(t_big / t_small, 1) if t_small > 0 else None
         rows.append(
             {
@@ -98,7 +116,17 @@ def main() -> None:
         )
         print(f"| {name} | {t_small} | {t_big} | {ratio} | load {load0} |", flush=True)
 
-    out = {"small": args.small, "big": args.big, "passes": args.passes, "rows": rows}
+    probes.append(single_ms())
+    par_probes.append(parallel_ms())
+    out = {
+        "small": args.small,
+        "big": args.big,
+        "passes": args.passes,
+        "rows": rows,
+        "cpu_probe_ms": probes,
+        "cpu_probe_par_ms": par_probes,
+        "probe_verdict": quiet_verdict(max(probes), max(par_probes)),
+    }
     with open(os.path.join(REPO, args.out), "w") as fh:
         json.dump(out, fh, indent=1)
     worst = max((r.get("ratio") or 0) for r in rows) if rows else 0
