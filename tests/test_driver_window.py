@@ -30,14 +30,23 @@ def test_window_is_first_50_and_fully_oracle_backed():
 
 
 def test_window_rotation_not_stalled():
-    """EVERY non-pinned seat must be first-time (never green in any round up
-    to the rotation baseline). Guards against a rotation silently stalling —
-    the registry outgrew the 50-seat window, so re-seating already-green
-    queries burns the only mechanism that turns local green into official
-    green (VERDICT r5 next-round #8). Round 8 tightened >=40 to ALL: a
-    single wasted seat (cusum_changepoint, r8) slipped under the old bound
-    (VERDICT r8 next-round #4). Bump ROTATION_BASELINE_ROUND in queries.py
-    whenever the window rotates."""
+    """No seat may be wasted while a never-green query waits, and any
+    RE-seated greens must be the stalest ones. Two regimes:
+
+    * While never-green oracle-backed queries outnumber the open seats
+      (rounds 1-10), every non-pinned seat must be first-time — re-seating
+      an already-green query burns the only mechanism that turns local
+      green into official green (VERDICT r5 next-round #8; round 8
+      tightened >=40 to ALL after the cusum_changepoint wasted seat).
+    * Once every never-green query is seated (the queue cleared in round
+      10 — 320/320 of the r9-frozen set driver-green), the remaining
+      seats re-verify the STALEST greens: no unseated oracle-backed query
+      may have an older last-green round than any seated re-seat
+      (staleness-ordered re-verification, VERDICT r10 wrong #1 — the old
+      all-first-time form was unsatisfiable for any post-queue rotation).
+
+    Bump ROTATION_BASELINE_ROUND in queries.py whenever the window
+    rotates."""
     import json
 
     from taxi_data_datapipeline_spark.queries import (
@@ -46,7 +55,7 @@ def test_window_rotation_not_stalled():
     )
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    seated: set[str] = set()
+    last_green: dict[str, int] = {}
     for r in range(1, ROTATION_BASELINE_ROUND + 1):
         p = os.path.join(repo, f"CORRECTNESS_r{r:02d}.json")
         if not os.path.exists(p):
@@ -56,13 +65,34 @@ def test_window_rotation_not_stalled():
         for name, res in rows.items():
             if res.get("rows_match") and res.get("schema_match") \
                     and res.get("hash_match"):
-                seated.add(name)
+                last_green[name] = r
     assert set(PINNED_SEATS) <= set(DRIVER_WINDOW)
-    wasted = [n for n in DRIVER_WINDOW
-              if n not in PINNED_SEATS and n in seated]
-    assert not wasted, (
-        f"{len(wasted)} non-pin seats already driver-green (wasted): "
-        f"{wasted}")
+    window = set(DRIVER_WINDOW)
+    never_green = [n for n in ORACLES
+                   if n not in last_green and n not in PINNED_SEATS]
+    unseated_never_green = [n for n in never_green if n not in window]
+    reseats = [n for n in DRIVER_WINDOW
+               if n not in PINNED_SEATS and n in last_green]
+    if unseated_never_green:
+        # Queue regime: seats are scarce — every one must be first-time.
+        assert not reseats, (
+            f"{len(reseats)} seats re-verify greens while "
+            f"{len(unseated_never_green)} never-green queries wait: "
+            f"{reseats} vs {unseated_never_green[:10]}")
+    elif reseats:
+        # Re-verification regime: re-seats must be the stalest greens.
+        unseated_greens = [n for n in ORACLES
+                           if n in last_green and n not in window
+                           and n not in PINNED_SEATS]
+        if unseated_greens:
+            freshest_seated = max(last_green[n] for n in reseats)
+            stalest_unseated = min(last_green[n] for n in unseated_greens)
+            assert freshest_seated <= stalest_unseated, (
+                f"window re-seats a round-{freshest_seated} green while a "
+                f"round-{stalest_unseated} green sits unseated: seated "
+                f"{[n for n in reseats if last_green[n] == freshest_seated]}"
+                f" vs unseated "
+                f"{[n for n in unseated_greens if last_green[n] == stalest_unseated][:10]}")
 
 
 @pytest.fixture(scope="module")
@@ -108,15 +138,19 @@ def test_register_rejects_duplicate_names():
     existing = next(iter(QUERIES))
     with pytest.raises(ValueError, match="duplicate query registration"):
         register(existing)(QUERIES[existing])
-    # every @register call site produced exactly one registry entry
-    import subprocess
+    # Every @register call site produced exactly one registry entry.
+    # Counted in-process (not via grep) so a missing/failing subprocess
+    # can't read as the misleading "collision is being masked" (ADVICE
+    # r10: the grep call never checked its returncode).
+    import pathlib
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    pkg = os.path.join(repo, "taxi_data_datapipeline_spark")
-    out = subprocess.run(
-        ["grep", "-rc", "^@register(", pkg], capture_output=True, text=True
-    ).stdout
-    call_sites = sum(int(line.rsplit(":", 1)[1]) for line in out.splitlines())
+    pkg = pathlib.Path(repo, "taxi_data_datapipeline_spark")
+    call_sites = sum(
+        line.startswith("@register(")
+        for py in pkg.rglob("*.py")
+        for line in py.read_text().splitlines()
+    )
     assert call_sites == len(QUERIES), (
         f"{call_sites} @register call sites vs {len(QUERIES)} registry "
         "entries — a collision is being masked somewhere"
