@@ -220,56 +220,51 @@ def clear_memos(sf_dir: str | None = None) -> int:
 # can only ever produce a weaker check. Queries beyond the window keep their
 # registration order and stay covered by tools/check_oracle.py.
 # ---------------------------------------------------------------------------
-# Round-10 rotation policy (VERDICT r9 §next-round #1): CORRECTNESS_r09
-# landed 50/50 green, so the prepared branch from ROUND_NOTES "Round-10
-# rotation plan" takes effect — the queue-clearing round. The 43 open
-# seats are the ENTIRE remaining un-green oracle-backed set: the 42
-# never-seated queries (tools/coverage_ledger.py) plus embedding_lsh_topk
-# (seated rows-only in r1 before it gained its oracle in r2 — the
-# ledger's seated-but-never-green section). To make room for the 43rd
-# seat, sql_hourly_pivot is unpinned for THIS ROUND ONLY (its computation
-# stays covered by the pinned hourly_pivot and it has 9 green rounds of
-# history); restore the 8th pin at round 11. A green CORRECTNESS_r10
-# makes every oracle-backed query in the registry driver-green at least
-# once (320/320 of the r9-frozen set) — the coverage goal since round 5.
-# The one r10 registry add (cusum_count_changepoint, un-shadowed from
-# queries_advanced by the register() uniqueness fix) enters the
-# never-seated queue for round 11, when normal adds resume.
+# Round-11 rotation policy (VERDICT r10 §next-round #1): CORRECTNESS_r10
+# landed 50/50 green — every oracle-backed query of the r9-frozen 320 is
+# now driver-green at least once (the coverage goal since round 5), so
+# this is the first RE-VERIFICATION rotation. sql_hourly_pivot rejoins as
+# the 8th permanent pin; the 11 fresh seats are the only never-green
+# queries (cusum_count_changepoint, un-shadowed in r10, plus this round's
+# 10 curation adds); the remaining 31 seats re-verify the STALEST greens
+# — queries whose only official green is round 1, nine rounds unchecked.
+# 34 round-1 greens compete for 31 seats; the three left out
+# (union_normalize, window_rank, window_running) lead the round-12
+# re-seat queue.
 #
 # ROTATION_BASELINE_ROUND pins which CORRECTNESS_r*.json files existed when
-# this window was curated; tests/test_driver_window.py asserts EVERY
-# non-pinned window seat was never green in rounds <= baseline, so a stalled
-# or partially wasted rotation fails the suite (VERDICT r5 next-round #8,
-# r8 next-round #4). Bump it each time the window rotates.
-ROTATION_BASELINE_ROUND = 9
+# this window was curated; tests/test_driver_window.py asserts the window
+# seats every never-green query and gives the remaining seats to the
+# stalest greens, so a stalled or wasted rotation fails the suite
+# (VERDICT r5 next-round #8, r8 next-round #4, r10 wrong #1). Bump it
+# each time the window rotates.
+ROTATION_BASELINE_ROUND = 10
 # The reference-core queries keep permanent seats — they re-verify the
-# SURVEY §2 pipeline surface every round. (7 this round, 8 normally:
-# sql_hourly_pivot re-joins at round 11.)
+# SURVEY §2 pipeline surface every round.
 PINNED_SEATS: list[str] = [
     "hourly_pivot", "normalize_project", "long_counts", "low_count_filter",
     "month_mismatch_audit", "latlon_place_key", "epoch_coercion",
+    "sql_hourly_pivot",
 ]
 DRIVER_WINDOW: list[str] = [
     # Reference-pipeline queries (SURVEY.md §2 core) — pinned
     *PINNED_SEATS,
-    # Seated r1 rows-only, oracle added r2, never green officially
-    "embedding_lsh_topk",
-    # The 42 never-seated queries, oldest families first
-    "jaccard_threshold_sweep", "embedding_centroid_drift",
-    "langid_cohens_kappa", "jackknife_event_counts", "jackknife_revenue_ci",
-    "hopping_window_counts", "anomaly_mad", "grid_density_join",
-    "value_histogram", "trimmed_mean_prices", "rolling_beta",
-    "interval_coverage", "watermark_late_audit", "count_distinct_window",
-    "l_diversity_report", "share_of_parent", "growth_accounting",
-    "bitemporal_asof", "funnel_latency_quantiles", "stats_moments",
-    "ewma_event_types", "quality_rule_funnel", "benford_first_digit",
-    "shard_assignment", "ols_two_factor", "ab_test_proportions",
-    "cohort_ltv", "grid_dbscan", "forecast_eval_naive", "target_encoding",
-    "brand_top_part", "kendall_tau_daily", "ntile_quartiles",
-    "lorenz_user_activity", "bitmap_distinct_users", "hash_random_walks",
-    "quantile_normalize_lengths", "walk_skipgram_pairs",
-    "source_overlap_matrix", "sentence_stats", "seasonal_anomalies",
-    "pareto_revenue_share",
+    # Never-green: the r10 un-shadowed CUSUM + the round-11 curation adds
+    "cusum_count_changepoint",
+    "substring_dup_spans", "minhash_estimate_error", "url_canonical_dedup",
+    "url_domain_rollup", "doremi_domain_weights", "unigram_lm_vocab",
+    "unigram_prune_scores", "pq_recall_at_k", "boilerplate_phrases",
+    "quality_tercile_split",
+    # Stalest-green re-seats: official green only in round 1
+    "anti_join", "case_when_agg", "cube_agg", "date_funcs", "dedup_exact",
+    "distinct_agg", "doc_fingerprints", "embedding_norms", "embedding_topk",
+    "join_broadcast_dim", "json_extract", "lang_id_heuristic",
+    "multimodal_bytes", "multimodal_frames", "outer_join_agg",
+    "q12_shipmode_priority", "q1_pricing_summary", "q3_shipping_priority",
+    "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
+    "quality_scores", "range_join", "rollup_agg", "semi_join", "set_ops",
+    "similarity_join_label", "string_funcs", "token_stats", "topk_orders",
+    "topk_per_group",
 ]
 
 
