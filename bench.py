@@ -45,10 +45,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as e
 from taxi_data_datapipeline_spark.session import get_spark
 from tools.probe_thresholds import (
-    PAR_OVER_SINGLE_MAX,
     PAR_PROBE_REL,
-    SINGLE_PROBE_ABS_MS,
     SINGLE_PROBE_REL,
+    quiet_verdict,
 )
 
 
@@ -60,13 +59,19 @@ def probe_verdict_for(walls, probes, par_probes) -> str:
     (tools/probe_thresholds.py) so this verdict can never disagree with
     the convergence gate that selected the pass (ADVICE r9)."""
     k = walls.index(min(walls))
-    single = max(probes[2 * k], probes[2 * k + 1])
-    par = max(par_probes[2 * k], par_probes[2 * k + 1])
-    quiet = (
-        single <= SINGLE_PROBE_REL * min(probes)
-        and par <= PAR_PROBE_REL * min(par_probes)
-        and single <= SINGLE_PROBE_ABS_MS
-        and par <= PAR_OVER_SINGLE_MAX * single
+    brackets = [
+        (probes[2 * k], par_probes[2 * k]),
+        (probes[2 * k + 1], par_probes[2 * k + 1]),
+    ]
+    # Each bracketing (single, parallel) pair is judged on its own:
+    # taking max(single) and max(par) across the two brackets can pair
+    # samples from different moments and mask a bracket whose par/single
+    # ratio is the degraded-multicore signature (ADVICE r10).
+    quiet = all(
+        s <= SINGLE_PROBE_REL * min(probes)
+        and p <= PAR_PROBE_REL * min(par_probes)
+        and quiet_verdict(s, p) == "QUIET"
+        for s, p in brackets
     )
     return "QUIET" if quiet else "NOISY"
 

@@ -165,9 +165,17 @@ def clear_memos(sf_dir: str | None = None) -> int:
     residency. ``sf_dir=None`` clears everything; passing a path clears
     only that dataset's entries (the second key element by convention).
 
-    Returns the number of cache entries released. Thread-safety matches
-    the memos' own benign-race discipline: clearing while a consumer
-    builds can strand one redundant build, never corrupt results.
+    Returns the number of cache entries released. Release is BEST-EFFORT
+    and GC-driven, not immediate: ``DataFrame.unpersist()`` on a
+    localCheckpoint'ed frame goes through the SQL cache manager, which
+    has no entry for the LogicalRDD plan, so the call itself is usually
+    a no-op — the checkpoint blocks are actually freed once the dropped
+    dict reference lets the Python/JVM GC and ContextCleaner reclaim the
+    underlying RDD (observed sufficient for the sf3->sf6 ladder: the
+    rebuild no longer OOMs). Thread-safety matches the memos' own
+    benign-race discipline: clearing while a consumer builds can strand
+    one redundant build, never corrupt results; concurrent clears race
+    benignly on pop.
     """
     import importlib
 
@@ -203,7 +211,13 @@ def clear_memos(sf_dir: str | None = None) -> int:
             if sf_dir is None or (len(k) > 1 and k[1] == sf_dir)
         ]
         for k in keys:
-            unpersist(cache.pop(k))
+            # pop with default: a concurrent clear_memos() may have
+            # already removed the key between the list() snapshot and
+            # here (ADVICE r10 — bare pop raced to KeyError).
+            value = cache.pop(k, None)
+            if value is None:
+                continue
+            unpersist(value)
             released += 1
     return released
 

@@ -53,6 +53,24 @@ class TestProbeVerdict:
             [95.0, 90.0], [10.2, 10.6, 11.0, 14.5], [13.0, 13.1, 14.0, 40.0]
         ) == "NOISY"
 
+    def test_cross_bracket_maxima_cannot_mask(self):
+        # ADVICE r10: the opening bracket (8, 14) has a 1.75x par/single
+        # ratio (NOISY on its own) but pairing max(singles)=10 with
+        # max(pars)=14 reads as 14 <= 1.6*10 = QUIET, and every relative
+        # bound also passes. The verdict must judge each bracket pair
+        # independently.
+        assert probe_verdict_for(
+            [72.5], [8.0, 10.0], [14.0, 13.0]
+        ) == "NOISY"
+
+    def test_pairs_helper_requires_every_pair_quiet(self):
+        from tools.probe_thresholds import quiet_verdict_pairs
+
+        assert quiet_verdict_pairs([10.0, 10.5], [13.0, 13.5]) == "QUIET"
+        assert quiet_verdict_pairs([8.0, 10.0], [14.0, 13.0]) == "NOISY"
+        assert quiet_verdict_pairs([], []) == "NOISY"
+        assert quiet_verdict_pairs([10.0], [13.0, 13.5]) == "NOISY"
+
 
 class TestSnapshotGuard:
     def _write(self, path, wall):

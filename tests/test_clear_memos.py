@@ -49,3 +49,22 @@ def test_clear_memos_is_selective_by_sf_dir(spark):
 def test_clear_memos_empty_is_noop():
     clear_memos()  # drain
     assert clear_memos() == 0
+
+
+def test_clear_memos_tolerates_concurrent_pop(monkeypatch):
+    """ADVICE r10: two racing clear_memos() calls — a pop of a key already
+    removed between the list() snapshot and the pop must be skipped, not
+    raise KeyError (and must not count as released)."""
+    from taxi_data_datapipeline_spark import queries_advanced
+
+    clear_memos()  # drain every real cache so only the shim has entries
+
+    class RacingDict(dict):
+        def pop(self, k, *default):
+            dict.pop(self, k, None)  # the racing clear got here first
+            return dict.pop(self, k, *default)
+
+    racing = RacingDict({("app", SF): object()})
+    monkeypatch.setattr(queries_advanced, "_EDGE_CACHE", racing)
+    assert clear_memos() == 0  # the pop lost the race: skipped, no KeyError
+    assert not racing

@@ -142,7 +142,7 @@ def main() -> None:
     # self-labels host contention (QUIET samples are record-grade; NOISY
     # ones are floor-bounded by tenancy, not the engine).
     from tools.host_probe import parallel_ms, single_ms
-    from tools.probe_thresholds import quiet_verdict
+    from tools.probe_thresholds import quiet_verdict_pairs
 
     probes = [single_ms()]
     par_probes = [parallel_ms()]
@@ -166,7 +166,7 @@ def main() -> None:
         "loadavg": round(os.getloadavg()[0], 2),
         "cpu_probe_ms": probes,
         "cpu_probe_par_ms": par_probes,
-        "probe_verdict": quiet_verdict(max(probes), max(par_probes)),
+        "probe_verdict": quiet_verdict_pairs(probes, par_probes),
     }
     line = json.dumps(result)
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -25,3 +25,20 @@ def quiet_verdict(single_ms: float, par_ms: float) -> str:
     """Absolute host-health verdict (tools/host_probe.py's gate)."""
     ok = single_ms <= SINGLE_PROBE_ABS_MS and par_ms <= PAR_OVER_SINGLE_MAX * single_ms
     return "QUIET" if ok else "NOISY"
+
+
+def quiet_verdict_pairs(singles: list, pars: list) -> str:
+    """Verdict over a run's bracketing probe samples, evaluated PER PAIR.
+
+    quiet_verdict(max(singles), max(pars)) pairs maxima from different
+    brackets, which can mask the degraded-multicore signature: brackets
+    (5 ms, 15 ms) and (12 ms, 10 ms) yield QUIET although the first
+    bracket's 3x par/single ratio is NOISY (ADVICE r10). A run is QUIET
+    only if every (single, parallel) sample pair is quiet on its own."""
+    if not singles or len(singles) != len(pars):
+        return "NOISY"
+    return (
+        "QUIET"
+        if all(quiet_verdict(s, p) == "QUIET" for s, p in zip(singles, pars))
+        else "NOISY"
+    )

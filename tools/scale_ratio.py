@@ -86,7 +86,7 @@ def main() -> None:
     # this host, and a NOISY label tells the reader to trust the RATIOS
     # (both sides ran under the same tenancy) over the absolute seconds.
     from tools.host_probe import parallel_ms, single_ms
-    from tools.probe_thresholds import quiet_verdict
+    from tools.probe_thresholds import quiet_verdict_pairs
 
     probes = [single_ms()]
     par_probes = [parallel_ms()]
@@ -105,6 +105,12 @@ def main() -> None:
 
             clear_memos()
         ratio = round(t_big / t_small, 1) if t_small > 0 else None
+        # Probe BETWEEN queries, not just around the whole ladder: a
+        # multi-query sf6 run lasts tens of minutes, and a contention
+        # burst that starts and ends mid-run is invisible to endpoint
+        # brackets (ADVICE r10). Each row carries its own closing pair.
+        probes.append(single_ms())
+        par_probes.append(parallel_ms())
         rows.append(
             {
                 "query": name,
@@ -112,12 +118,12 @@ def main() -> None:
                 "sf1_sec": t_big,
                 "ratio": ratio,
                 "loadavg": load0,
+                "probe_ms": probes[-1],
+                "probe_par_ms": par_probes[-1],
             }
         )
         print(f"| {name} | {t_small} | {t_big} | {ratio} | load {load0} |", flush=True)
 
-    probes.append(single_ms())
-    par_probes.append(parallel_ms())
     out = {
         "small": args.small,
         "big": args.big,
@@ -125,7 +131,7 @@ def main() -> None:
         "rows": rows,
         "cpu_probe_ms": probes,
         "cpu_probe_par_ms": par_probes,
-        "probe_verdict": quiet_verdict(max(probes), max(par_probes)),
+        "probe_verdict": quiet_verdict_pairs(probes, par_probes),
     }
     with open(os.path.join(REPO, args.out), "w") as fh:
         json.dump(out, fh, indent=1)

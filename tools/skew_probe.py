@@ -39,7 +39,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 from tools.host_probe import parallel_ms, single_ms  # noqa: E402
-from tools.probe_thresholds import quiet_verdict  # noqa: E402
+from tools.probe_thresholds import quiet_verdict_pairs  # noqa: E402
 
 HOT_USER_SHARE = 0.40   # hottest user_id owns this fraction of all events
 HOT_TYPE_SHARE = 0.80   # hottest event_type owns this fraction
@@ -222,7 +222,7 @@ def main() -> None:
         "loadavg": round(os.getloadavg()[0], 2),
         "cpu_probe_ms": probes,
         "cpu_probe_par_ms": par_probes,
-        "probe_verdict": quiet_verdict(max(probes), max(par_probes)),
+        "probe_verdict": quiet_verdict_pairs(probes, par_probes),
     }
     line = json.dumps(result)
     hist = os.path.join(REPO, "bench_history")
