@@ -146,31 +146,77 @@ def main() -> None:
     def agg_salted():
         sink(salted_count_sum(ev, keys=["event_type"], sum_col="value"))
 
+    def skew_join_df():
+        # The join carries `value` (random doubles) through the shuffle:
+        # AQE's skew detection reads COMPRESSED map-output partition
+        # sizes, and a hot partition that is millions of copies of ONE
+        # key with no payload lz4-compresses to almost nothing — the r10
+        # probe's "inert below threshold" finding was partly this (the
+        # planner literally could not see the skew in bytes). An
+        # incompressible payload makes the bytes tell the truth.
+        return (
+            ev.select("user_id", "value")
+            .join(cust.hint("merge"), ev.user_id == cust.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        )
+
     def join_smj_noaqe_skew():
         # AQE ON but its skew-split disabled: the naive plan a non-adaptive
         # engine is stuck with.
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
         try:
-            sink(
-                ev.join(cust.hint("merge"), ev.user_id == cust.c_custkey)
-                .groupBy("c_mktsegment")
-                .agg(F.count(F.lit(1)).alias("n"))
-            )
+            sink(skew_join_df())
         finally:
             spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
 
     def join_smj_aqe_skew():
         # Spark's built-in runtime defense: AQE splits the oversized
         # shuffle partition and replicates the matching dim side.
-        sink(
-            ev.join(cust.hint("merge"), ev.user_id == cust.c_custkey)
-            .groupBy("c_mktsegment")
-            .agg(F.count(F.lit(1)).alias("n"))
-        )
+        sink(skew_join_df())
+
+    # Whether the forced-split variant's final adaptive plan actually
+    # contains a skew=true SMJ — the r10 stress proved the split INERT
+    # below its 256 MB default threshold (a negative result); this
+    # variant lowers the threshold so the first-line production defense
+    # executes in its own regime at least once (VERDICT r10 missing #3).
+    aqe_skew_fired = {"fired": False}
+
+    def join_smj_aqe_forced_split():
+        overrides = {
+            # hot partition at this data size is ~tens of (incompressible)
+            # MB — under the 256 MB default; 4 MB puts it over the bar.
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4m",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4m",
+            # The groupBy above the join makes OptimizeSkewedJoin count as
+            # "introduces extra shuffle", so the conservative pass skips
+            # it; force is the documented knob for exactly this shape.
+            "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        }
+        saved = {k: spark.conf.get(k) for k in overrides}
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        try:
+            df = skew_join_df()
+            sink(df)
+            if not aqe_skew_fired["fired"]:
+                # The noop sink runs its OWN QueryExecution, whose final
+                # adaptive plan isn't reachable from df — run the 5-row
+                # aggregate once through collect() and read THAT plan.
+                df.collect()
+                plan = df._jdf.queryExecution().executedPlan().toString()
+                aqe_skew_fired["fired"] = (
+                    "skew=true" in plan or "AQEShuffleRead skewed" in plan
+                )
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
 
     def join_salted():
         n_salt = 8
-        ev_s = ev.withColumn("salt", F.pmod(F.hash("event_id"), F.lit(n_salt)))
+        ev_s = ev.select("user_id", "value", "event_id").withColumn(
+            "salt", F.pmod(F.hash("event_id"), F.lit(n_salt))
+        )
         c_s = cust.withColumn(
             "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
         )
@@ -180,7 +226,7 @@ def main() -> None:
                 (ev_s.user_id == c_s.c_custkey) & (ev_s.salt == c_s.salt),
             )
             .groupBy("c_mktsegment")
-            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
         )
 
     variants = {
@@ -188,6 +234,7 @@ def main() -> None:
         "agg_salted_16": agg_salted,
         "join_smj_skewsplit_off": join_smj_noaqe_skew,
         "join_smj_aqe_skewsplit": join_smj_aqe_skew,
+        "join_smj_aqe_forced_split": join_smj_aqe_forced_split,
         "join_salted_8": join_salted,
     }
 
@@ -216,6 +263,9 @@ def main() -> None:
             walls["agg_salted_16"] / walls["agg_plain_groupby"], 2),
         "join_aqe_over_skewed_smj": round(
             walls["join_smj_aqe_skewsplit"] / walls["join_smj_skewsplit_off"], 2),
+        "join_aqe_forced_split_over_skewed_smj": round(
+            walls["join_smj_aqe_forced_split"] / walls["join_smj_skewsplit_off"], 2),
+        "aqe_skew_split_fired": aqe_skew_fired["fired"],
         "join_salted_over_skewed_smj": round(
             walls["join_salted_8"] / walls["join_smj_skewsplit_off"], 2),
         "passes": args.passes,
