@@ -76,42 +76,62 @@ def probe_verdict_for(walls, probes, par_probes) -> str:
     return "QUIET" if quiet else "NOISY"
 
 
-def snapshot_path(hist: str, rnd: str, wall: float, force: bool) -> str:
+def _round_slot(rnd: str, sf) -> str:
+    """The round snapshot basename for a scale factor. sf0.1 is the
+    headline SF and owns the bare slot; every other SF gets its own
+    ``_sf{sf}`` slot. Found live in round 11: an sf0.001 smoke run's
+    56 s wall 'beat' the 82.8 s sf0.1 round record and clobbered it —
+    walls are only comparable at the SAME scale."""
+    if sf is None or sf == 0.1:
+        return f"bench_detail_r{rnd}"
+    return f"bench_detail_r{rnd}_sf{sf:g}"
+
+
+def snapshot_path(hist: str, rnd: str, wall: float, force: bool, sf=None) -> str:
     """Per-round detail snapshot target: a SLOWER wall must not clobber the
     round's record (ADVICE r8: a degraded-host rerun overwrote the 72.5 s
     r8 record) — and no committed bytes are EVER destroyed on the slow
     path: an unreadable/corrupt round record also diverts (its bytes may
-    be partially recoverable), and rerun slots are suffixed uniquely so a
-    second degraded rerun can't clobber the first (ADVICE r9)."""
-    snap = os.path.join(hist, f"bench_detail_r{rnd}.json")
+    be partially recoverable), rerun slots are suffixed uniquely so a
+    second degraded rerun can't clobber the first (ADVICE r9), and a run
+    at a DIFFERENT scale factor than the slot's occupant always diverts
+    (round-11 live finding: cross-SF walls aren't comparable)."""
+    base = _round_slot(rnd, sf)
+    snap = os.path.join(hist, f"{base}.json")
     if not os.path.exists(snap) or force:
         return snap
     try:
         with open(snap) as f:
-            prev_wall = json.load(f).get("value", float("-inf"))
+            prev = json.load(f)
+        prev_wall = prev.get("value", float("-inf"))
+        prev_sf = prev.get("sf")
     except (OSError, ValueError):
-        prev_wall = float("-inf")  # corrupt record: preserve, divert
-    if wall < prev_wall:
+        prev_wall, prev_sf = float("-inf"), sf  # corrupt: preserve, divert
+    if prev_sf == sf and wall < prev_wall:
         return snap
     k = 1
     while True:
         suffix = "_rerun" if k == 1 else f"_rerun{k}"
-        rerun = os.path.join(hist, f"bench_detail_r{rnd}{suffix}.json")
+        rerun = os.path.join(hist, f"{base}{suffix}.json")
         if not os.path.exists(rerun):
             return rerun
         k += 1
 
 
-def round_best_wall(hist: str, rnd: str, wall: float) -> float:
+def round_best_wall(hist: str, rnd: str, wall: float, sf=None) -> float:
     """The round's fastest recorded wall (guarded snapshot vs this run), so
     BENCH_r*.json top-lines stay comparable across rounds even when the
     driver's run lands on a degraded host (VERDICT r9 wrong #2: r9's
     top-line was a 93.9 s rerun while the round's converged best was
-    89.65 s)."""
-    snap = os.path.join(hist, f"bench_detail_r{rnd}.json")
+    89.65 s). Only a SAME-SF occupant participates — a cross-SF wall in
+    the slot (pre-fix contamination) must not publish as the round best."""
+    snap = os.path.join(hist, f"{_round_slot(rnd, sf)}.json")
     try:
         with open(snap) as f:
-            prev = json.load(f).get("value")
+            prev_rec = json.load(f)
+        prev = prev_rec.get("value")
+        if prev_rec.get("sf") != sf:
+            prev = None
     except (OSError, ValueError):
         prev = None
     if isinstance(prev, (int, float)):
@@ -394,7 +414,7 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     hist = os.path.join(here, "bench_history")
     rnd = os.environ.get("SPARK_GRAFT_ROUND", "10")
-    best = round_best_wall(hist, rnd, wall)
+    best = round_best_wall(hist, rnd, wall, sf=sf)
 
     detail = {
         "metric": "operator_suite_wall_seconds",
@@ -423,6 +443,7 @@ def main() -> None:
     snap = snapshot_path(
         hist, rnd, wall,
         force=os.environ.get("SPARK_GRAFT_BENCH_FORCE_SNAPSHOT") == "1",
+        sf=sf,
     )
     with open(snap, "w") as f:
         json.dump(detail, f, indent=1)

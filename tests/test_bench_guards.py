@@ -177,3 +177,43 @@ class TestFlagshipArtifacts:
         open(p1, "w").write("{}")
         p2 = pt.flagship_artifact_path(str(tmp_path), "10")
         assert p2.endswith("flagship_r10_2.json")
+
+
+class TestCrossScaleSnapshotGuard:
+    """Round-11 live finding: an sf0.001 smoke run's 56 s wall 'beat' the
+    82.8 s sf0.1 round record and clobbered bench_detail_r10.json — wall
+    comparisons are only meaningful at the same scale factor."""
+
+    def _write(self, path, wall, sf):
+        with open(path, "w") as f:
+            json.dump({"value": wall, "sf": sf, "queries": {}}, f)
+
+    def test_smaller_sf_run_cannot_claim_headline_slot(self, tmp_path):
+        self._write(tmp_path / "bench_detail_r10.json", 82.8, 0.1)
+        p = snapshot_path(str(tmp_path), "10", 56.7, force=False, sf=0.001)
+        assert p.endswith("bench_detail_r10_sf0.001.json")
+
+    def test_same_sf_faster_run_still_claims_slot(self, tmp_path):
+        self._write(tmp_path / "bench_detail_r10.json", 82.8, 0.1)
+        p = snapshot_path(str(tmp_path), "10", 72.5, force=False, sf=0.1)
+        assert p.endswith("bench_detail_r10.json")
+
+    def test_nonheadline_sf_gets_its_own_guarded_slot(self, tmp_path):
+        self._write(tmp_path / "bench_detail_r10_sf1.json", 391.0, 1.0)
+        slower = snapshot_path(str(tmp_path), "10", 400.0, force=False, sf=1.0)
+        assert slower.endswith("bench_detail_r10_sf1_rerun.json")
+        faster = snapshot_path(str(tmp_path), "10", 352.5, force=False, sf=1.0)
+        assert faster.endswith("bench_detail_r10_sf1.json")
+
+    def test_cross_sf_occupant_diverts_same_sf_rerun_to_rerun_slot(self, tmp_path):
+        # pre-fix contamination: slot holds an sf0.001 record. An sf0.1 run
+        # must not clobber those bytes (preserve-and-divert, like corrupt).
+        self._write(tmp_path / "bench_detail_r10.json", 56.7, 0.001)
+        p = snapshot_path(str(tmp_path), "10", 92.0, force=False, sf=0.1)
+        assert p.endswith("bench_detail_r10_rerun.json")
+
+    def test_round_best_ignores_cross_sf_occupant(self, tmp_path):
+        self._write(tmp_path / "bench_detail_r10.json", 56.7, 0.001)
+        assert round_best_wall(str(tmp_path), "10", 92.0, sf=0.1) == 92.0
+        self._write(tmp_path / "bench_detail_r10.json", 82.8, 0.1)
+        assert round_best_wall(str(tmp_path), "10", 92.0, sf=0.1) == 82.8
