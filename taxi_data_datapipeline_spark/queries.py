@@ -264,12 +264,16 @@ DRIVER_WINDOW: list[str] = [
     # Reference-pipeline queries (SURVEY.md §2 core) — pinned
     *PINNED_SEATS,
     # Never-green: the r10 un-shadowed CUSUM + the round-11 curation adds
+    # (both batches — 10 + 4)
     "cusum_count_changepoint",
     "substring_dup_spans", "minhash_estimate_error", "url_canonical_dedup",
     "url_domain_rollup", "doremi_domain_weights", "unigram_lm_vocab",
     "unigram_prune_scores", "pq_recall_at_k", "boilerplate_phrases",
     "quality_tercile_split",
-    # Stalest-green re-seats: official green only in round 1
+    "mrl_dim_recall", "hard_negative_mining", "readability_scores",
+    "class_balanced_weights",
+    # Stalest-green re-seats: official green only in round 1 (34 round-1
+    # greens tie for 27 seats; the 7 left out lead the r12 re-seat queue)
     "anti_join", "case_when_agg", "cube_agg", "date_funcs", "dedup_exact",
     "distinct_agg", "doc_fingerprints", "embedding_norms", "embedding_topk",
     "join_broadcast_dim", "json_extract", "lang_id_heuristic",
@@ -277,8 +281,7 @@ DRIVER_WINDOW: list[str] = [
     "q12_shipmode_priority", "q1_pricing_summary", "q3_shipping_priority",
     "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
     "quality_scores", "range_join", "rollup_agg", "semi_join", "set_ops",
-    "similarity_join_label", "string_funcs", "token_stats", "topk_orders",
-    "topk_per_group",
+    "similarity_join_label",
 ]
 
 

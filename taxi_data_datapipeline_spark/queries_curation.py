@@ -868,3 +868,293 @@ def q_quality_tercile_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_loss"),
     )
+
+
+# --- embedding-quality evals (batch 2) -----------------------------------------
+
+# Fixed-point embedding units (2^-20), the PQ chain's discipline: exact
+# BIGINT arithmetic end-to-end makes every similarity value-hash exact.
+_SQL_EMB_UNITS = """
+xu AS (
+  SELECT vec_id, label,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(FLOOR(x * 1048576) AS BIGINT)) AS v
+  FROM embeddings),
+eu AS (
+  SELECT vec_id, label, i.i - 1 AS pos, v[i.i] AS x
+  FROM xu, LATERAL unnest(generate_series(1, len(v))) AS i(i))"""
+
+
+def _emb_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings", fan_out=True)
+    return e.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("pos", "x"),
+    ).select(
+        "vec_id", "label", "pos",
+        F.floor(F.col("x").cast("double") * F.lit(1048576.0)).alias("x"),
+    )
+
+
+@register(
+    "mrl_dim_recall",
+    f"""
+WITH {_SQL_EMB_UNITS},
+q AS (SELECT pos, x AS qx FROM eu WHERE vec_id = 0),
+dims(d) AS (VALUES (8), (16), (32), (64)),
+dist AS (
+  SELECT dims.d, eu.vec_id,
+         SUM((eu.x - q.qx) * (eu.x - q.qx)) AS d2
+  FROM eu JOIN q ON eu.pos = q.pos CROSS JOIN dims
+  WHERE eu.vec_id != 0 AND eu.pos < dims.d
+  GROUP BY dims.d, eu.vec_id),
+rk AS (
+  SELECT d, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY d ORDER BY d2, vec_id) AS rank
+  FROM dist),
+truth AS (SELECT vec_id FROM rk WHERE d = 64 AND rank <= 10)
+SELECT rk.d AS trunc_dim,
+       COUNT(truth.vec_id) AS n_hits,
+       ROUND(COUNT(truth.vec_id) / 10.0, 6) AS recall
+FROM rk LEFT JOIN truth ON rk.vec_id = truth.vec_id
+WHERE rk.rank <= 10
+GROUP BY rk.d
+""",
+)
+def q_mrl_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation eval (Kusupati et al. 2022): recall@10 of
+    nearest-neighbor search run on the first {8,16,32,64} dimensions
+    against the full-dimension ground truth — the table that decides how
+    far an MRL embedding can be truncated before the ANN index lies. All
+    distances are exact BIGINT fixed-point partial sums over the SAME
+    exploded unit table (one scan, the prefix-dim filter reuses it per
+    d), so recall is value-hash exact. Ranks come from per-d windows over
+    the candidate set; at 100 TB each d-ranking is a TakeOrdered top-k,
+    not a global sort."""
+    from pyspark.sql import Window
+
+    eu = _emb_units(spark, sf_dir)
+    q = eu.filter(F.col("vec_id") == 0).select("pos", F.col("x").alias("qx"))
+    dims = spark.range(1).select(
+        F.explode(F.array(*[F.lit(d) for d in (8, 16, 32, 64)])).alias("d")
+    )
+    dist = (
+        eu.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q), "pos")
+        .join(F.broadcast(dims), F.col("pos") < F.col("d"))
+        .groupBy("d", "vec_id")
+        .agg(F.sum((F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx"))).alias("d2"))
+    )
+    w = Window.partitionBy("d").orderBy("d2", "vec_id")
+    rk = dist.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+    truth = rk.filter(F.col("d") == 64).select(F.col("vec_id").alias("t_id"))
+    return (
+        rk.join(F.broadcast(truth), rk["vec_id"] == truth["t_id"], "left")
+        .groupBy(F.col("d").alias("trunc_dim"))
+        .agg(F.count("t_id").alias("n_hits"))
+        .select(
+            "trunc_dim",
+            "n_hits",
+            F.round(F.col("n_hits") / F.lit(10.0), 6).alias("recall"),
+        )
+    )
+
+
+@register(
+    "hard_negative_mining",
+    f"""
+WITH {_SQL_EMB_UNITS},
+nrm AS (SELECT vec_id, SUM(x * x) AS n2 FROM eu GROUP BY vec_id),
+anch AS (SELECT vec_id, label, pos, x FROM eu WHERE vec_id < 5),
+dots AS (
+  SELECT a.vec_id AS anchor_id, e.vec_id AS cand_id,
+         MAX(a.label) AS a_label, MAX(e.label) AS c_label,
+         SUM(a.x * e.x) AS dp
+  FROM anch a JOIN eu e ON a.pos = e.pos AND a.vec_id != e.vec_id
+  GROUP BY a.vec_id, e.vec_id),
+sims AS (
+  SELECT anchor_id, cand_id, (a_label = c_label) AS same,
+         ROUND(dp / (SQRT(na.n2) * SQRT(nc.n2)), 6) AS sim
+  FROM dots JOIN nrm na ON na.vec_id = dots.anchor_id
+            JOIN nrm nc ON nc.vec_id = dots.cand_id),
+best AS (
+  SELECT anchor_id, cand_id, same, sim,
+         ROW_NUMBER() OVER (PARTITION BY anchor_id, same
+                            ORDER BY sim DESC, cand_id) AS rn
+  FROM sims)
+SELECT p.anchor_id,
+       p.cand_id AS pos_id, p.sim AS pos_sim,
+       n.cand_id AS neg_id, n.sim AS neg_sim,
+       ROUND(p.sim - n.sim, 6) AS margin
+FROM best p JOIN best n ON p.anchor_id = n.anchor_id
+WHERE p.same AND NOT n.same AND p.rn = 1 AND n.rn = 1
+""",
+)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    (vec_id < 5), the most-similar SAME-label vector (the positive) and
+    the most-similar DIFFERENT-label vector (the hard negative), with
+    the triplet margin — negative margins are exactly the anchors whose
+    nearest neighbor lies across the class boundary, the samples a
+    contrastive curriculum wants first. Cosines are exact-BIGINT dot
+    products over the shared unit table divided by sqrt of exact
+    norms (one rounded double per pair). The anchor set broadcasts;
+    scoring is one shuffle keyed by (anchor, candidate); the per-anchor
+    argmax windows partition on (anchor, same-label) — bounded by the
+    candidate count, and at scale the anchors fan out as independent
+    TakeOrdered top-1s."""
+    from pyspark.sql import Window
+
+    eu = _emb_units(spark, sf_dir)
+    nrm = eu.groupBy("vec_id").agg(F.sum(F.col("x") * F.col("x")).alias("n2"))
+    anch = eu.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("a_label"),
+        F.col("pos").alias("apos"),
+        F.col("x").alias("ax"),
+    )
+    dots = (
+        eu.join(F.broadcast(anch), (F.col("pos") == anch["apos"]) & (F.col("vec_id") != anch["anchor_id"]))
+        .groupBy("anchor_id", F.col("vec_id").alias("cand_id"))
+        .agg(
+            F.max("a_label").alias("a_label"),
+            F.max("label").alias("c_label"),
+            F.sum(F.col("ax") * F.col("x")).alias("dp"),
+        )
+    )
+    na = nrm.select(F.col("vec_id").alias("anchor_id"), F.col("n2").alias("na2"))
+    nc = nrm.select(F.col("vec_id").alias("cand_id"), F.col("n2").alias("nc2"))
+    sims = (
+        dots.join(F.broadcast(na), "anchor_id")
+        .join(nc, "cand_id")
+        .select(
+            "anchor_id",
+            "cand_id",
+            (F.col("a_label") == F.col("c_label")).alias("same"),
+            F.round(
+                F.col("dp") / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nc2"))), 6
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("anchor_id", "same").orderBy(
+        F.desc("sim"), "cand_id"
+    )
+    best = sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    p = best.filter(F.col("same")).select(
+        "anchor_id", F.col("cand_id").alias("pos_id"), F.col("sim").alias("pos_sim")
+    )
+    n = best.filter(~F.col("same")).select(
+        "anchor_id", F.col("cand_id").alias("neg_id"), F.col("sim").alias("neg_sim")
+    )
+    return p.join(n, "anchor_id").select(
+        "anchor_id",
+        "pos_id",
+        "pos_sim",
+        "neg_id",
+        "neg_sim",
+        F.round(F.col("pos_sim") - F.col("neg_sim"), 6).alias("margin"),
+    )
+
+
+# --- text readability + class balance (batch 2) --------------------------------
+
+
+@register(
+    "readability_scores",
+    f"""
+WITH w AS (
+  SELECT source,
+         len({_SQL_TOKS}) AS n_words,
+         1 + len(regexp_extract_all(text, '[.!?]+')) AS n_sents,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syll
+  FROM documents),
+t AS (
+  SELECT source, n_words,
+         CAST(ROUND(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+                     - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 9)
+              AS DECIMAL(28,12)) AS flesch,
+         CAST(ROUND(CAST(n_syll AS DOUBLE) / n_words, 9)
+              AS DECIMAL(28,12)) AS spw
+  FROM w WHERE n_words > 0)
+SELECT source, COUNT(*) AS n_docs,
+       ROUND(CAST(SUM(flesch) AS DOUBLE) / COUNT(*), 6) AS avg_flesch,
+       ROUND(CAST(SUM(spw) AS DOUBLE) / COUNT(*), 6) AS avg_syllables_per_word
+FROM t GROUP BY source
+""",
+)
+def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability per source — the classic text-quality
+    feature (vowel-group runs as the syllable proxy, sentence count from
+    terminal punctuation with a floor of 1). Whole pipeline is regexp
+    counts + one arithmetic expression per doc (map-side, codegen), one
+    shuffle to per-source DECIMAL-folded averages."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    n_words = F.size(tokens(F.col("text")))
+    n_sents = F.lit(1) + F.regexp_count(F.col("text"), F.lit(r"[.!?]+"))
+    n_syll = F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+"))
+    flesch = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sents)
+        - F.lit(84.6) * (n_syll.cast("double") / n_words),
+        9,
+    ).cast("decimal(28,12)")
+    spw = F.round(n_syll.cast("double") / n_words, 9).cast("decimal(28,12)")
+    return (
+        d.filter(n_words > 0)
+        .select("source", flesch.alias("flesch"), spw.alias("spw"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.sum("flesch").cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_flesch"
+            ),
+            F.round(F.sum("spw").cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_syllables_per_word"
+            ),
+        )
+    )
+
+
+@register(
+    "class_balanced_weights",
+    """
+WITH c AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label),
+e AS (
+  SELECT label, n,
+         ROUND((1 - POWER(0.999, n)) / (1 - 0.999), 6) AS effective_n,
+         CAST(ROUND((1 - 0.999) / (1 - POWER(0.999, n)), 9)
+              AS DECIMAL(28,12)) AS wr
+  FROM c),
+z AS (SELECT SUM(wr) AS wr_tot, COUNT(*) AS k FROM e)
+SELECT e.label, e.n, e.effective_n,
+       ROUND(CAST(e.wr AS DOUBLE) / CAST(z.wr_tot AS DOUBLE) * z.k, 6) AS weight
+FROM e CROSS JOIN z
+""",
+)
+def q_class_balanced_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced loss weights (Cui et al. CVPR'19): per-class weight
+    proportional to 1/E_n where E_n = (1 - beta^n)/(1 - beta) is the
+    effective number of samples (beta = 0.999) — the re-weighting a
+    long-tailed label distribution needs before training. Normalized so
+    the weights average to 1 across classes. One groupBy to class
+    counts; the normalizer is a broadcast 1-row aggregate; beta^n is a
+    rounded transcendental, per convention."""
+    e = load(spark, sf_dir, "embeddings")
+    c = e.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    beta = F.lit(0.999)
+    eff = F.round((F.lit(1.0) - F.pow(beta, F.col("n"))) / (F.lit(1.0) - beta), 6)
+    wr = F.round(
+        (F.lit(1.0) - beta) / (F.lit(1.0) - F.pow(beta, F.col("n"))), 9
+    ).cast("decimal(28,12)")
+    t = c.select("label", "n", eff.alias("effective_n"), wr.alias("wr"))
+    z = t.agg(F.sum("wr").alias("wr_tot"), F.count(F.lit(1)).alias("k"))
+    return t.join(F.broadcast(z)).select(
+        "label",
+        "n",
+        "effective_n",
+        F.round(
+            F.col("wr").cast("double") / F.col("wr_tot").cast("double") * F.col("k"),
+            6,
+        ).alias("weight"),
+    )
