@@ -105,10 +105,17 @@ def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("df") >= 2) & (F.col("df") <= _SUBSTR_DF_CAP))
         .select("gram")
     )
-    gk = g.join(keep, "gram")
+    # Both joins are corpus-sized on BOTH sides at scale — and Catalyst's
+    # row estimate after the df-filter aggregate is optimistic enough to
+    # pick a broadcast plan that then dies at the 8 GiB broadcast cap
+    # (observed live at sf3: "Cannot broadcast the table that is larger
+    # than 8.0 GiB: 8.5 GiB"). Pin shuffle-hash: no corpus-sized
+    # broadcast, no sort, per-partition build bounded by the partition
+    # count at any scale.
+    gk = g.join(keep.hint("shuffle_hash"), "gram")
     a, b = gk.alias("a"), gk.alias("b")
     m = (
-        a.join(b, "gram")
+        a.join(b.hint("shuffle_hash"), "gram")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
