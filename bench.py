@@ -44,6 +44,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as e
 from taxi_data_datapipeline_spark.session import get_spark
+from tools.round_default import current_round
 from tools.probe_thresholds import (
     PAR_PROBE_REL,
     SINGLE_PROBE_REL,
@@ -413,7 +414,7 @@ def main() -> None:
     # recorded run landed on a degraded host (VERDICT r9 wrong #2).
     here = os.path.dirname(os.path.abspath(__file__))
     hist = os.path.join(here, "bench_history")
-    rnd = os.environ.get("SPARK_GRAFT_ROUND", "10")
+    rnd = current_round()
     best = round_best_wall(hist, rnd, wall, sf=sf)
 
     detail = {

@@ -59,9 +59,16 @@ def url_path(url: Column) -> Column:
 
 
 def url_query_canonical(url: Column) -> Column:
-    """Query string with tracking params dropped and the rest sorted."""
+    """Query string with tracking params dropped and the rest sorted.
+
+    The fragment is stripped BEFORE extracting the query (mirroring the
+    ``uf`` step in the DuckDB twin): a '?' whose first occurrence is
+    inside the fragment (``https://e.com/p#sec?x=1``) is fragment text,
+    not a query string (ADVICE r11 #1).
+    """
+    defragged = F.regexp_replace(url, r"#.*$", "")
     params = F.filter(
-        F.split(F.regexp_extract(url, _QUERY_RE, 1), "&"),
+        F.split(F.regexp_extract(defragged, _QUERY_RE, 1), "&"),
         lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
     )
     return F.array_join(F.array_sort(params), "&")

@@ -234,17 +234,19 @@ def clear_memos(sf_dir: str | None = None) -> int:
 # can only ever produce a weaker check. Queries beyond the window keep their
 # registration order and stay covered by tools/check_oracle.py.
 # ---------------------------------------------------------------------------
-# Round-11 rotation policy (VERDICT r10 §next-round #1): CORRECTNESS_r10
-# landed 50/50 green — every oracle-backed query of the r9-frozen 320 is
-# now driver-green at least once (the coverage goal since round 5), so
-# this is the first RE-VERIFICATION rotation. sql_hourly_pivot rejoins as
-# the 8th permanent pin; the 11 fresh seats are the only never-green
-# queries (cusum_count_changepoint, un-shadowed in r10, plus this round's
-# 10 curation adds); the remaining 31 seats re-verify the STALEST greens
-# — queries whose only official green is round 1, nine rounds unchecked.
-# 34 round-1 greens compete for 31 seats; the three left out
-# (union_normalize, window_rank, window_running) lead the round-12
-# re-seat queue.
+# Round-11 rotation policy (VERDICT r10 §next-round #1, comment corrected
+# per ADVICE r11 #2): CORRECTNESS_r10 landed 50/50 green — every
+# oracle-backed query of the r9-frozen 320 is now driver-green at least
+# once (the coverage goal since round 5), so this is the first
+# RE-VERIFICATION rotation. sql_hourly_pivot rejoins as the 8th permanent
+# pin; the 15 fresh seats are the only never-green queries
+# (cusum_count_changepoint, un-shadowed in r10, plus this round's 14
+# curation adds across both batches); the remaining 27 seats re-verify
+# the STALEST greens — queries whose only official green is round 1, nine
+# rounds unchecked. 34 round-1 greens compete for 27 seats; the SEVEN
+# left out (union_normalize, window_rank, window_running, string_funcs,
+# token_stats, topk_orders, topk_per_group) lead the round-12 re-seat
+# queue.
 #
 # ROTATION_BASELINE_ROUND pins which CORRECTNESS_r*.json files existed when
 # this window was curated; tests/test_driver_window.py asserts the window

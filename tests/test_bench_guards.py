@@ -217,3 +217,68 @@ class TestCrossScaleSnapshotGuard:
         assert round_best_wall(str(tmp_path), "10", 92.0, sf=0.1) == 92.0
         self._write(tmp_path / "bench_detail_r10.json", 82.8, 0.1)
         assert round_best_wall(str(tmp_path), "10", 92.0, sf=0.1) == 82.8
+
+
+class TestRoundDefault:
+    """Shared round default (VERDICT r11 wrong #1 / ADVICE r11 #3).
+
+    bench.py's hard-coded ``"10"`` default sent the driver's round-11
+    bench snapshot into round 10's slots and mislabeled BENCH_r11's
+    ``round_best_wall``; quiet_hunter.py simultaneously defaulted to
+    "11", so two tools in one tree disagreed on the round.  All round
+    consumers now import tools.round_default.current_round, which reads
+    the committed ROUND marker (env var still wins for manual runs).
+    """
+
+    def test_env_var_wins(self, monkeypatch):
+        from tools.round_default import current_round
+
+        monkeypatch.setenv("SPARK_GRAFT_ROUND", "99")
+        assert current_round() == "99"
+
+    def test_marker_file_is_the_unparameterized_default(self, monkeypatch, tmp_path):
+        from tools.round_default import current_round
+
+        monkeypatch.delenv("SPARK_GRAFT_ROUND", raising=False)
+        (tmp_path / "ROUND").write_text("17\n")
+        (tmp_path / "CORRECTNESS_r11.json").write_text("{}")
+        assert current_round(str(tmp_path)) == "17"
+
+    def test_falls_back_to_newest_correctness_plus_one(self, monkeypatch, tmp_path):
+        from tools.round_default import current_round
+
+        monkeypatch.delenv("SPARK_GRAFT_ROUND", raising=False)
+        (tmp_path / "CORRECTNESS_r09.json").write_text("{}")
+        (tmp_path / "CORRECTNESS_r11.json").write_text("{}")
+        assert current_round(str(tmp_path)) == "12"
+
+    def test_marker_matches_newest_correctness_file(self):
+        """The staleness lint the verdict asked for: the committed ROUND
+        marker must equal newest-CORRECTNESS-round + 1 (during round N the
+        newest correctness file on disk is round N-1's), so forgetting to
+        bump the marker at a round boundary fails the suite instead of
+        silently mislabeling every artifact the driver writes."""
+        from tools.round_default import marker_round, newest_correctness_round
+
+        marker = marker_round()
+        newest = newest_correctness_round()
+        assert marker is not None, "committed ROUND marker file is missing"
+        assert newest is not None
+        assert int(marker) == newest + 1
+
+    def test_no_literal_round_defaults_remain(self):
+        """No tool may reintroduce a per-file literal round default."""
+        import re
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        offenders = []
+        for rel in [
+            "bench.py",
+            "tools/pivot_throughput.py",
+            "tools/skew_probe.py",
+            "tools/quiet_hunter.py",
+        ]:
+            src = open(os.path.join(repo, rel)).read()
+            if re.search(r"SPARK_GRAFT_ROUND[\"']\s*,\s*[\"']\d+[\"']", src):
+                offenders.append(rel)
+        assert not offenders, offenders

@@ -54,6 +54,11 @@ class TestUrlCanonicalizer:
             ("https://e.com/", "https://e.com"),
             # ref as a VALUE is kept; ref as a KEY is dropped
             ("https://e.com/p?q=ref&ref=q", "https://e.com/p?q=ref"),
+            # '?' whose first occurrence is INSIDE the fragment is fragment
+            # text, not a query string (ADVICE r11 #1: strip '#...' first)
+            ("https://e.com/p#sec?x=1", "https://e.com/p"),
+            # real query + a fragment that also contains '?'
+            ("https://e.com/p?b=2&a=1#sec?x=9", "https://e.com/p?a=1&b=2"),
         ],
     )
     def test_rules(self, spark, raw, expected):

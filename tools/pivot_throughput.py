@@ -40,6 +40,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from tools.round_default import current_round  # noqa: E402
+
 BASELINE_ROWS_PER_SEC = 3_410_052_578 / 787.67  # performance.md:33
 
 
@@ -172,7 +174,7 @@ def main() -> None:
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     hist = os.path.join(here, "bench_history")
     os.makedirs(hist, exist_ok=True)
-    rnd = os.environ.get("SPARK_GRAFT_ROUND", "10")
+    rnd = current_round()
     artifact = flagship_artifact_path(hist, rnd)
     with open(artifact, "w") as f:
         f.write(line + "\n")

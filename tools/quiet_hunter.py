@@ -43,6 +43,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tools.host_probe import parallel_ms, single_ms  # noqa: E402
 from tools.probe_thresholds import quiet_verdict  # noqa: E402
+from tools.round_default import current_round  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LOCK = "/tmp/spark_graft_quiet_hunt.lock"
@@ -51,7 +52,7 @@ POLL_SEC = float(os.environ.get("QUIET_HUNT_POLL_SEC", "75"))
 CONSECUTIVE_QUIET = int(os.environ.get("QUIET_HUNT_CONSECUTIVE", "2"))
 MAX_FIRES = int(os.environ.get("QUIET_HUNT_MAX_FIRES", "2"))
 FLAGSHIP_SAMPLES = int(os.environ.get("QUIET_HUNT_FLAGSHIPS", "3"))
-ROUND = os.environ.get("SPARK_GRAFT_ROUND", "11")
+ROUND = current_round()
 
 
 def _log_path() -> str:

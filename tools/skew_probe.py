@@ -39,6 +39,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 from tools.host_probe import parallel_ms, single_ms  # noqa: E402
+from tools.round_default import current_round  # noqa: E402
 from tools.probe_thresholds import quiet_verdict_pairs  # noqa: E402
 
 HOT_USER_SHARE = 0.40   # hottest user_id owns this fraction of all events
@@ -277,7 +278,7 @@ def main() -> None:
     line = json.dumps(result)
     hist = os.path.join(REPO, "bench_history")
     os.makedirs(hist, exist_ok=True)
-    rnd = os.environ.get("SPARK_GRAFT_ROUND", "10")
+    rnd = current_round()
     i = 1
     while os.path.exists(os.path.join(hist, f"skew_stress_r{rnd}_{i}.json")):
         i += 1
