@@ -149,6 +149,7 @@ from taxi_data_datapipeline_spark import queries_layout  # noqa: E402,F401
 from taxi_data_datapipeline_spark import queries_mining  # noqa: E402,F401
 from taxi_data_datapipeline_spark import queries_eval  # noqa: E402,F401
 from taxi_data_datapipeline_spark import queries_curation  # noqa: E402,F401
+from taxi_data_datapipeline_spark import queries_curation2  # noqa: E402,F401
 
 def clear_memos(sf_dir: str | None = None) -> int:
     """Release the memoized heavy builds (checkpointed pair tables, LSH
