@@ -1085,3 +1085,136 @@ def ahash_bands(
             )
 
     return df.select("doc_id", text_col).mapInPandas(run, out_schema)
+
+
+def dhash_bands(
+    df: "DataFrame", text_col: str = "text", w: int = 18, h: int = 16
+) -> "DataFrame":
+    """Perceptual difference-hash (dHash) of a per-document image, as four
+    16-bit bands for LSH-style banding: render the document as the same
+    deterministic word-histogram "thumbnail" ahash_bands uses (18x16 here
+    — one extra block COLUMN, because dHash compares horizontally
+    adjacent blocks and needs 9 columns to emit 8 bits per row),
+    round-trip it through the REAL BMP codec, 2x2-block-sum the DECODED
+    array into a 8x9 grid, and set bit (r, c) = (block(r, c) >
+    block(r, c+1)) — the brightness GRADIENT signature, which survives
+    global brightness/contrast shifts that flip aHash's mean-threshold
+    bits. All exact integer arithmetic, so any engine recomputing from
+    the same pixels lands on the identical 64-bit signature (same
+    argument as ahash_bands; the two hashes are complementary screens
+    and production image dedup typically runs both)."""
+    import hashlib
+
+    import numpy as np
+
+    n = w * h
+    out_schema = "doc_id long, b0 int, b1 int, b2 int, b3 int"
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            bucket_cache: dict = {}
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                pix = np.zeros(n, dtype=np.int64)
+                for word in str(text).split(" "):
+                    if not word:
+                        continue
+                    b = bucket_cache.get(word)
+                    if b is None:
+                        b = int(hashlib.md5(word.encode()).hexdigest()[:8], 16) % n
+                        bucket_cache[word] = b
+                    pix[b] += 24
+                pix = np.minimum(pix, 255).astype(np.uint8).reshape(h, w)
+                dec = decode_bmp24(encode_bmp24(pix)).astype(np.int64)
+                # 2x2 block sums -> (h//2) x (w//2) = 8 x 9 grid
+                bs = dec.reshape(h // 2, 2, w // 2, 2).sum(axis=(1, 3))
+                bits = (bs[:, :-1] > bs[:, 1:]).astype(np.int64).ravel()
+                bands = [
+                    int((bits[16 * j:16 * (j + 1)] << np.arange(16)).sum())
+                    for j in range(4)
+                ]
+                recs.append((int(doc_id), *bands))
+            yield pd.DataFrame(
+                recs, columns=["doc_id", "b0", "b1", "b2", "b3"]
+            )
+
+    return df.select("doc_id", text_col).mapInPandas(run, out_schema)
+
+
+# Fixed-point 8x32 DCT-II basis shared VERBATIM by phash_bands and the
+# dhash/phash DuckDB oracles (queries_curation2): coef[u][r] =
+# round(2^14 * cos(pi*(2r+1)u/64)). Integer constants inlined into both
+# engines make the low-frequency DCT an exact int64 matrix product —
+# no libm cos() at query time, no cross-engine float drift, no overflow
+# (|coef| <= 16384, pixel <= 255: D2 terms bound at ~7e13 << 2^63).
+_DCT_SCALE = 16384
+
+
+def dct_basis_8x32() -> list[list[int]]:
+    import math
+
+    return [
+        [
+            round(_DCT_SCALE * math.cos(math.pi * (2 * r + 1) * u / 64))
+            for r in range(32)
+        ]
+        for u in range(8)
+    ]
+
+
+def phash_bands(
+    df: "DataFrame", text_col: str = "text", w: int = 32, h: int = 32
+) -> "DataFrame":
+    """Perceptual DCT-hash (pHash) of a per-document image, as four 16-bit
+    bands: render the document as the deterministic 32x32 word-histogram
+    thumbnail (the ahash/dhash render at pHash's canonical input size),
+    round-trip it through the REAL BMP codec, take the 8x8 LOW-FREQUENCY
+    block of the 2-D DCT-II via the fixed-point integer basis above
+    (D = C P C^T — two int64 matrix products), and set bit k =
+    (63 * coef_k > sum of the 63 non-DC coefficients), DC forced to 0.
+    pHash survives blur/resize/compression perturbations that move many
+    individual pixels but little low-frequency energy — the third
+    complementary screen next to aHash (mean) and dHash (gradient).
+    Exact integer arithmetic end-to-end: both engines reproduce the
+    identical 64-bit signature from the same pixels."""
+    import hashlib
+
+    import numpy as np
+
+    n = w * h
+    basis = None
+    out_schema = "doc_id long, b0 int, b1 int, b2 int, b3 int"
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        nonlocal basis
+        if basis is None:
+            basis = np.array(dct_basis_8x32(), dtype=np.int64)
+        for pdf in it:
+            recs = []
+            bucket_cache: dict = {}
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                pix = np.zeros(n, dtype=np.int64)
+                for word in str(text).split(" "):
+                    if not word:
+                        continue
+                    b = bucket_cache.get(word)
+                    if b is None:
+                        b = int(hashlib.md5(word.encode()).hexdigest()[:8], 16) % n
+                        bucket_cache[word] = b
+                    pix[b] += 24
+                pix = np.minimum(pix, 255).astype(np.uint8).reshape(h, w)
+                dec = decode_bmp24(encode_bmp24(pix)).astype(np.int64)
+                coefs = (basis @ dec @ basis.T).ravel()
+                s63 = int(coefs[1:].sum())
+                bits = np.zeros(64, dtype=np.int64)
+                bits[1:] = (63 * coefs[1:] > s63).astype(np.int64)
+                bands = [
+                    int((bits[16 * j:16 * (j + 1)] << np.arange(16)).sum())
+                    for j in range(4)
+                ]
+                recs.append((int(doc_id), *bands))
+            yield pd.DataFrame(
+                recs, columns=["doc_id", "b0", "b1", "b2", "b3"]
+            )
+
+    return df.select("doc_id", text_col).mapInPandas(run, out_schema)

@@ -556,3 +556,535 @@ def q_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = row if rows is None else rows.unionByName(row)
     return rows
+
+
+# --- perceptual difference-hash (dHash) image dedup ---------------------------
+
+
+@register(
+    "dhash_gradient_dedup",
+    """
+WITH words AS (
+  SELECT doc_id, w.w AS word
+  FROM documents, LATERAL unnest(string_split(text, ' ')) AS w(w)
+  WHERE w.w <> ''),
+px AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(word), 1, 8)) AS BIGINT) % 288 AS idx,
+         LEAST(CAST(COUNT(*) AS BIGINT) * 24, 255) AS v
+  FROM words GROUP BY 1, 2),
+bsum AS (
+  SELECT doc_id,
+         ((idx // 18) // 2) * 9 + ((idx % 18) // 2) AS blk,
+         CAST(SUM(v) AS BIGINT) AS bs
+  FROM px GROUP BY 1, 2),
+grid AS (
+  SELECT d.doc_id, g.g AS blk, COALESCE(b.bs, 0) AS bs
+  FROM documents d CROSS JOIN UNNEST(generate_series(0, 71)) AS g(g)
+  LEFT JOIN bsum b ON b.doc_id = d.doc_id AND b.blk = g.g),
+bits AS (
+  SELECT l.doc_id, (l.blk // 9) * 8 + (l.blk % 9) AS k,
+         CASE WHEN l.bs > r.bs THEN 1 ELSE 0 END AS bit
+  FROM grid l JOIN grid r ON l.doc_id = r.doc_id AND r.blk = l.blk + 1
+  WHERE l.blk % 9 < 8),
+dh AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(COALESCE(SUM(CASE WHEN k < 16 THEN bit << (k - 0) ELSE 0 END), 0) AS INT) AS b0,
+         CAST(COALESCE(SUM(CASE WHEN k >= 16 AND k < 32 THEN bit << (k - 16) ELSE 0 END), 0) AS INT) AS b1,
+         CAST(COALESCE(SUM(CASE WHEN k >= 32 AND k < 48 THEN bit << (k - 32) ELSE 0 END), 0) AS INT) AS b2,
+         CAST(COALESCE(SUM(CASE WHEN k >= 48 THEN bit << (k - 48) ELSE 0 END), 0) AS INT) AS b3
+  FROM bits GROUP BY doc_id),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.b0 AS a0, a.b1 AS a1, a.b2 AS a2, a.b3 AS a3,
+         b.b0 AS c0, b.b1 AS c1, b.b2 AS c2, b.b3 AS c3
+  FROM (
+    SELECT a.doc_id AS ida, b.doc_id AS idb FROM dh a JOIN dh b
+      ON a.b0 = b.b0 AND a.doc_id < b.doc_id
+    UNION
+    SELECT a.doc_id, b.doc_id FROM dh a JOIN dh b
+      ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+    UNION
+    SELECT a.doc_id, b.doc_id FROM dh a JOIN dh b
+      ON a.b2 = b.b2 AND a.doc_id < b.doc_id
+    UNION
+    SELECT a.doc_id, b.doc_id FROM dh a JOIN dh b
+      ON a.b3 = b.b3 AND a.doc_id < b.doc_id) p
+  JOIN dh a ON a.doc_id = p.ida
+  JOIN dh b ON b.doc_id = p.idb)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
+          + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
+    + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) <= 3
+""",
+)
+def q_dhash_gradient_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image detection by perceptual DIFFERENCE-hash — the
+    gradient-signature companion to `multimodal_ahash_dedup`: bit (r, c)
+    encodes whether block (r, c) is brighter than its right neighbor, so
+    the signature survives the global brightness/contrast shifts that
+    flip every mean-threshold aHash bit at once (the standard reason
+    production image dedup runs BOTH screens). The per-document image is
+    the deterministic word-histogram render (18x16 — one extra block
+    column buys 8 gradient bits per row) round-tripped through the real
+    BMP codec (operators/multimodal.py:dhash_bands); pairs within
+    hamming <= 3 surface via the same 4-band pigeonhole candidate
+    generator, whose band-equality joins are lossless for that radius.
+
+    Scale shape: one mapInPandas codec pass, four self-joins keyed on
+    16-bit bands, verification on candidates only — never all-pairs;
+    the signature table is answer-sized and checkpointed once."""
+    from taxi_data_datapipeline_spark.operators.multimodal import dhash_bands
+
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    dh = dhash_bands(d).localCheckpoint(eager=False)
+    left = dh.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{j}").alias(f"a{j}") for j in range(4)],
+    )
+    right = dh.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{j}").alias(f"c{j}") for j in range(4)],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"c{j}"))) for j in range(4)
+    ).cast("int")
+    cands = None
+    for j in range(4):
+        c = (
+            left.join(
+                right,
+                (F.col(f"a{j}") == F.col(f"c{j}"))
+                & (F.col("doc_a") < F.col("doc_b")),
+            )
+            .select("doc_a", "doc_b", hamming.alias("hamming"))
+            .filter(F.col("hamming") <= 3)
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    return cands.distinct()
+
+
+# --- perceptual DCT-hash (pHash) image dedup ----------------------------------
+
+
+def _phash_oracle() -> str:
+    from taxi_data_datapipeline_spark.operators.multimodal import (
+        dct_basis_8x32,
+    )
+
+    basis_rows = ", ".join(
+        f"({u}, {r}, {coef})"
+        for u, row in enumerate(dct_basis_8x32())
+        for r, coef in enumerate(row)
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id, w.w AS word
+  FROM documents, LATERAL unnest(string_split(text, ' ')) AS w(w)
+  WHERE w.w <> ''),
+px AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(word), 1, 8)) AS BIGINT) % 1024 AS idx,
+         LEAST(CAST(COUNT(*) AS BIGINT) * 24, 255) AS v
+  FROM words GROUP BY 1, 2),
+basis(u, r, coef) AS (VALUES {basis_rows}),
+d1 AS (
+  SELECT p.doc_id, b.u, p.idx % 32 AS c,
+         CAST(SUM(b.coef * p.v) AS BIGINT) AS s
+  FROM px p JOIN basis b ON b.r = p.idx // 32
+  GROUP BY 1, 2, 3),
+d2 AS (
+  SELECT d.doc_id, d.u, b.u AS v2,
+         CAST(SUM(b.coef * d.s) AS BIGINT) AS coef
+  FROM d1 d JOIN basis b ON b.r = d.c
+  GROUP BY 1, 2, 3),
+s63 AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN u = 0 AND v2 = 0 THEN 0 ELSE coef END) AS BIGINT)
+           AS tot
+  FROM d2 GROUP BY doc_id),
+bits AS (
+  SELECT d.doc_id, d.u * 8 + d.v2 AS k,
+         CASE WHEN d.u = 0 AND d.v2 = 0 THEN 0
+              WHEN 63 * d.coef > s.tot THEN 1 ELSE 0 END AS bit
+  FROM d2 d JOIN s63 s USING (doc_id)),
+ph AS MATERIALIZED (
+  SELECT d.doc_id,
+         CAST(COALESCE(SUM(CASE WHEN k < 16 THEN bit << (k - 0) ELSE 0 END), 0) AS INT) AS b0,
+         CAST(COALESCE(SUM(CASE WHEN k >= 16 AND k < 32 THEN bit << (k - 16) ELSE 0 END), 0) AS INT) AS b1,
+         CAST(COALESCE(SUM(CASE WHEN k >= 32 AND k < 48 THEN bit << (k - 32) ELSE 0 END), 0) AS INT) AS b2,
+         CAST(COALESCE(SUM(CASE WHEN k >= 48 THEN bit << (k - 48) ELSE 0 END), 0) AS INT) AS b3
+  FROM documents d LEFT JOIN bits b USING (doc_id) GROUP BY d.doc_id),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.b0 AS a0, a.b1 AS a1, a.b2 AS a2, a.b3 AS a3,
+         b.b0 AS c0, b.b1 AS c1, b.b2 AS c2, b.b3 AS c3
+  FROM (
+    SELECT a.doc_id AS ida, b.doc_id AS idb FROM ph a JOIN ph b
+      ON a.b0 = b.b0 AND a.doc_id < b.doc_id
+    UNION
+    SELECT a.doc_id, b.doc_id FROM ph a JOIN ph b
+      ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+    UNION
+    SELECT a.doc_id, b.doc_id FROM ph a JOIN ph b
+      ON a.b2 = b.b2 AND a.doc_id < b.doc_id
+    UNION
+    SELECT a.doc_id, b.doc_id FROM ph a JOIN ph b
+      ON a.b3 = b.b3 AND a.doc_id < b.doc_id) p
+  JOIN ph a ON a.doc_id = p.ida
+  JOIN ph b ON b.doc_id = p.idb)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
+          + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
+    + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) <= 3
+"""
+
+
+@register("phash_dct_dedup", _phash_oracle())
+def q_phash_dct_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image detection by perceptual DCT-hash — the third
+    complementary screen of the image-dedup ladder (aHash = mean
+    threshold, dHash = gradient, pHash = low-frequency spectrum): each
+    document's deterministic 32x32 render round-trips the real BMP
+    codec, the 8x8 low-frequency DCT block comes from a FIXED-POINT
+    integer basis inlined identically into both engines (no libm cos at
+    query time — the multiply-chain discipline applied to a matrix
+    product), and bit k compares 63*coef_k against the non-DC total in
+    exact int64. Pairs within hamming <= 3 via the same lossless 4-band
+    pigeonhole as the aHash/dHash queries.
+
+    Scale shape: one mapInPandas codec+DCT pass (the 8x32 basis is a
+    constant), answer-sized signature table, banded self-joins,
+    verification on candidates only — never all-pairs."""
+    from taxi_data_datapipeline_spark.operators.multimodal import phash_bands
+
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    ph = phash_bands(d).localCheckpoint(eager=False)
+    left = ph.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{j}").alias(f"a{j}") for j in range(4)],
+    )
+    right = ph.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{j}").alias(f"c{j}") for j in range(4)],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"c{j}"))) for j in range(4)
+    ).cast("int")
+    cands = None
+    for j in range(4):
+        c = (
+            left.join(
+                right,
+                (F.col(f"a{j}") == F.col(f"c{j}"))
+                & (F.col("doc_a") < F.col("doc_b")),
+            )
+            .select("doc_a", "doc_b", hamming.alias("hamming"))
+            .filter(F.col("hamming") <= 3)
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    return cands.distinct()
+
+
+# --- IVF nprobe/recall sweep --------------------------------------------------
+
+_NPROBES = (1, 2, 4, 8)
+
+
+def _ivf_nprobe_oracle() -> str:
+    from taxi_data_datapipeline_spark.queries_data import _srp_planes_sql
+
+    cos = (
+        "list_dot_product(v.ev, q.qv) /"
+        " (sqrt(list_dot_product(v.ev, v.ev))"
+        " * sqrt(list_dot_product(q.qv, q.qv)))"
+    )
+    per_probe = []
+    for P in _NPROBES:
+        per_probe.append(f"""
+r{P} AS (
+  SELECT v.vec_id FROM v
+  JOIN lists l ON v.vec_id = l.vec_id
+  JOIN qrank qr ON l.lst = qr.p AND qr.rk <= {P}
+  CROSS JOIN q
+  WHERE v.vec_id <> 0
+  ORDER BY ROUND({cos}, 6) DESC, v.vec_id LIMIT 10),
+s{P} AS (
+  SELECT {P} AS nprobe,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM lists l
+          JOIN qrank qr ON l.lst = qr.p AND qr.rk <= {P}
+          WHERE l.vec_id <> 0) AS n_candidates,
+         (SELECT CAST(COUNT(*) AS BIGINT)
+          FROM r{P} r JOIN truth t ON r.vec_id = t.vec_id) AS n_hits)""")
+    heads = ",".join(per_probe)
+    union = "\nUNION ALL\n".join(
+        f"SELECT nprobe, n_candidates, n_hits,"
+        f" ROUND(n_hits / 10.0, 6) AS recall_at_10 FROM s{P}"
+        for P in _NPROBES
+    )
+    return f"""
+WITH planes(p, comps) AS (
+  VALUES {_srp_planes_sql(16)}
+), v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+), q AS (SELECT ev AS qv FROM v WHERE vec_id = 0),
+proj AS (
+  SELECT v.vec_id, pl.p, list_dot_product(v.ev, pl.comps) AS pr
+  FROM v CROSS JOIN planes pl
+), lists AS (
+  SELECT vec_id, p AS lst FROM proj
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY pr DESC, p ASC) = 1
+), qrank AS (
+  SELECT pl.p,
+         ROW_NUMBER() OVER (
+           ORDER BY list_dot_product(q.qv, pl.comps) DESC, pl.p ASC) AS rk
+  FROM planes pl CROSS JOIN q
+), truth AS (
+  SELECT v.vec_id FROM v CROSS JOIN q WHERE v.vec_id <> 0
+  ORDER BY ROUND({cos}, 6) DESC, v.vec_id LIMIT 10
+),{heads}
+{union}
+"""
+
+
+@register("ivf_nprobe_recall", _ivf_nprobe_oracle())
+def q_ivf_nprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF recall dial, measured: for nprobe in {1, 2, 4, 8}, probe
+    the query's top-P inverted lists (ranked by the query's own
+    projection onto each seeded hyperplane, ties to the lower list
+    index), run the exact cosine top-10 over just those lists, and score
+    recall@10 against the brute-force truth — the candidates-vs-recall
+    trade-off curve every IVF deployment tunes before fixing nprobe
+    (pairing `embedding_ivf_topk`, which fixes nprobe=1, and
+    `pq_recall_at_k`, which scores the compression axis).
+
+    Fully hash-checked despite ANN recall < 1: quantizer, probe ranking
+    and tie-breaks are deterministic and replicated exactly in the
+    oracle (precomputed hyperplane constants), so the candidate sets —
+    not just the recall numbers — agree bit-for-bit.
+
+    Scale shape: the bucketed table is computed once and checkpointed
+    (answer-sized signature frame); each probe level is a partition-
+    pruned filter + TakeOrderedAndProject; the truth set is k rows,
+    joined broadcast. Nothing all-pairs, nothing collected but scalars.
+    """
+    from taxi_data_datapipeline_spark.functions.srp_constants import (
+        SRP_COMPONENTS,
+    )
+    from taxi_data_datapipeline_spark.operators.similarity import (
+        cosine,
+        ivf_bucket,
+    )
+    from taxi_data_datapipeline_spark.queries_data import _query_vec
+
+    qv = _query_vec(spark, sf_dir)
+    n_dims = len(qv)
+    projq = []
+    for p in range(16):
+        acc = 0.0
+        for x, c in zip(qv, SRP_COMPONENTS[p]):
+            acc = acc + float(x) * c
+        projq.append(acc)
+    order = sorted(range(16), key=lambda p: (-projq[p], p))
+
+    emb = load(spark, sf_dir, "embeddings", fan_out=True).filter(
+        F.col("vec_id") != 0
+    )
+    bucketed = emb.withColumn(
+        "_list", ivf_bucket(F.col("embedding"), n_dims, 16)
+    ).localCheckpoint(eager=False)
+    qarr = F.array(*[F.lit(float(x)) for x in qv])
+    sim = F.round(cosine(F.col("embedding"), qarr), 6)
+    truth = (
+        emb.select("vec_id", sim.alias("cs"))
+        .orderBy(F.col("cs").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    rows = None
+    for P in _NPROBES:
+        cand = bucketed.filter(F.col("_list").isin(order[:P]))
+        n_c = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+        ret = (
+            cand.select("vec_id", sim.alias("cs"))
+            .orderBy(F.col("cs").desc(), "vec_id")
+            .limit(10)
+            .select("vec_id")
+        )
+        hits = ret.join(F.broadcast(truth), "vec_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits")
+        )
+        row = n_c.crossJoin(hits).select(
+            F.lit(P).alias("nprobe"),
+            "n_candidates",
+            "n_hits",
+            F.round(F.col("n_hits") / 10.0, 6).alias("recall_at_10"),
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows
+
+
+# --- fastText-style hashed linear quality/language classifier -----------------
+
+_FT_BUCKETS = 16
+_FT_CAP = 50  # per-bucket count cap keeps |z| bounded at any doc length
+_FT_LR = 8_388_608  # update divisor 2^23 (truncating int division)
+_FT_ROUNDS = 2
+
+
+def _ft_oracle() -> str:
+    xs = ", ".join(
+        f"LEAST(SUM(CASE WHEN b = {b} THEN 1 ELSE 0 END), {_FT_CAP}) AS x{b}"
+        for b in range(_FT_BUCKETS)
+    )
+    z = " + ".join(f"u{b + 1} * x{b}" for b in range(_FT_BUCKETS))
+    steps = [
+        "b0 AS (SELECT "
+        + ", ".join(f"CAST(0 AS BIGINT) AS u{i}" for i in range(_FT_BUCKETS + 1))
+        + ")"
+    ]
+    for k in range(1, _FT_ROUNDS + 1):
+        p = f"b{k - 1}"
+        grads = ",\n         ".join(
+            f"CAST(FLOOR(SUM(CAST(ROUND((p - y) * CAST(x{b} AS DOUBLE), 9)"
+            f" AS DECIMAL(28,12))) * 1000000) AS BIGINT) AS g{b + 1}"
+            for b in range(_FT_BUCKETS)
+        )
+        upds = ",\n         ".join(
+            f"{p}.u{i} - u{k}.g{i} // {_FT_LR} AS u{i}"
+            for i in range(_FT_BUCKETS + 1)
+        )
+        steps.append(
+            f"""t{k} AS (
+  SELECT y, {", ".join(f"x{b}" for b in range(_FT_BUCKETS))},
+         1.0e0 / (1.0e0 + EXP(-(CAST({p}.u0 + {z} AS DOUBLE) * 1e-6))) AS p
+  FROM feat CROSS JOIN {p}),
+u{k} AS (
+  SELECT CAST(SUM(CASE WHEN p >= 0.5e0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pred_pos,
+         CAST(SUM(CASE WHEN (CASE WHEN p >= 0.5e0 THEN 1 ELSE 0 END) = y
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         CAST(FLOOR(SUM(CAST(ROUND(p - y, 9) AS DECIMAL(28,12)))
+                    * 1000000) AS BIGINT) AS g0,
+         {grads}
+  FROM t{k}),
+b{k} AS (
+  SELECT {upds}
+  FROM {p} CROSS JOIN u{k})"""
+        )
+    outs = " UNION ALL ".join(
+        f"SELECT {k} AS round, u{k}.n_pred_pos, u{k}.n_correct, "
+        + ", ".join(f"b{k}.u{i}" for i in range(_FT_BUCKETS + 1))
+        + f" FROM u{k} CROSS JOIN b{k}"
+        for k in range(1, _FT_ROUNDS + 1)
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id, y, lower(t.t) AS w
+  FROM (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+               {_SQL_TOKS} AS tok
+        FROM documents) dd,
+       UNNEST(dd.tok) AS t(t)),
+feat AS (
+  SELECT doc_id, y, {xs}
+  FROM (SELECT doc_id, y,
+               CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT)
+                 % {_FT_BUCKETS} AS b
+        FROM words)
+  GROUP BY doc_id, y),
+{",".join(steps)}
+{outs}
+"""
+
+
+@register("fasttext_hash_classifier", _ft_oracle())
+def q_fasttext_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A fastText-style linear text classifier trained as a Spark plan —
+    the hashing-trick bag-of-words (16 md5 buckets, counts capped at 50)
+    feeding a logistic unit, on fastText's flagship task: language ID
+    (y = lang == 'en'). Training is 2 unrolled rounds of full-batch
+    gradient descent under the engine's fixed-point ML recipe
+    (logistic_gd): integer micro-unit weights so the per-doc logit is
+    one exact int64 dot product, per-row sigmoid terms quantized
+    ROUND(.,9) -> DECIMAL before summation (fold-order-free gradients),
+    and FLOOR + truncating power-of-two division keeping every updated
+    weight an integer. Each round reports train accuracy (n_correct)
+    and the full 17-weight state — a bit-exact cross-engine check of
+    the entire training trajectory, not just the final score.
+
+    Scale shape: the feature table is one explode + one map-side-
+    combined groupBy per document; each round is a single full pass
+    with a broadcast 1-row weight table (scalar-broadcast idiom,
+    eagerly checkpointed so round k+1 never re-runs round k). At 100 TB
+    the model state is 17 integers and each round is one scan."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("bigint")
+        % _FT_BUCKETS
+    )
+    words = d.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.explode(F.transform(tokens(F.col("text")), lambda t: F.lower(t))).alias(
+            "w"
+        ),
+    ).select("doc_id", "y", bucket.alias("b"))
+    feat = words.groupBy("doc_id", "y").agg(
+        *[
+            F.least(
+                F.sum(F.when(F.col("b") == b, 1).otherwise(0)), F.lit(_FT_CAP)
+            ).alias(f"x{b}")
+            for b in range(_FT_BUCKETS)
+        ]
+    )
+    beta = spark.createDataFrame(
+        [tuple(0 for _ in range(_FT_BUCKETS + 1))],
+        ", ".join(f"u{i} bigint" for i in range(_FT_BUCKETS + 1)),
+    )
+    dec = lambda c: F.round(c, 9).cast("decimal(28,12)")  # noqa: E731
+    out = None
+    for k in range(1, _FT_ROUNDS + 1):
+        j = feat.crossJoin(F.broadcast(beta))
+        z = F.col("u0")
+        for b in range(_FT_BUCKETS):
+            z = z + F.col(f"u{b + 1}") * F.col(f"x{b}")
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-(z.cast("double") * F.lit(1e-6))))
+        pred = (p >= 0.5).cast("int")
+        upd = j.agg(
+            F.sum(pred.cast("bigint")).alias("n_pred_pos"),
+            F.sum((pred == F.col("y")).cast("bigint")).alias("n_correct"),
+            F.floor(F.sum(dec(p - F.col("y"))) * 1000000)
+            .cast("bigint")
+            .alias("g0"),
+            *[
+                F.floor(
+                    F.sum(dec((p - F.col("y")) * F.col(f"x{b}").cast("double")))
+                    * 1000000
+                )
+                .cast("bigint")
+                .alias(f"g{b + 1}")
+                for b in range(_FT_BUCKETS)
+            ],
+        ).localCheckpoint(eager=True)
+        beta = (
+            beta.crossJoin(F.broadcast(upd))
+            .select(
+                *[
+                    (F.col(f"u{i}") - F.expr(f"g{i} DIV {_FT_LR}")).alias(f"u{i}")
+                    for i in range(_FT_BUCKETS + 1)
+                ]
+            )
+            .localCheckpoint(eager=True)
+        )
+        row = upd.crossJoin(beta).select(
+            F.lit(k).alias("round"),
+            "n_pred_pos",
+            "n_correct",
+            *[F.col(f"u{i}") for i in range(_FT_BUCKETS + 1)],
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
