@@ -254,17 +254,24 @@ def blocked_jaccard_pairs(
     )
     ex = g.select(*block_cols, "_id", F.explode("grams").alias("gram"))
     a, b = ex.alias("a"), ex.alias("b")
+    # Gram-exploded self-join: both sides are the corpus-sized inverted
+    # index (a Generate above the scan, whose output size Catalyst
+    # under-estimates) -- pin shuffle_hash so a statistics estimate can
+    # never choose broadcast (SCALING.md round-11 rule).
     inter = (
-        a.join(b, [*block_cols, "gram"])
+        a.join(b.hint("shuffle_hash"), [*block_cols, "gram"])
         .filter(F.col("a._id") < F.col("b._id"))
         .groupBy(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sa = sizes.select(F.col("_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    # inter is a post-aggregate pair table (density-scaled, optimistic
+    # estimate); the size frames are corpus-sized. Pin the shuffled
+    # strategy on both joins rather than risk either side broadcasting.
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        inter.join(sa.hint("shuffle_hash"), "doc_a")
+        .join(sb.hint("shuffle_hash"), "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -413,8 +420,11 @@ def simhash_dedup(
     ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
     if max_bucket_fanout is None:
         a, b = keyed.alias("a"), keyed.alias("b")
+        # Banded self-join over the corpus-sized signature table (post-
+        # aggregate build side) -- shuffle_hash pin per the SCALING.md
+        # round-11 rule; the band value is the shuffle key.
         cands = a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.bk") == F.col("b.bk")) & (F.col("a._id") < F.col("b._id")),
         ).select(F.col("a._id").alias("doc_a"), F.col("a.sh").alias("sh_a"),
                  F.col("b._id").alias("doc_b"), F.col("b.sh").alias("sh_b"))
@@ -613,7 +623,12 @@ def ranked_gram_index(
         "_id", F.size("grams").alias("sz"), F.explode("grams").alias("gram")
     )
     dfreq = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
-    return ex.join(dfreq, "gram").withColumn(
+    # Both sides corpus-scaled (exploded grams vs gram-df aggregate) and
+    # the build side is a post-aggregate whose row estimate Catalyst
+    # guesses optimistically -- never let statistics pick broadcast here
+    # (SCALING.md round-11 rule; the substring_dup_spans sf3 failure
+    # class). shuffle_hash keeps the join shuffled at every scale.
+    return ex.join(dfreq.hint("shuffle_hash"), "gram").withColumn(
         "rn",
         F.row_number().over(Window.partitionBy("_id").orderBy("df", "gram")),
     ).select("_id", "sz", "gram", "rn")
@@ -710,16 +725,20 @@ def prefix_filter_jaccard_pairs(
     ids = cands.select(
         F.explode(F.array("doc_a", "doc_b")).alias("_id")
     ).distinct()
+    # ids is a density-scaled distinct aggregate (optimistic estimate);
+    # keep the semi-join shuffled.
     gsub = (
         df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
-        .join(ids, "_id", "left_semi")  # filter raw docs BEFORE shingling
+        .join(ids.hint("shuffle_hash"), "_id", "left_semi")  # filter raw docs BEFORE shingling
         .select("_id", ngram_shingles(F.col("_text"), ngram).alias("grams"))
     )
     ga = gsub.select(F.col("_id").alias("doc_a"), F.col("grams").alias("_ga"))
     gb = gsub.select(F.col("_id").alias("doc_b"), F.col("grams").alias("_gb"))
+    # Candidate pairs (post-aggregate) vs re-shingled survivors (semi-
+    # joined corpus subset): both density-scaled -- keep shuffled.
     return (
-        cands.join(ga, "doc_a")
-        .join(gb, "doc_b")
+        cands.join(ga.hint("shuffle_hash"), "doc_a")
+        .join(gb.hint("shuffle_hash"), "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -785,8 +804,10 @@ def containment_pairs(
     alpha_a = F.expr(
         f"({threshold_num} * sz_a + {threshold_den - 1}) DIV {threshold_den}"
     )
+    # Prefix table vs full inverted index: both corpus-scaled windowed
+    # frames -- shuffle_hash pin (SCALING.md round-11 rule).
     first = (
-        pref.join(full, "gram")
+        pref.join(full.hint("shuffle_hash"), "gram")
         .filter(F.col("doc_a") != F.col("doc_b"))
         .filter(F.col("sz_b") * F.lit(threshold_den) >= F.col("sz_a") * F.lit(threshold_num))
         .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
@@ -799,16 +820,20 @@ def containment_pairs(
     ids = cands.select(
         F.explode(F.array("doc_a", "doc_b")).alias("_id")
     ).distinct()
+    # ids is a density-scaled distinct aggregate (optimistic estimate);
+    # keep the semi-join shuffled.
     gsub = (
         df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
-        .join(ids, "_id", "left_semi")
+        .join(ids.hint("shuffle_hash"), "_id", "left_semi")
         .select("_id", ngram_shingles(F.col("_text"), ngram).alias("grams"))
     )
     ga = gsub.select(F.col("_id").alias("doc_a"), F.col("grams").alias("_ga"))
     gb = gsub.select(F.col("_id").alias("doc_b"), F.col("grams").alias("_gb"))
+    # Candidate pairs (post-aggregate) vs re-shingled survivors (semi-
+    # joined corpus subset): both density-scaled -- keep shuffled.
     return (
-        cands.join(ga, "doc_a")
-        .join(gb, "doc_b")
+        cands.join(ga.hint("shuffle_hash"), "doc_a")
+        .join(gb.hint("shuffle_hash"), "doc_b")
         .select(
             "doc_a",
             "doc_b",

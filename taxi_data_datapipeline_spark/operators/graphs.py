@@ -133,8 +133,8 @@ def triangle_stats(edges: DataFrame, src: str = "a", dst: str = "b") -> DataFram
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
     o = (
-        e.join(da, "a")
-        .join(db, "b")
+        e.join(da.hint("shuffle_hash"), "a")
+        .join(db.hint("shuffle_hash"), "b")
         .select(
             F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
             F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
@@ -144,9 +144,9 @@ def triangle_stats(edges: DataFrame, src: str = "a", dst: str = "b") -> DataFram
     # fits and a hash join when a 100 TB graph's adjacency doesn't.
     adj = o.groupBy("u").agg(F.collect_list("v").alias("nbrs"))
     tri = (
-        o.join(adj, "u")
+        o.join(adj.hint("shuffle_hash"), "u")
         .join(
-            adj.select(F.col("u").alias("v"), F.col("nbrs").alias("vnbrs")),
+            adj.select(F.col("u").alias("v"), F.col("nbrs").alias("vnbrs")).hint("shuffle_hash"),
             "v",
         )
         .select(

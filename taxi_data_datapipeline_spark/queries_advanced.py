@@ -317,7 +317,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dlen", F.sum("tc").over(Window.partitionBy("doc_id")))
     )
     dfreq = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("dfreq"))
-    scored = tf.join(dfreq, "term").select(
+    scored = tf.join(dfreq.hint("shuffle_hash"), "term").select(
         "doc_id",
         "term",
         F.round(
@@ -606,7 +606,7 @@ def q_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (0.2 * F.avg("l_quantity")).alias("qty_limit")
     )
     return (
-        li.join(limits, F.col("l_partkey") == F.col("pk"))
+        li.join(limits.hint("shuffle_hash"), F.col("l_partkey") == F.col("pk"))
         .filter(F.col("l_quantity") < F.col("qty_limit"))
         .agg(
             F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) / 7.0, 6)
@@ -761,8 +761,8 @@ def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = bigrams.groupBy(F.col("w1").alias("w")).agg(F.count(F.lit(1)).alias("uc"))
     bi = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bc"))
     scored = (
-        bigrams.join(bi, ["w1", "w2"])
-        .join(uni, F.col("w1") == F.col("w"))
+        bigrams.join(bi.hint("shuffle_hash"), ["w1", "w2"])
+        .join(uni.hint("shuffle_hash"), F.col("w1") == F.col("w"))
         .select(
             "doc_id",
             F.round(-F.log(F.col("bc").cast("double") / F.col("uc")), 9)
@@ -1010,7 +1010,7 @@ def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        grid.join(daily, ["user_id", "d"], "left")
+        grid.join(daily.hint("shuffle_hash"), ["user_id", "d"], "left")
         .select(
             "user_id",
             "d",
@@ -1776,7 +1776,7 @@ def q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.sequence("lo", "hi")).alias("d"))
     )
     grid = daily.select("user_id").distinct().crossJoin(F.broadcast(cal))
-    joined = grid.join(daily, ["user_id", "d"], "left")
+    joined = grid.join(daily.hint("shuffle_hash"), ["user_id", "d"], "left")
     wb = (
         Window.partitionBy("user_id")
         .orderBy("d")
@@ -1861,7 +1861,7 @@ def q_asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_cols=[],
         direction="forward",
     ).select("event_id", F.col("ts_asof").alias("fwd_ts"))
-    j = back.join(fwd, "event_id")
+    j = back.join(fwd.hint("shuffle_hash"), "event_id")
     back_d = F.col("ts").cast("double") - F.col("back_ts").cast("double")
     fwd_d = F.col("fwd_ts").cast("double") - F.col("ts").cast("double")
     nearest = (
@@ -3178,7 +3178,7 @@ def q_basket_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     freq = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("f"))
-    ranked = li.join(freq, "l_partkey").select(
+    ranked = li.join(freq.hint("shuffle_hash"), "l_partkey").select(
         "l_orderkey", F.struct("f", "l_partkey").alias("rk")
     )
     baskets = ranked.groupBy("l_orderkey").agg(
@@ -3193,7 +3193,7 @@ def q_basket_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = (
         prefix.alias("x")
-        .join(prefix.alias("y"), "item")
+        .join(prefix.alias("y").hint("shuffle_hash"), "item")
         .filter(F.col("x.l_orderkey") < F.col("y.l_orderkey"))
         .select(
             F.col("x.l_orderkey").alias("o1"),
@@ -3211,8 +3211,8 @@ def q_basket_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_union("p1", "p2")
     )
     return (
-        cand.join(b1, "o1")
-        .join(b2, "o2")
+        cand.join(b1.hint("shuffle_hash"), "o1")
+        .join(b2.hint("shuffle_hash"), "o2")
         .filter(jac >= 0.5)
         .select("o1", "o2", F.round(jac, 6).alias("jaccard"))
     )
@@ -3874,7 +3874,7 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     churn = (
         seq.join(
-            nxt,
+            nxt.hint("shuffle_hash"),
             (seq["user_id"] == nxt["user_id"])
             & (nxt["next_wk"] == seq["wk"] + F.expr("INTERVAL 7 DAYS")),
             "left_anti",

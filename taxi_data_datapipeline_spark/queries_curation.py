@@ -201,7 +201,7 @@ def q_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         10,
     ).cast("long")
     sig = (
-        d.join(ids, "doc_id", "left_semi")
+        d.join(ids.hint("shuffle_hash"), "doc_id", "left_semi")
         .select("doc_id", F.explode(ngram_shingles(F.col("text"), 3)).alias("gram"))
         .select(
             "doc_id",
@@ -214,8 +214,8 @@ def q_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sig.select(F.col("doc_id").alias("doc_a"), "p", F.col("mh").alias("mh_a"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), "p", F.col("mh").alias("mh_b"))
     est = (
-        pairs.join(sa, "doc_a")
-        .join(sb, ["doc_b", "p"])
+        pairs.join(sa.hint("shuffle_hash"), "doc_a")
+        .join(sb.hint("shuffle_hash"), ["doc_b", "p"])
         .groupBy("doc_a", "doc_b", "exact_jaccard")
         .agg(
             F.round(
@@ -1034,7 +1034,7 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     nc = nrm.select(F.col("vec_id").alias("cand_id"), F.col("n2").alias("nc2"))
     sims = (
         dots.join(F.broadcast(na), "anchor_id")
-        .join(nc, "cand_id")
+        .join(nc.hint("shuffle_hash"), "cand_id")
         .select(
             "anchor_id",
             "cand_id",

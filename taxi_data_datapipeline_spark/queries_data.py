@@ -1188,13 +1188,13 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = s.filter(F.col("split") == "eval")
     hits = (
         v.select("doc_id", F.explode("grams").alias("gram"))
-        .join(train_grams, "gram", "left_semi")
+        .join(train_grams.hint("shuffle_hash"), "gram", "left_semi")
         .groupBy("doc_id")
         .agg(F.countDistinct("gram").alias("n_hit"))
     )
     return (
         v.select("doc_id", F.size("grams").cast("long").alias("n_grams"))
-        .join(hits, "doc_id", "left")
+        .join(hits.hint("shuffle_hash"), "doc_id", "left")
         .select(
             "doc_id",
             "n_grams",
@@ -1740,7 +1740,7 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     groups = d.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
     return (
-        d.join(groups, "fp")
+        d.join(groups.hint("shuffle_hash"), "fp")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -1985,7 +1985,7 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     term_score = (idf * tf_norm).cast("decimal(28,12)")
     return (
         tf.join(F.broadcast(dfreq), "term")
-        .join(dl, "doc_id")
+        .join(dl.hint("shuffle_hash"), "doc_id")
         .join(F.broadcast(stats))
         .select("doc_id", term_score.alias("term_score"))
         .groupBy("doc_id")
@@ -3377,7 +3377,7 @@ def q_dup_span_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup_fps = grams.groupBy("fp").agg(F.count(F.lit(1)).alias("n")).filter(
         F.col("n") > 1
     )
-    dpos = grams.join(dup_fps.select("fp"), "fp", "semi").select("doc_id", "p")
+    dpos = grams.join(dup_fps.select("fp").hint("shuffle_hash"), "fp", "semi").select("doc_id", "p")
     w_ord = Window.partitionBy("doc_id").orderBy("p")
     prev_end = F.max(F.col("p") + (k - 1)).over(
         w_ord.rowsBetween(Window.unboundedPreceding, -1)
@@ -3497,7 +3497,7 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_fingerprints"))
     )
     per_doc = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    return per_doc.join(fps, "doc_id", "left").select(
+    return per_doc.join(fps.hint("shuffle_hash"), "doc_id", "left").select(
         "doc_id",
         "n_grams",
         F.coalesce("n_fingerprints", F.lit(0)).alias("n_fingerprints"),
@@ -4457,7 +4457,7 @@ def q_lsh_screen_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         bk.alias("a")
         .join(
-            bk.alias("b"),
+            bk.alias("b").hint("shuffle_hash"),
             (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
@@ -4467,7 +4467,7 @@ def q_lsh_screen_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     pc = (
         e.alias("x")
         .join(
-            e.alias("y"),
+            e.alias("y").hint("shuffle_hash"),
             (F.col("x.gram") == F.col("y.gram"))
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
@@ -4478,8 +4478,8 @@ def q_lsh_screen_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sz = grams.select("doc_id", F.size("grams").alias("s"))
     truth = (
-        pc.join(sz.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sz.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        pc.join(sz.alias("sa").hint("shuffle_hash"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sz.alias("sb").hint("shuffle_hash"), F.col("doc_b") == F.col("sb.doc_id"))
         .filter(
             F.round(
                 F.col("c").cast("double")
@@ -4492,7 +4492,7 @@ def q_lsh_screen_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_t = truth.agg(F.count(F.lit(1)).alias("n_truth"))
     n_c = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
-    n_tp = cand.join(truth, ["doc_a", "doc_b"]).agg(
+    n_tp = cand.join(truth.hint("shuffle_hash"), ["doc_a", "doc_b"]).agg(
         F.count(F.lit(1)).alias("n_true_positives")
     )
     return (

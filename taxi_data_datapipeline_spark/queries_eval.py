@@ -472,8 +472,8 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     uc = train.groupBy("w1").agg(F.count(F.lit(1)).alias("uc"))
     evalb = (
         bigrams.filter(F.col("bucket") >= 8)
-        .join(bc, ["w1", "w2"], "left")
-        .join(uc, ["w1"], "left")
+        .join(bc.hint("shuffle_hash"), ["w1", "w2"], "left")
+        .join(uc.hint("shuffle_hash"), ["w1"], "left")
         .crossJoin(F.broadcast(v))
         .select(
             "vocab",
@@ -759,8 +759,8 @@ def q_ppmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c") >= 3)
     )
     scored = (
-        bc.join(cl, "w1")
-        .join(cr, "w2")
+        bc.join(cl.hint("shuffle_hash"), "w1")
+        .join(cr.hint("shuffle_hash"), "w2")
         .crossJoin(F.broadcast(n))
         .select(
             "w1",

@@ -151,7 +151,7 @@ def q_snm_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = probes.join(
         ranked.select(
             F.col("doc_id").alias("doc_b"), "lang", F.col("rn").alias("rn_b")
-        ),
+        ).hint("shuffle_hash"),
         ["lang", "rn_b"],
     ).select(
         "doc_a", "doc_b", (F.col("rn_b") - F.col("rn_a")).cast("long").alias("gap")
@@ -160,8 +160,8 @@ def q_snm_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ga = g.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("_ga"))
     gb = g.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("_gb"))
     return (
-        cand.join(ga, "doc_a")
-        .join(gb, "doc_b")
+        cand.join(ga.hint("shuffle_hash"), "doc_a")
+        .join(gb.hint("shuffle_hash"), "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -373,8 +373,8 @@ def q_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bi = train_bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bc"))
     scored = (
-        bigrams.join(bi, ["w1", "w2"], "left")
-        .join(uni, F.col("w1") == F.col("w"), "left")
+        bigrams.join(bi.hint("shuffle_hash"), ["w1", "w2"], "left")
+        .join(uni.hint("shuffle_hash"), F.col("w1") == F.col("w"), "left")
         .crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",

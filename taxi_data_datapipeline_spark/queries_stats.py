@@ -335,8 +335,8 @@ def q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = F.size(F.array_intersect(F.col("na"), F.col("nb")))
     da, db = F.size(F.col("na")), F.size(F.col("nb"))
     return (
-        e.join(adj.select(F.col("u").alias("a"), F.col("nbrs").alias("na")), "a")
-        .join(adj.select(F.col("u").alias("b"), F.col("nbrs").alias("nb")), "b")
+        e.join(adj.select(F.col("u").alias("a"), F.col("nbrs").alias("na")).hint("shuffle_hash"), "a")
+        .join(adj.select(F.col("u").alias("b"), F.col("nbrs").alias("nb")).hint("shuffle_hash"), "b")
         .select(
             "a",
             "b",
@@ -967,7 +967,7 @@ def q_modularity_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("d"))
     )
     dc = (
-        labels.join(deg, labels.node == deg.u)
+        labels.join(deg.hint("shuffle_hash"), labels.node == deg.u)
         .groupBy("community")
         .agg(
             F.count(F.lit(1)).alias("n_nodes"),
@@ -985,7 +985,7 @@ def q_modularity_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     intra = F.coalesce(F.col("intra"), F.lit(0))
     return (
-        dc.join(ec, "community", "left")
+        dc.join(ec.hint("shuffle_hash"), "community", "left")
         .crossJoin(F.broadcast(m))
         .select(
             "community",
@@ -1987,7 +1987,7 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     first_w = um.groupBy("user_id").agg(F.min("wkey").alias("cohort"))
     rev = (
-        um.join(first_w, "user_id")
+        um.join(first_w.hint("shuffle_hash"), "user_id")
         .groupBy(
             "cohort", (F.col("wkey") - F.col("cohort")).alias("age_weeks")
         )
@@ -2108,7 +2108,7 @@ def q_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     selfe = core.select(F.col("id").alias("a"), F.col("id").alias("b"))
     labels = min_label_rounds(adj.unionAll(selfe))
     return (
-        labels.join(core, labels.node == core.id)
+        labels.join(core.hint("shuffle_hash"), labels.node == core.id)
         .groupBy(F.col("label").alias("cluster"))
         .agg(
             F.count(F.lit(1)).alias("n_cells"),
@@ -3220,7 +3220,7 @@ def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("l")
     )
     wstat = (
-        member.join(plen, ["doc_id", "phrase_id"])
+        member.join(plen.hint("shuffle_hash"), ["doc_id", "phrase_id"])
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"), F.sum("l").alias("degree"))
     )
@@ -3229,7 +3229,7 @@ def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"(degree * {_RAKE_UNITS}) DIV freq").alias("score_units"),
     )
     pscore = (
-        member.join(wscore, "word")
+        member.join(wscore.hint("shuffle_hash"), "word")
         .groupBy("doc_id", "phrase_id")
         .agg(
             F.array_join(
@@ -3635,7 +3635,7 @@ def q_hash_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
             + (F.instr(F.lit(hexs), F.substring(h, 2, 1)) - 1)
         ).cast("bigint")
         w = (
-            w.join(adj, w.cur == adj.u)
+            w.join(adj.hint("shuffle_hash"), w.cur == adj.u)
             .select(
                 "start_node",
                 F.concat(

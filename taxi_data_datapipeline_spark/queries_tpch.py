@@ -69,7 +69,7 @@ def q2_min_cost_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     return (
-        p.join(best, p.p_partkey == best.l_partkey)
+        p.join(best.hint("shuffle_hash"), p.p_partkey == best.l_partkey)
         .join(
             unit.alias("u"),
             (F.col("u.l_partkey") == best.l_partkey)
@@ -508,7 +508,7 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.join(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("ab"))
-        .join(active, c.c_custkey == active.o_custkey, "left_anti")
+        .join(active.hint("shuffle_hash"), c.c_custkey == active.o_custkey, "left_anti")
         .groupBy((F.col("c_nationkey") % 10).alias("cntry_grp"))
         .agg(F.count("*").alias("numcust"), _dec_sum(F.col("c_acctbal"), 2, "totacctbal"))
     )
