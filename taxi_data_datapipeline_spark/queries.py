@@ -249,13 +249,22 @@ def clear_memos(sf_dir: str | None = None) -> int:
 # token_stats, topk_orders, topk_per_group) lead the round-12 re-seat
 # queue.
 #
+# Round-12 rotation (the r11-prepared plan, executed): CORRECTNESS_r11
+# landed 50/50 green, so the never-green set is exactly the 10 round-12
+# curation adds — all seated. The remaining 32 re-seat seats go
+# stalest-first: the 7 round-1 leftovers (union_normalize, window_rank,
+# window_running, string_funcs, token_stats, topk_orders, topk_per_group),
+# all 10 round-2 greens, and 15 of the 17 round-3 greens (alphabetical
+# within the tie, allowed by the lint); window_navigation and zipf_fit
+# are the round-3 leftovers and lead the round-13 re-seat queue.
+#
 # ROTATION_BASELINE_ROUND pins which CORRECTNESS_r*.json files existed when
 # this window was curated; tests/test_driver_window.py asserts the window
 # seats every never-green query and gives the remaining seats to the
 # stalest greens, so a stalled or wasted rotation fails the suite
 # (VERDICT r5 next-round #8, r8 next-round #4, r10 wrong #1). Bump it
 # each time the window rotates.
-ROTATION_BASELINE_ROUND = 10
+ROTATION_BASELINE_ROUND = 11
 # The reference-core queries keep permanent seats — they re-verify the
 # SURVEY §2 pipeline surface every round.
 PINNED_SEATS: list[str] = [
@@ -266,25 +275,26 @@ PINNED_SEATS: list[str] = [
 DRIVER_WINDOW: list[str] = [
     # Reference-pipeline queries (SURVEY.md §2 core) — pinned
     *PINNED_SEATS,
-    # Never-green: the r10 un-shadowed CUSUM + the round-11 curation adds
-    # (both batches — 10 + 4)
-    "cusum_count_changepoint",
-    "substring_dup_spans", "minhash_estimate_error", "url_canonical_dedup",
-    "url_domain_rollup", "doremi_domain_weights", "unigram_lm_vocab",
-    "unigram_prune_scores", "pq_recall_at_k", "boilerplate_phrases",
-    "quality_tercile_split",
-    "mrl_dim_recall", "hard_negative_mining", "readability_scores",
-    "class_balanced_weights",
-    # Stalest-green re-seats: official green only in round 1 (34 round-1
-    # greens tie for 27 seats; the 7 left out lead the r12 re-seat queue)
-    "anti_join", "case_when_agg", "cube_agg", "date_funcs", "dedup_exact",
-    "distinct_agg", "doc_fingerprints", "embedding_norms", "embedding_topk",
-    "join_broadcast_dim", "json_extract", "lang_id_heuristic",
-    "multimodal_bytes", "multimodal_frames", "outer_join_agg",
-    "q12_shipmode_priority", "q1_pricing_summary", "q3_shipping_priority",
-    "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
-    "quality_scores", "range_join", "rollup_agg", "semi_join", "set_ops",
-    "similarity_join_label",
+    # Never-green: the round-12 curation adds (all 10)
+    "dedup_rate_by_domain", "tokenizer_fertility", "good_turing_smoothing",
+    "ngram_novelty_score", "kneser_ney_bigram", "lsh_s_curve",
+    "dhash_gradient_dedup", "phash_dct_dedup", "ivf_nprobe_recall",
+    "fasttext_hash_classifier",
+    # Stalest-green re-seats: the 7 round-1 leftovers ...
+    "string_funcs", "token_stats", "topk_orders", "topk_per_group",
+    "union_normalize", "window_rank", "window_running",
+    # ... all 10 round-2 greens ...
+    "asof_purchase_view", "bigram_surprisal", "embedding_quantize",
+    "gapfill_locf", "ngram_jaccard_blocked", "q15_top_supplier",
+    "salted_event_totals", "streaming_cdc_compaction",
+    "streaming_dim_enrichment", "window_distribution",
+    # ... and 15 of the 17 round-3 greens (alphabetical within the tie;
+    # window_navigation + zipf_fit lead the r13 queue)
+    "assoc_rules", "bm25_rank", "embedding_near_dup", "funnel_conversion",
+    "grouping_sets_agg", "ohlc_bars", "percentile_prices",
+    "q13_customer_distribution", "q18_large_volume", "q9_product_profit",
+    "retention_cohorts", "spearman_price_qty", "tfidf_top_terms",
+    "triangle_count", "unpivot_roundtrip",
 ]
 
 
