@@ -265,9 +265,14 @@ def test_silhouette_broadcasts_centroid_table(spark):
 def test_bigram_perplexity_count_tables_stay_joinable(spark):
     """Eval bigrams join the train count tables without any cartesian
     product (the only BNL join allowed is the broadcast 1-row vocab
-    scalar)."""
+    scalar). The count tables (bc/uc) are corpus-derived, so the round-12
+    broadcast sweep pinned them shuffle_hash (SCALING.md rule: never let a
+    statistics estimate choose broadcast when both sides scale with the
+    corpus) — keyed joins must be HASH joins of either flavor, never a
+    sort-merge fallback or a nested loop."""
     plan = plan_of(spark, "bigram_perplexity")
     assert "CartesianProduct" not in plan
     # the vocab scalar rides a broadcast nested loop; everything keyed
-    # is hash-joined
-    assert "BroadcastHashJoin" in plan
+    # is hash-joined (shuffle_hash-pinned since the r12 broadcast sweep)
+    assert "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
