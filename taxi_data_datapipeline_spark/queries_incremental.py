@@ -39,7 +39,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from taxi_data_datapipeline_spark.queries import load, register
-from taxi_data_datapipeline_spark.queries_advanced import _stream_events
+from taxi_data_datapipeline_spark.queries_advanced import (
+    _stream_events,
+    _stream_session,
+)
 from taxi_data_datapipeline_spark.streaming.joins import interval_join
 
 _sink_counter = itertools.count()
@@ -74,6 +77,7 @@ def q_streaming_interval_attribution(spark: SparkSession, sf_dir: str) -> DataFr
     match is emitted exactly once, so over static input the drained sink
     equals the batch join — the oracle. The batch twin is
     ``asof_purchase_view``; this is its unbounded form."""
+    spark = _stream_session(spark, sf_dir)
     views = _stream_events(spark, sf_dir).filter(F.col("event_type") == "view")
     purchases = _stream_events(spark, sf_dir).filter(
         F.col("event_type") == "purchase"

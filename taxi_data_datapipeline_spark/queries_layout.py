@@ -224,9 +224,13 @@ def q_streaming_tx_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from taxi_data_datapipeline_spark.queries_advanced import _stream_events
+    from taxi_data_datapipeline_spark.queries_advanced import (
+        _stream_events,
+        _stream_session,
+    )
     from taxi_data_datapipeline_spark.sources.txlog import TxSink, TxTable
 
+    spark = _stream_session(spark, sf_dir)
     tag = re.sub(r"[^A-Za-z0-9_.-]", "_", os.path.abspath(sf_dir).strip("/"))
     base = os.path.join(tempfile.gettempdir(), "spark_graft_layout", f"txsink_{tag}")
     shutil.rmtree(base, ignore_errors=True)

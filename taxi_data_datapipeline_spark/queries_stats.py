@@ -1914,8 +1914,10 @@ def q_streaming_geohash_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from taxi_data_datapipeline_spark.queries_advanced import (
         _stream_counter,
         _stream_events,
+        _stream_session,
     )
 
+    spark = _stream_session(spark, sf_dir)
     raw = _stream_events(spark, sf_dir)
     lat = F.col("value") * 0.01 + 40.0
     lon = F.col("value") * -0.02 - 73.0
@@ -2481,11 +2483,13 @@ def q_streaming_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from taxi_data_datapipeline_spark.queries_advanced import (
         _stream_counter,
         _stream_events,
+        _stream_session,
     )
     from taxi_data_datapipeline_spark.streaming.records import (
         record_high_stream,
     )
 
+    spark = _stream_session(spark, sf_dir)
     raw = _stream_events(spark, sf_dir)
     highs = record_high_stream(raw)
     name = f"stream_highs_{next(_stream_counter)}"
@@ -4218,12 +4222,16 @@ def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     third execution architecture (streaming/dedup.py:
     lsh_incremental_stream). Multi-band duplicate candidates drop via
     answer-sized dropDuplicates state."""
-    from taxi_data_datapipeline_spark.queries_advanced import _stream_counter
+    from taxi_data_datapipeline_spark.queries_advanced import (
+        _stream_counter,
+        _stream_session,
+    )
     from taxi_data_datapipeline_spark.streaming.dedup import (
         build_old_buckets,
         lsh_incremental_stream,
     )
 
+    spark = _stream_session(spark, sf_dir, table="documents")
     docs = load(spark, sf_dir, "documents")
     old_buckets = build_old_buckets(
         docs.filter(F.col("doc_id") % 5 != 0)
