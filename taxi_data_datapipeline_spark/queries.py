@@ -83,11 +83,12 @@ def _fan_out_narrow_scan(spark: SparkSession, df: DataFrame, path: str) -> DataF
 
 
 # Memoized source DataFrames: a DataFrame is an immutable logical plan, so
-# reusing one per (app, sf_dir, table) is safe and skips the parquet footer
-# listing + schema read that spark.read.parquet pays on every call — across
-# an 85-query suite that's hundreds of redundant footer reads. This is the
-# engine's (tiny) catalog layer.
-_LOAD_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# reusing one per (session, sf_dir, table) is safe and skips the parquet
+# footer listing + schema read that spark.read.parquet pays on every call —
+# across an 85-query suite that's hundreds of redundant footer reads. This
+# is the engine's (tiny) catalog layer. Key element [1] stays sf_dir — the
+# dataset-scoped clear below relies on that position.
+_LOAD_CACHE: dict[tuple, DataFrame] = {}
 
 
 def load(
@@ -99,7 +100,16 @@ def load(
     a single-split input; the default stays a raw scan because the extra
     exchange is pure overhead for shuffle-first queries (joins, windows,
     plain groupBys) — measured 2x either way on the respective tiers."""
-    key = (spark.sparkContext.applicationId, sf_dir, table, fan_out)
+    # Keyed by the SESSION OBJECT, not the application id: session clones
+    # (the streaming `_stream_session`) share an applicationId, and a
+    # DataFrame is bound to the session that created it — under an
+    # app-wide key a streaming query's load() poisoned the memo with a
+    # clone-bound frame, so a later createOrReplaceTempView registered
+    # the view in the CLONE's catalog and the main session's spark.sql
+    # failed with TABLE_OR_VIEW_NOT_FOUND (sql_shipping_priority /
+    # sql_lateral_topk, r12 gate), and clone-bound frames would silently
+    # run batch consumers under the clone's conf.
+    key = (spark, sf_dir, table, fan_out)
     cached = _LOAD_CACHE.get(key)
     if cached is not None:
         return cached
@@ -184,6 +194,7 @@ def clear_memos(sf_dir: str | None = None) -> int:
         ("taxi_data_datapipeline_spark.queries", "_LOAD_CACHE"),
         ("taxi_data_datapipeline_spark.queries_advanced", "_EDGE_CACHE"),
         ("taxi_data_datapipeline_spark.queries_data", "_LSH_PAIRS_CACHE"),
+        ("taxi_data_datapipeline_spark.queries_data", "_BLOCKED_PAIRS_CACHE"),
         ("taxi_data_datapipeline_spark.queries_data", "_KMEANS_UNITS_CACHE"),
         ("taxi_data_datapipeline_spark.queries_data", "_PQ_CACHE"),
         ("taxi_data_datapipeline_spark.queries_mining", "_GRAM_INDEX_CACHE"),

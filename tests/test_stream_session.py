@@ -20,6 +20,7 @@ SF = "/root/testdata/sf0.001"
 
 
 def test_clone_gets_size_derived_partitions(spark):
+    before = spark.conf.get("spark.sql.shuffle.partitions")
     sess = _stream_session(spark, SF)
     nbytes = os.path.getsize(f"{SF}/events.parquet")
     expect = min(
@@ -27,10 +28,12 @@ def test_clone_gets_size_derived_partitions(spark):
         spark.sparkContext.defaultParallelism,
     )
     assert int(sess.conf.get("spark.sql.shuffle.partitions")) == expect
-    # the caller's session is untouched (bench threads share it)
-    assert int(spark.conf.get("spark.sql.shuffle.partitions")) == int(
-        spark.sparkContext.defaultParallelism
-    )
+    # the caller's session is untouched (bench threads share it). NB:
+    # compare against the PRE-CALL value, not defaultParallelism — in the
+    # full suite test_launch_cwd.py pins the context to local[2] at
+    # collection time while the fixture session keeps 4 shuffle
+    # partitions, so the two legitimately differ.
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
     # correctness-critical confs carried onto the clone
     assert sess.conf.get("spark.sql.session.timeZone") == spark.conf.get(
         "spark.sql.session.timeZone"
@@ -52,6 +55,26 @@ def test_nonlocal_source_keeps_callers_session(spark):
     # object-store paths can't be sized locally; the caller's session
     # (and therefore its configuration) must pass through unchanged
     assert _stream_session(spark, "s3a://bucket/prefix") is spark
+
+
+def test_load_memo_not_poisoned_by_clone(spark, monkeypatch):
+    """The load() memo must be SESSION-keyed: clones share an
+    applicationId, and a clone-bound DataFrame in an app-wide memo makes
+    a later createOrReplaceTempView register in the CLONE's catalog —
+    the main session's spark.sql then fails with TABLE_OR_VIEW_NOT_FOUND
+    (r12 gate: sql_shipping_priority / sql_lateral_topk)."""
+    from taxi_data_datapipeline_spark.queries import load
+
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", "3")
+    clone = _stream_session(spark, SF)
+    assert clone is not spark
+    df_clone = load(clone, SF, "customer")
+    assert df_clone.sparkSession is clone
+    df_main = load(spark, SF, "customer")
+    assert df_main.sparkSession is spark
+    df_main.createOrReplaceTempView("_memo_probe_customer")
+    assert spark.sql("SELECT COUNT(*) FROM _memo_probe_customer").collect()[0][0] > 0
+    spark.catalog.dropTempView("_memo_probe_customer")
 
 
 @pytest.mark.parametrize("name", ["streaming_session_windows"])
