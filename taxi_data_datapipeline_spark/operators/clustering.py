@@ -2,16 +2,18 @@
 
 The other iterative-algorithm tier next to connected components
 (operators/graphs.py): a driver-side loop over fully distributed steps.
-Per iteration:
+Per iteration (r12: assign + update FUSED into one vectorized pass,
+see _assign_partials):
 
-1. **assign** — distance to each of the k current centroids is a
-   codegen'd in-order double fold (operators/similarity.py:dot); argmin
-   via `array_min` over (distance, k) structs. Centroids ride into the
-   plan as LITERALS, so assignment is a mapper-only pass: no join, no
-   shuffle.
-2. **update** — per-cluster mean of each dimension via
-   `posexplode(embedding)` -> groupBy(cluster, dim) avg -> rebuilt into
-   ordered arrays on the driver (k x dim doubles — bytes, not data).
+1. **assign** — nearest-centroid as one batch numpy matmul against the
+   k x dim centroid matrix (centroids ride into the closure as
+   literals — no join, no shuffle). The final output pass still uses
+   the JVM literal-centroid expression (_assign/_assign_units) so the
+   returned DataFrame stays pure-Column.
+2. **update** — batch-local (cluster, dim) partial sums in the SAME
+   pass -> groupBy(cluster, dim) over k x dim x n_batches rows ->
+   rebuilt into ordered arrays on the driver (k x dim values — bytes,
+   not data).
 
 Per-iteration driver traffic is exactly the k x dim centroid matrix, the
 irreducible state of Lloyd's algorithm; everything row-shaped stays
@@ -26,60 +28,75 @@ test-verified rather than oracle-hashed.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from taxi_data_datapipeline_spark.operators.similarity import dot
 
 
-def _cluster_dim_partials(
-    assigned: DataFrame,
+def _assign_partials(
+    df: DataFrame,
     vec_col: str,
-    dims: int,
+    centroid_rows: list[tuple[int, list]],
     integer: bool,
-    d2_col: str | None = None,
+    with_d2: bool,
 ) -> DataFrame:
-    """Map-side (cluster, dim) partial sums over an array column.
+    """Fused assignment + (cluster, dim) partial sums in ONE vectorized
+    pass (r12 optimization, guide §4.2): nearest-centroid assignment runs
+    as a batch numpy matmul inside the same mapInPandas that computes the
+    centroid-update partials, instead of a separate JVM pass whose
+    per-row higher-order-function distance fold (aggregate over zip_with,
+    interpreted — never whole-stage-codegen'd) dominated every iteration.
 
-    The centroid-update shuffle used to `posexplode` every vector — the
-    exchange carried rows x dims tuples (VERDICT r5 "what's wrong" #3). A
-    batch-local numpy column-sum reduces that to k x dims rows PER ARROW
-    BATCH (~k*dims*ceil(n/10k) rows total), cutting shuffled rows by the
-    ~row-count/dimension factor while keeping the groupBy(cluster, dim)
-    result — and therefore the collected centroid matrix — identical:
-    integer partials are exact, float partials differ from a direct avg()
-    only in fold order (k-means here is differentially tested, the exact
-    path is the integer twin). At 768-dim production embeddings this is
-    the difference between shuffling n*768 tuples and n/10000*k*768."""
+    Exactness: the INTEGER path is bit-identical to the JVM fold by
+    construction (int64 arithmetic is fold-order-free; ties break to the
+    lowest cluster id in both — array_min on (d2, cid) structs and
+    np.argmin both pick the first minimum of the cid-sorted candidate
+    list). The FLOAT path's distances may differ from the JVM fold in
+    final ulps (numpy pairwise summation vs in-order fold), which can
+    only matter on exact distance ties — the same tolerance the
+    differential test has always granted the float tier; the partial
+    SUMS per (cluster, batch) remain the identical numpy column-sums as
+    before, so equal assignments give bit-equal centroids."""
     import numpy as np
     import pandas as pd
 
     sum_t = "long" if integer else "double"
     np_t = np.int64 if integer else np.float64
+    cids = [cid for cid, _ in centroid_rows]
+    cmat = np.array([v for _, v in centroid_rows], dtype=np_t)
+    dims = cmat.shape[1]
     schema = f"cluster int, dim int, s {sum_t}, n long"
-    if d2_col:
+    if with_d2:
         schema += ", d2s long" if integer else ", d2s double"
 
     def gen(it):
+        c2 = (cmat * cmat).sum(axis=1)
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            for cl, g in pdf.groupby("cluster"):
-                m = np.array(g[vec_col].tolist(), dtype=np_t)
-                s = m.sum(axis=0)
+            x = np.array(pdf[vec_col].tolist(), dtype=np_t)
+            d2 = (x * x).sum(axis=1)[:, None] - 2 * (x @ cmat.T) + c2[None, :]
+            lab = d2.argmin(axis=1)
+            for j, cid in enumerate(cids):
+                sel = lab == j
+                if not sel.any():
+                    continue
+                m = x[sel]
                 out = {
-                    "cluster": np.full(dims, int(cl), dtype=np.int32),
+                    "cluster": np.full(dims, int(cid), dtype=np.int32),
                     "dim": np.arange(dims, dtype=np.int32),
-                    "s": s,
-                    "n": np.full(dims, len(g), dtype=np.int64),
+                    "s": m.sum(axis=0),
+                    "n": np.full(dims, len(m), dtype=np.int64),
                 }
-                if d2_col:
+                if with_d2:
                     d2s = np.zeros(dims, dtype=np_t)
-                    d2s[0] = g[d2_col].sum()  # once per partial, on dim 0
+                    d2s[0] = d2[sel, j].sum()
                     out["d2s"] = d2s
                 yield pd.DataFrame(out)
 
-    return assigned.mapInPandas(gen, schema)
+    return df.mapInPandas(gen, schema)
 
 
 def _assign(df: DataFrame, centroids: list[list[float]], vec_col: str) -> DataFrame:
@@ -120,20 +137,25 @@ def lloyd_kmeans(
     dims = len(centroids[0])
     inertia_hist: list[float] = []
 
+    # Persist the projected input for the life of the loop (guide §5:
+    # iterative algorithms re-read their input once per iteration —
+    # without this every iteration re-pays the parquet scan + fan-out
+    # exchange). Unpersisted before return; the RETURNED frame derives
+    # from the raw scan, so nothing cached outlives the algorithm.
+    v64 = df.select(
+        F.col(vec_col).cast("array<double>").alias("_v64")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     for _ in range(iters):
-        assigned = _assign(df, centroids, vec_col).withColumn(
-            "_v64", F.col(vec_col).cast("array<double>")
-        )
-        # inertia + new centroids in ONE aggregate pass: batch-local numpy
-        # partial sums (see _cluster_dim_partials) -> one k*dims-row
-        # groupBy; only the centroid matrix reaches the driver.
+        # assignment + inertia + new centroids in ONE fused vectorized
+        # pass (see _assign_partials) -> one k*dims-row groupBy; only
+        # the centroid matrix reaches the driver.
         stats = (
-            _cluster_dim_partials(
-                assigned.select("cluster", "d2", "_v64"),
+            _assign_partials(
+                v64,
                 "_v64",
-                dims,
+                list(enumerate(centroids)),
                 integer=False,
-                d2_col="d2",
+                with_d2=True,
             )
             .groupBy("cluster", "dim")
             .agg(
@@ -155,6 +177,7 @@ def lloyd_kmeans(
             by_cluster.get(i, centroids[i]) for i in range(k)
         ]  # empty cluster keeps its old centroid
 
+    v64.unpersist(blocking=False)
     return _assign(df, centroids, vec_col), inertia_hist
 
 
@@ -224,18 +247,22 @@ def lloyd_kmeans_units(
     seeds = xu.filter(F.col(id_col) < k).select(id_col, "v").collect()
     centroids = {int(r[id_col]): [int(x) for x in r["v"]] for r in seeds}
     dims = len(next(iter(centroids.values())))
+    vu = xu.select("v").persist(StorageLevel.MEMORY_AND_DISK)
     for _ in range(iters):
-        # Batch-local int64 partial sums (exact — xu ~ 2^22, sums over any
-        # realistic block count stay far inside int64), so the exchange
-        # carries k x dims x n_batches rows instead of rows x dims tuples;
-        # the summed (cluster, dim) totals — and hence every centroid —
-        # are bit-identical to the posexplode plan this replaces.
+        # Fused assignment + batch-local int64 partial sums in ONE
+        # vectorized pass (exact — units ~ 2^20, dots <= dims * 2^40 and
+        # sums over any realistic block count stay far inside int64), so
+        # the exchange carries k x dims x n_batches rows instead of
+        # rows x dims tuples AND the per-row interpreted JVM distance
+        # fold is gone; the summed (cluster, dim) totals — and hence
+        # every centroid — are bit-identical to the plan this replaces.
         stats = (
-            _cluster_dim_partials(
-                _assign_units(xu, centroids).select("cluster", "v"),
+            _assign_partials(
+                vu,
                 "v",
-                dims,
+                sorted(centroids.items()),
                 integer=True,
+                with_d2=False,
             )
             .groupBy("cluster", "dim")
             .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
@@ -247,6 +274,7 @@ def lloyd_kmeans_units(
                 int(r["s"]), int(r["n"])
             )
         centroids = newc  # empty clusters drop, mirroring the SQL
+    vu.unpersist(blocking=False)
     return _assign_units(xu, centroids).select(id_col, "cluster", "d2u")
 
 
