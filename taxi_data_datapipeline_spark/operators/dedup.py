@@ -252,7 +252,13 @@ def blocked_jaccard_pairs(
     sizes = g.select("_id", F.size("grams").alias("sz")).localCheckpoint(
         eager=True
     )
-    ex = g.select(*block_cols, "_id", F.explode("grams").alias("gram"))
+    # Flat (block, id, gram) rows consumed by BOTH self-join sides —
+    # materialize so the shingle regex + explode runs once, not once per
+    # side (this is NOT the corpus-wide gram-ARRAY cache the note above
+    # forbids: rows are flat strings, MEMORY_AND_DISK spills).
+    ex = g.select(
+        *block_cols, "_id", F.explode("grams").alias("gram")
+    ).localCheckpoint(eager=True)
     a, b = ex.alias("a"), ex.alias("b")
     # Gram-exploded self-join: both sides are the corpus-sized inverted
     # index (a Generate above the scan, whose output size Catalyst
@@ -404,7 +410,12 @@ def simhash_dedup(
     nt = num_tables if num_tables is not None else max_hamming + 1
     block_bits = bits // nt
     mask = (1 << block_bits) - 1
-    s = simhash_table(df, text_col=text_col, id_col=id_col, ngram=3, hash_fn=hash_fn)
+    # One fingerprint row per doc, consumed by BOTH self-join sides —
+    # materialize so the shingle explode + 60-bit vote aggregate runs
+    # once, not once per side.
+    s = simhash_table(
+        df, text_col=text_col, id_col=id_col, ngram=3, hash_fn=hash_fn
+    ).localCheckpoint(eager=True)
     blocks = F.array(
         *[
             F.struct(

@@ -49,7 +49,13 @@ def skyline_2d(
     ``max_col``. Returns the input columns unchanged; dominance ties
     (exact duplicates on both axes) are all kept, matching the NOT
     EXISTS definition."""
-    pts = df.withColumn("_b", (F.col(min_col) / F.lit(bucket_width)).cast("long"))
+    # Consumed by the bucket summary AND the survivor filter; callers
+    # hand in join+aggregate chains (skyline_orders: orders x lineitem
+    # rollup), so materialize ONCE instead of re-executing the upstream
+    # per consumer (24 scans / 38 Exchanges in one plan before).
+    pts = df.withColumn(
+        "_b", (F.col(min_col) / F.lit(bucket_width)).cast("long")
+    ).localCheckpoint(eager=True)
 
     # Bucket summary: max(max_col) per bucket, then the running max over
     # all STRICTLY lower buckets via a broadcast self-join on the tiny
@@ -74,6 +80,8 @@ def skyline_2d(
             | (F.col(max_col) > F.col("_lower_max"))
         )
         .drop("_b", "_lower_max")
+        # frontier candidates (per-bucket winners): tiny, 2 consumers
+        .localCheckpoint(eager=True)
     )
 
     # Exact dominance among survivors (bounded set -> broadcast

@@ -1272,9 +1272,12 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = ev.groupBy("event_type").agg(
         F.percentile("value", F.lit(0.5)).alias("med")
     )
+    # deviation stream feeds the MAD aggregate AND the outlier filter —
+    # materialize so the scan + median join runs once, not twice (and
+    # the per-type median isn't re-aggregated per consumer).
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "adev", F.abs(F.col("value") - F.col("med"))
-    )
+    ).localCheckpoint(eager=True)
     mad = dev.groupBy("event_type").agg(
         F.percentile("adev", F.lit(0.5)).alias("mad")
     )
@@ -3250,10 +3253,16 @@ def q_basket_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = li.join(freq.hint("shuffle_hash"), "l_partkey").select(
         "l_orderkey", F.struct("f", "l_partkey").alias("rk")
     )
+    # One row per order; consumed THREE times (prefix explode + both
+    # verify sides). Materialize once — without this the whole
+    # distinct -> freq-join -> collect_list chain re-executes per
+    # consumer (measured: 16 lineitem scans / 50 Exchanges in the
+    # un-checkpointed plan; exchange reuse never fires across the
+    # differently-projected consumers).
     baskets = ranked.groupBy("l_orderkey").agg(
         F.expr("transform(sort_array(collect_list(rk)), s -> s.l_partkey)")
         .alias("parts")
-    )
+    ).localCheckpoint(eager=True)
     prefix = baskets.select(
         "l_orderkey",
         F.explode(
@@ -3918,16 +3927,19 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     know. `retention_cohorts` gives the cohort triangle; this gives the
     flow decomposition growth teams act on."""
     ev = load(spark, sf_dir, "events")
+    # user-week grid, THREE consumers (windows, churn probe side, max
+    # week) — materialize so the events distinct runs once; `seq`
+    # likewise feeds both the classifier and the churn anti-join.
     weekly = ev.select(
         "user_id", F.date_trunc("week", "ts").alias("wk")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     w = Window.partitionBy("user_id").orderBy("wk")
     seq = weekly.select(
         "user_id",
         "wk",
         F.lag("wk").over(w).alias("prev_wk"),
         F.row_number().over(w).alias("rn"),
-    )
+    ).localCheckpoint(eager=True)
     classified = seq.select(
         "wk",
         F.when(F.col("rn") == 1, F.lit("new"))
@@ -4117,6 +4129,10 @@ def q_funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("d")
         )
+        # one row per converting view; consumed by bounds AND the
+        # histogram — materialize so the 7-day interval join runs once
+        # (20 scans / 44 Exchanges in one plan before).
+        .localCheckpoint(eager=True)
     )
     bounds = delays.agg(
         F.min("d").alias("mn"),
@@ -4145,30 +4161,33 @@ def q_funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "span",
         "n",
     )
+    # min_by carries the chosen bucket's (cnt, cum_before) through the
+    # same aggregate — one cum consumer, no join-back (buckets unique per
+    # group, so the interpolation inputs are bit-identical).
     chosen = (
         F.broadcast(targets)
-        .join(cum.select("bucket", "cum"), F.col("cum") >= F.col("target"))
+        .join(cum, F.col("cum") >= F.col("target"))
         .groupBy("q", "target", "mn", "span", "n")
-        .agg(F.min("bucket").alias("bucket"))
+        .agg(
+            F.min("bucket").alias("bucket"),
+            F.min_by(F.struct("cnt", "cum_before"), "bucket").alias("cc"),
+        )
     )
     width = F.col("span").cast("double") / F.lit(256.0)
     est_us = (
         F.col("mn").cast("double")
         + F.col("bucket").cast("double") * width
         + (
-            (F.col("target") - F.col("cum_before")).cast("double")
-            / F.col("cnt").cast("double")
+            (F.col("target") - F.col("cc.cum_before")).cast("double")
+            / F.col("cc.cnt").cast("double")
         )
         * width
     )
-    return (
-        chosen.join(cum.select("bucket", "cnt", "cum_before"), "bucket")
-        .select(
-            "q",
-            F.col("n").cast("long").alias("n_conversions"),
-            F.col("target").alias("target_rank"),
-            (est_us / F.lit(1000000.0)).alias("latency_seconds"),
-        )
+    return chosen.select(
+        "q",
+        F.col("n").cast("long").alias("n_conversions"),
+        F.col("target").alias("target_rank"),
+        (est_us / F.lit(1000000.0)).alias("latency_seconds"),
     )
 
 
@@ -4350,16 +4369,19 @@ def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV 100000"
         )).alias("b"),
     )
-    n_all = dec.agg(F.count(F.lit(1)).cast("bigint").alias("nn"))
     btab = spark.createDataFrame([(b,) for b in range(11)], "lb bigint")
-    gtot = dec.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    # (group, bucket) counts subsume the scalar total and the global
+    # bucket histogram (both are exact re-aggregations), so the customer
+    # scan feeds ONE materialized rollup instead of three aggregates.
+    grp = dec.groupBy("c_nationkey", "c_mktsegment", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    ).localCheckpoint(eager=True)
+    n_all = grp.agg(F.sum("cnt").cast("bigint").alias("nn"))
+    gtot = grp.groupBy("b").agg(F.sum("cnt").cast("bigint").alias("cnt"))
     gcum = (
         btab.join(F.broadcast(gtot), F.col("b") <= F.col("lb"), "left")
         .groupBy("lb")
         .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("cum_all"))
-    )
-    grp = dec.groupBy("c_nationkey", "c_mktsegment", "b").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
     gsz = grp.groupBy("c_nationkey", "c_mktsegment").agg(
         F.sum("cnt").cast("bigint").alias("ng")
@@ -4496,6 +4518,11 @@ def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("ts") < F.col("pts")) & (F.col("event_type") != "purchase"))
         .select("user_id", F.col("event_type").alias("ch"))
         .distinct()
+        # (user, channel)-sized, consumed by the channel index AND the
+        # user-mask rollup — materialize so the first-purchase join runs
+        # once (48 events scans / 130 Exchanges in one plan before: every
+        # <=2^k-row lattice frame below re-derived this chain per use).
+        .localCheckpoint(eager=True)
     )
     chs = (
         pre.select("ch")
@@ -4507,6 +4534,7 @@ def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("bit"),
         )
+        .localCheckpoint(eager=True)  # <= 8 rows, >= 3 consumers
     )
     kk = chs.agg(F.count(F.lit(1)).cast("bigint").alias("k"))
     um = (
@@ -4533,6 +4561,7 @@ def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("s")
         .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("v"))
+        .localCheckpoint(eager=True)  # 2^k rows, 3 consumers (vo, vw, tot)
     )
     fact = spark.createDataFrame(
         [(i, f) for i, f in

@@ -183,8 +183,15 @@ def q_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     that appear in a pair (semi-join pruned), grouped map-side to
     (doc, perm) minima, then joined to the broadcast-scale pair set."""
     d = load(spark, sf_dir, "documents", fan_out=True)
-    pairs = blocked_jaccard_pairs(d, [], threshold=0.3).withColumnRenamed(
-        "jaccard", "exact_jaccard"
+    # The verified pair table (answer-sized: pairs at J >= 0.3) feeds the
+    # id-prune union TWICE and the estimate join once — checkpoint so the
+    # exploded shared-gram self-join behind it runs ONCE, not three times
+    # (the un-checkpointed plan re-executed it per consumer: 24 document
+    # scans / 114 Exchanges).
+    pairs = (
+        blocked_jaccard_pairs(d, [], threshold=0.3)
+        .withColumnRenamed("jaccard", "exact_jaccard")
+        .localCheckpoint(eager=True)
     )
     ids = (
         pairs.select(F.col("doc_a").alias("doc_id"))
@@ -210,6 +217,10 @@ def q_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "p")
         .agg(F.min(mh).alias("mh"))
+        # 16 numeric rows per participating doc, consumed by BOTH est
+        # join sides — materialize so the semi-join + shingle explode +
+        # 16-permutation min-hash pass runs once.
+        .localCheckpoint(eager=True)
     )
     sa = sig.select(F.col("doc_id").alias("doc_a"), "p", F.col("mh").alias("mh_a"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), "p", F.col("mh").alias("mh_b"))
@@ -445,9 +456,11 @@ def q_doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     unpartitioned windows."""
     d = load(spark, sf_dir, "documents", fan_out=True)
     w = d.select("source", _doc_loss().alias("loss"))
+    # source-count rows, 2 consumers (normalizer agg + weight table) —
+    # each re-ran the per-doc loss pass before.
     s = w.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("loss").alias("loss_sum")
-    )
+    ).localCheckpoint(eager=True)
     g = s.agg(
         F.sum("n_docs").alias("tot_docs"),
         F.sum("loss_sum").alias("tot_loss"),
@@ -497,10 +510,14 @@ _VOCAB_TOP = 50
 def _top_pieces(spark: SparkSession, sf_dir: str):
     """(token-freq table, top-N piece table) shared by the vocab pair."""
     d = load(spark, sf_dir, "documents", fan_out=True)
+    # Vocabulary-sized; consumed by the piece explode AND (in the prune
+    # query) the character histogram — materialize so the corpus
+    # tokenize+explode+groupBy runs once per query, not per consumer.
     tf = (
         d.select(F.explode(tokens(F.col("text"))).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint(eager=True)
     )
     pieces = (
         tf.select(
@@ -527,6 +544,7 @@ def _top_pieces(spark: SparkSession, sf_dir: str):
         )
         .orderBy(F.desc("score"), "piece")
         .limit(_VOCAB_TOP)
+        .localCheckpoint(eager=True)  # top-N rows, >= 2 consumers per query
     )
     return tf, top
 
@@ -941,7 +959,10 @@ def q_mrl_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     not a global sort."""
     from pyspark.sql import Window
 
-    eu = _emb_units(spark, sf_dir)
+    # exploded unit table feeds the query-vector filter AND the distance
+    # aggregate — materialize once; the top-10 rank table below feeds
+    # both the d=64 truth set and the per-d hit join.
+    eu = _emb_units(spark, sf_dir).localCheckpoint(eager=True)
     q = eu.filter(F.col("vec_id") == 0).select("pos", F.col("x").alias("qx"))
     dims = spark.range(1).select(
         F.explode(F.array(*[F.lit(d) for d in (8, 16, 32, 64)])).alias("d")
@@ -954,7 +975,11 @@ def q_mrl_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum((F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx"))).alias("d2"))
     )
     w = Window.partitionBy("d").orderBy("d2", "vec_id")
-    rk = dist.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+    rk = (
+        dist.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .localCheckpoint(eager=True)  # <= 40 rows, 2 consumers
+    )
     truth = rk.filter(F.col("d") == 64).select(F.col("vec_id").alias("t_id"))
     return (
         rk.join(F.broadcast(truth), rk["vec_id"] == truth["t_id"], "left")
@@ -1013,7 +1038,9 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered top-1s."""
     from pyspark.sql import Window
 
-    eu = _emb_units(spark, sf_dir)
+    # Exploded unit table consumed THREE times (norms, anchors, candidate
+    # dot products) — materialize once (16 scans / 32 Exchanges before).
+    eu = _emb_units(spark, sf_dir).localCheckpoint(eager=True)
     nrm = eu.groupBy("vec_id").agg(F.sum(F.col("x") * F.col("x")).alias("n2"))
     anch = eu.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("anchor_id"),
@@ -1047,7 +1074,11 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("anchor_id", "same").orderBy(
         F.desc("sim"), "cand_id"
     )
-    best = sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    best = (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .localCheckpoint(eager=True)  # <= 2 rows per anchor, 2 consumers
+    )
     p = best.filter(F.col("same")).select(
         "anchor_id", F.col("cand_id").alias("pos_id"), F.col("sim").alias("pos_sim")
     )

@@ -386,7 +386,13 @@ def q_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
     )
     bg = base.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
-    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # vocab^2-bounded count table, FOUR consumers (h, cont, t, final
+    # join) — materialize so the tokenize+explode+groupBy runs once.
+    c12 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     h = c12.groupBy("w1").agg(
         F.sum("c").cast("long").alias("c1"),
         F.count(F.lit(1)).cast("long").alias("n_after"),
@@ -503,16 +509,9 @@ def q_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-scan); the 6 output rows unpivot from the 1-row aggregate. Pair
     generation itself is the bounded-quadratic blocked join, already
     audited in ngram_jaccard_blocked."""
-    from taxi_data_datapipeline_spark.operators.dedup import (
-        blocked_jaccard_pairs,
-    )
+    from taxi_data_datapipeline_spark.queries_data import blocked_pairs_cached
 
-    docs = load(spark, sf_dir, "documents", fan_out=True).withColumn(
-        "lenb", F.expr("n_chars DIV 100")
-    )
-    pairs = blocked_jaccard_pairs(
-        docs, block_cols=["lang", "lenb"], threshold=0.05
-    ).select("jaccard")
+    pairs = blocked_pairs_cached(spark, sf_dir).select("jaccard")
 
     def chain(col, n):
         out = col
@@ -539,7 +538,11 @@ def q_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias(f"e_lo_{key}"),
         ]
-    agg = pairs.agg(*aggs)
+    # ONE row holding all 6 designs' moments — but each unioned output
+    # branch below re-executed the whole pair-generation + aggregate
+    # without this checkpoint (48 document scans / 120 Exchanges in the
+    # un-checkpointed plan: 6 branches x the full blocked-join subtree).
+    agg = pairs.agg(*aggs).localCheckpoint(eager=True)
     rows = None
     for b, r in _SCURVE_CONFIGS:
         key = f"{b}_{r}"
@@ -904,6 +907,9 @@ def q_ivf_nprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cs").desc(), "vec_id")
         .limit(10)
         .select("vec_id")
+        # 10 rows, joined in EVERY probe branch — materialize so the
+        # brute-force cosine top-10 runs once, not once per nprobe.
+        .localCheckpoint(eager=True)
     )
     rows = None
     for P in _NPROBES:
@@ -1040,7 +1046,10 @@ def q_fasttext_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"x{b}")
             for b in range(_FT_BUCKETS)
         ]
-    )
+        # 17 small ints per doc, consumed once per training round —
+        # materialize so the tokenize+explode+groupBy feature build runs
+        # once, not once per round.
+    ).localCheckpoint(eager=True)
     beta = spark.createDataFrame(
         [tuple(0 for _ in range(_FT_BUCKETS + 1))],
         ", ".join(f"u{i} bigint" for i in range(_FT_BUCKETS + 1)),

@@ -468,8 +468,14 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v = train_toks.agg(F.count_distinct("w").alias("vocab"))
     train = bigrams.filter(F.col("bucket") < 8)
-    bc = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bc"))
-    uc = train.groupBy("w1").agg(F.count(F.lit(1)).alias("uc"))
+    # The (w1, w2) train count table subsumes the unigram-history table
+    # (uc = its per-w1 count sum) — one train tokenize pass, not two.
+    bc = (
+        train.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("bc"))
+        .localCheckpoint(eager=True)
+    )
+    uc = bc.groupBy("w1").agg(F.sum("bc").alias("uc"))
     evalb = (
         bigrams.filter(F.col("bucket") >= 8)
         .join(bc.hint("shuffle_hash"), ["w1", "w2"], "left")
@@ -750,14 +756,20 @@ def q_ppmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigrams = base.select(F.explode(pairs).alias("p")).select(
         F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
-    n = bigrams.agg(F.count(F.lit(1)).alias("nn"))
-    cl = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    cr = bigrams.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
-    bc = (
+    # The full (w1, w2) count table subsumes every other aggregate: N is
+    # its count sum, both marginals are per-side count sums, and the
+    # support-3 pair table is a filter — ONE tokenize+explode pass and
+    # one shuffle instead of four (8 scans / 16 Exchanges in one plan
+    # before). Identical integers by definition.
+    bcfull = (
         bigrams.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 3)
+        .localCheckpoint(eager=True)
     )
+    n = bcfull.agg(F.sum("c").alias("nn"))
+    cl = bcfull.groupBy("w1").agg(F.sum("c").alias("c1"))
+    cr = bcfull.groupBy("w2").agg(F.sum("c").alias("c2"))
+    bc = bcfull.filter(F.col("c") >= 3)
     scored = (
         bc.join(cl.hint("shuffle_hash"), "w1")
         .join(cr.hint("shuffle_hash"), "w2")
@@ -852,7 +864,13 @@ def q_v_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
             + (F.element_at("embedding", 3) > 0).cast("int")
         ).alias("cluster"),
     )
-    cont = pts.groupBy("cluster", "label").agg(F.count(F.lit(1)).alias("nij"))
+    # <= 80-row contingency, FIVE consumers (n, ks, cs, hck, hkc) — each
+    # re-ran the embeddings scan + groupBy before (20 scans/62 Exchanges).
+    cont = (
+        pts.groupBy("cluster", "label")
+        .agg(F.count(F.lit(1)).alias("nij"))
+        .localCheckpoint(eager=True)
+    )
     n = cont.agg(F.sum("nij").alias("nn"))
     ks = cont.groupBy("cluster").agg(F.sum("nij").alias("nk"))
     cs = cont.groupBy("label").agg(F.sum("nij").alias("nc"))

@@ -251,6 +251,10 @@ def q_histogram_quantile_estimate(spark: SparkSession, sf_dir: str) -> DataFrame
     c = li.select(
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
     )
+    # NB: deliberately NOT checkpointed — the ungrouped aggregate below
+    # the cumulative window is what lets plans/audit.py prove the global
+    # window bounded (a checkpoint turns it into an opaque LogicalRDD and
+    # trips the unbounded-global-window lint).
     bounds = c.agg(
         F.min("cents").alias("mn"),
         (F.max("cents") - F.min("cents") + 1).alias("span"),
@@ -282,25 +286,30 @@ def q_histogram_quantile_estimate(spark: SparkSession, sf_dir: str) -> DataFrame
             "span",
         )
     )
+    # min_by carries the chosen bucket's (cnt, cum_before) through the
+    # SAME aggregate, so the histogram subtree has exactly one consumer —
+    # the former join-back re-executed the whole scan+histogram chain
+    # (buckets are unique per group, so min_by is deterministic and the
+    # interpolation inputs are bit-identical to the join form).
     chosen = (
         F.broadcast(targets)
         .join(cum, F.col("cum") >= F.col("target"))
         .groupBy("q", "target", "mn", "span")
-        .agg(F.min("bucket").alias("bucket"))
+        .agg(
+            F.min("bucket").alias("bucket"),
+            F.min_by(F.struct("cnt", "cum_before"), "bucket").alias("cc"),
+        )
     )
     width = F.col("span").cast("double") / F.lit(256.0)
     est_cents = (
         F.col("mn").cast("double")
         + F.col("bucket").cast("double") * width
-        + ((F.col("target") - F.col("cum_before")).cast("double")
-           / F.col("cnt").cast("double")) * width
+        + ((F.col("target") - F.col("cc.cum_before")).cast("double")
+           / F.col("cc.cnt").cast("double")) * width
     )
-    return (
-        chosen.join(cum.select("bucket", "cnt", "cum_before"), "bucket")
-        .select(
-            "q",
-            F.col("target").alias("target_rank"),
-            "bucket",
-            (est_cents / F.lit(100.0)).alias("estimate"),
-        )
+    return chosen.select(
+        "q",
+        F.col("target").alias("target_rank"),
+        "bucket",
+        (est_cents / F.lit(100.0)).alias("estimate"),
     )

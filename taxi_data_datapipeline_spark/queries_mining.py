@@ -135,13 +135,15 @@ def q_snm_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents", fan_out=True)
     from taxi_data_datapipeline_spark.functions.text import ngram_shingles
 
+    # doc-sized (id, lang, rank) triple, consumed by BOTH window-probe
+    # sides — materialize so the sort window runs once.
     ranked = docs.select(
         "doc_id",
         "lang",
         F.row_number()
         .over(Window.partitionBy("lang").orderBy("n_chars", "doc_id"))
         .alias("rn"),
-    )
+    ).localCheckpoint(eager=True)
     probes = ranked.select(
         F.col("doc_id").alias("doc_a"),
         "lang",
@@ -368,10 +370,14 @@ def q_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.col("w")).cast("long").alias("v")
     )
     train_bi = bigrams.filter(is_train)
-    uni = train_bi.groupBy(F.col("w1").alias("w")).agg(
-        F.count(F.lit(1)).alias("uc")
+    # The (w1, w2) train count table subsumes the history table (uni =
+    # its per-w1 count sum) — one train tokenize+groupBy pass, not two.
+    bi = (
+        train_bi.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("bc"))
+        .localCheckpoint(eager=True)
     )
-    bi = train_bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bc"))
+    uni = bi.groupBy(F.col("w1").alias("w")).agg(F.sum("bc").alias("uc"))
     scored = (
         bigrams.join(bi.hint("shuffle_hash"), ["w1", "w2"], "left")
         .join(uni.hint("shuffle_hash"), F.col("w1") == F.col("w"), "left")
@@ -861,9 +867,18 @@ def q_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     train_toks = toks.filter(~F.col("is_test")).select("w", F.col("lang").alias("c"))
-    wc = train_toks.groupBy("c", "w").agg(F.count(F.lit(1)).alias("cnt"))
-    totc = train_toks.groupBy("c").agg(F.count(F.lit(1)).alias("tot"))
-    vocab = train_toks.agg(F.count_distinct("w").cast("long").alias("v"))
+    # The (class, word) count table subsumes the other two training
+    # aggregates: totc is its per-class cnt sum, vocab its distinct word
+    # count — derive both from ONE materialized vocabulary-sized rollup
+    # instead of three passes over the exploded corpus (12 scans /
+    # 28 Exchanges in one plan before). Identical values by definition.
+    wc = (
+        train_toks.groupBy("c", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    totc = wc.groupBy("c").agg(F.sum("cnt").alias("tot"))
+    vocab = wc.agg(F.count_distinct("w").cast("long").alias("v"))
     class_table = classes.join(
         totc.withColumnRenamed("c", "c2"), F.col("c") == F.col("c2")
     ).drop("c2")
@@ -1534,8 +1549,11 @@ def q_hll_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             base.filter(pred).groupBy("bucket").agg(F.max("rho").alias("mr"))
         )
 
-    ra = regs(F.col("event_type") == "purchase")
-    rb = regs(F.col("event_type") == "click")
+    # <=256-row register tables, each consumed by the union merge AND its
+    # own estimate fold — materialize so each events rollup runs once
+    # (12 scans / 26 Exchanges in one plan before).
+    ra = regs(F.col("event_type") == "purchase").localCheckpoint(eager=True)
+    rb = regs(F.col("event_type") == "click").localCheckpoint(eager=True)
     ru = (
         ra.select(F.col("bucket").alias("ba"), F.col("mr").alias("ma"))
         .join(

@@ -70,15 +70,18 @@ def q_acf_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     any realistic day count; a DECIMAL(38) widening is the guard if daily
     volumes ever exceed ~3e9 x 3e9 products."""
     ev = load(spark, sf_dir, "events")
+    # day-sized series: daily has 2 consumers (stats, deviations), dev has
+    # THREE (denominator, both lag-join sides) — materialize each once so
+    # the events rollup runs once (12 scans / 34 Exchanges before).
     daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
         F.count(F.lit(1)).alias("x")
-    )
+    ).localCheckpoint(eager=True)
     st = daily.agg(
         F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
     )
     dev = daily.crossJoin(F.broadcast(st)).select(
         "day", (F.col("n") * F.col("x") - F.col("s")).alias("d")
-    )
+    ).localCheckpoint(eager=True)
     den = dev.agg(F.sum(F.col("d") * F.col("d")).alias("den"))
     lags = spark.range(1, _ACF_MAX_LAG + 1).select(
         F.col("id").cast("int").alias("lag")
@@ -208,9 +211,12 @@ def q_chi2_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate-sized (types x 7), so everything above the first rollup is
     broadcast work."""
     ev = load(spark, sf_dir, "events")
+    # types x 7 contingency, FIVE consumers (rs, cs, t, cells, dims) —
+    # materialize so the events rollup runs once (10 scans / 28 Exchanges
+    # in one plan before).
     o = ev.groupBy(
         "event_type", F.dayofweek(F.col("ts").cast("date")).alias("dw")
-    ).agg(F.count(F.lit(1)).alias("o"))
+    ).agg(F.count(F.lit(1)).alias("o")).localCheckpoint(eager=True)
     rs = o.groupBy("event_type").agg(F.sum("o").alias("rs"))
     cs = o.groupBy("dw").agg(F.sum("o").alias("cs"))
     t = o.agg(F.sum("o").alias("total"))
@@ -645,9 +651,13 @@ def q_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
         ).alias("y")
     )
+    # Checkpoint the calendar-bounded day series (one row per day) so the
+    # orders scan+aggregate runs ONCE — the count below, both self-join
+    # sides, and the broadcast build all re-derived it before (4 full
+    # scans for a 2,400-row table).
     pts = daily.select(
         F.datediff("day", F.lit("1992-01-01").cast("date")).alias("d"), "y"
-    )
+    ).localCheckpoint(eager=True)
     # Calendar bound on the checkpointed pair set: n_days^2/2 pairs.
     # TPC-H's 2,400 days -> ~2.9M rows (fine even at 100x data volume —
     # the day count doesn't grow with rows); a 30-year corpus (~11k days)
@@ -2766,11 +2776,15 @@ def q_conformal_event_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             % 100
         ).alias("b"),
-    )
+        # consumed by all three hash-split slices (train/calib/test) —
+        # materialize so the scan+md5 projection runs once; the per-type
+        # model below likewise feeds both residual slices.
+    ).localCheckpoint(eager=True)
     model = (
         e.filter(F.col("b") < 60)
         .groupBy("event_type")
         .agg((F.sum("cents").cast("double") / F.count(F.lit(1))).alias("pred"))
+        .localCheckpoint(eager=True)
     )
     calib = (
         e.filter((F.col("b") >= 60) & (F.col("b") < 80))
@@ -2871,10 +2885,13 @@ def q_isotonic_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     cents = F.col("value").cast("decimal(18,2)") * 100
+    # day-sized series, THREE consumers (both prefix-join sides + final
+    # join) — materialize so the events rollup runs once; the prefix
+    # table p below likewise feeds both window-average sides.
     daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
         F.sum(cents).cast("bigint").alias("y"),
         F.count(F.lit(1)).alias("n"),
-    )
+    ).localCheckpoint(eager=True)
     b = daily.select(
         F.col("day").alias("bday"), F.col("y").alias("by"), F.col("n").alias("bn")
     )
@@ -2886,6 +2903,7 @@ def q_isotonic_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("by").alias("py"),
             F.sum("bn").alias("pn"),
         )
+        .localCheckpoint(eager=True)
     )
     pa = p.select(
         F.col("idx").alias("ai"),
@@ -3217,9 +3235,12 @@ def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     ph = marked.withColumn("phrase_id", F.sum("brk").over(wdoc))
+    # phrase membership feeds THREE consumers (phrase lengths, word
+    # stats, phrase scores) — materialize so the tokenize + running-sum
+    # window runs once, not three times.
     member = ph.filter(F.col("brk") == 0).select(
         "doc_id", "phrase_id", "pos", "word"
-    )
+    ).localCheckpoint(eager=True)
     plen = member.groupBy("doc_id", "phrase_id").agg(
         F.count(F.lit(1)).alias("l")
     )
@@ -3967,13 +3988,24 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             + (F.instr(F.lit(hexs), F.substring(h, 2, 1)) - 1)
         ) % _CMS_WIDTH
 
-    cells = None
-    for r in range(_CMS_DEPTH):
-        part = ev.select(
-            F.lit(r).alias("r"), bucket(r).alias("w"), "user_id"
-        )
-        cells = part if cells is None else cells.unionAll(part)
-    cms = cells.groupBy("r", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    # One scan with a map-side (r, w) explode instead of a 4-branch
+    # unionAll (4 events scans before); the groupBy result is identical.
+    cells = ev.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(r).alias("r"), bucket(r).alias("w"))
+                    for r in range(_CMS_DEPTH)
+                ]
+            )
+        ).alias("c")
+    ).select("c.r", "c.w")
+    # 4 x 64 counter matrix, consumed once per depth row below.
+    cms = (
+        cells.groupBy("r", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
     truth = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_cnt"))
     est = truth
     ests = []
@@ -4136,9 +4168,12 @@ def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the aggregate-sized daily table. Emits the anomalous
     (type, day) rows with their residuals."""
     ev = load(spark, sf_dir, "events")
+    # (type, day)-sized; consumed by the dow profile AND the residual
+    # join — materialize so the events rollup runs once (16 scans /
+    # 44 Exchanges in one plan before; res/dev below compound the reuse).
     daily = ev.groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
-    ).agg(F.count(F.lit(1)).alias("n"))
+    ).agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
     dow = daily.groupBy(
         "event_type", F.dayofweek("day").alias("dw")
     ).agg(F.count(F.lit(1)).alias("days_n"), F.sum("n").alias("dow_s"))
@@ -4155,7 +4190,7 @@ def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dev = res.join(F.broadcast(med), "event_type").withColumn(
         "adev", F.abs(F.col("resid") - F.col("med"))
-    )
+    ).localCheckpoint(eager=True)  # (type, day)-sized, 2 consumers
     mad = dev.groupBy("event_type").agg(
         F.percentile("adev", F.lit(0.5)).alias("mad")
     )
@@ -5198,10 +5233,20 @@ def q_kmv_set_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .orderBy("h")
             .limit(_KMV_K)
+            # k-row sketch consumed by union, semi-joins and max —
+            # materialize so the corpus distinct+top-k runs once per set
+            # (18 lineitem scans / 32 Exchanges in one plan before).
+            .localCheckpoint(eager=True)
         )
 
     sa, sb = kmins("R"), kmins("A")
-    su = sa.unionAll(sb).distinct().orderBy("h").limit(_KMV_K)
+    su = (
+        sa.unionAll(sb)
+        .distinct()
+        .orderBy("h")
+        .limit(_KMV_K)
+        .localCheckpoint(eager=True)  # k rows, 2 consumers
+    )
     rho = (
         su.join(sa, "h", "left_semi")
         .join(sb, "h", "left_semi")
@@ -5507,7 +5552,7 @@ def q_grouped_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
         F.min("cents").alias("mn"),
         (F.max("cents") - F.min("cents") + 1).alias("span"),
         F.count(F.lit(1)).alias("n"),
-    )
+    ).localCheckpoint(eager=True)  # group-count rows, 2 consumers
     hist = (
         c.join(F.broadcast(bounds), "grp")
         .select("grp", F.expr("((cents - mn) * 256) DIV span").alias("bucket"))
@@ -5537,33 +5582,36 @@ def q_grouped_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
         "mn",
         "span",
     )
+    # min_by carries the chosen bucket's (cnt, cum_before) through the
+    # same aggregate — one cum consumer, no join-back (buckets unique per
+    # (grp, bucket), so the interpolation inputs are bit-identical).
     chosen = (
         F.broadcast(targets)
-        .join(cum.select("grp", "bucket", "cum"),
+        .join(cum,
               (targets["grp"] == cum["grp"]) & (F.col("cum") >= F.col("target")))
         .drop(cum["grp"])
         .groupBy("grp", "q", "target", "mn", "span")
-        .agg(F.min("bucket").alias("bucket"))
+        .agg(
+            F.min("bucket").alias("bucket"),
+            F.min_by(F.struct("cnt", "cum_before"), "bucket").alias("cc"),
+        )
     )
     width = F.col("span").cast("double") / F.lit(256.0)
     est_cents = (
         F.col("mn").cast("double")
         + F.col("bucket").cast("double") * width
         + (
-            (F.col("target") - F.col("cum_before")).cast("double")
-            / F.col("cnt").cast("double")
+            (F.col("target") - F.col("cc.cum_before")).cast("double")
+            / F.col("cc.cnt").cast("double")
         )
         * width
     )
-    return (
-        chosen.join(cum.select("grp", "bucket", "cnt", "cum_before"), ["grp", "bucket"])
-        .select(
-            F.col("grp").alias("returnflag"),
-            "q",
-            F.col("target").alias("target_rank"),
-            "bucket",
-            (est_cents / F.lit(100.0)).alias("estimate"),
-        )
+    return chosen.select(
+        F.col("grp").alias("returnflag"),
+        "q",
+        F.col("target").alias("target_rank"),
+        "bucket",
+        (est_cents / F.lit(100.0)).alias("estimate"),
     )
 
 
