@@ -40,13 +40,11 @@ def cumulative_counts(s: DataFrame, n_buckets: int = N_BUCKETS) -> DataFrame:
     sum of cX in ascending value order. The second channel is free — use
     it for a weighted mass (lorenz_user_activity) or pass zeros.
 
-    The input is materialized once up front: it is consumed THREE times
-    (range-bounds aggregate, windowed side, bucket-total side) and is an
-    aggregate/distinct-value table by contract — without this every
-    caller re-executed its full upstream rollup per consumer (measured
-    on spearman_price_qty: 26 lineitem scans / 64 Exchanges in one
-    plan)."""
-    s = s.localCheckpoint(eager=True)
+    Deliberately NOT checkpointed: the three consumers (range bounds,
+    windowed side, bucket totals) all sit above the input's final
+    exchange, which AQE reuses at runtime — an eager checkpoint here
+    measured +0.9 s on spearman_price_qty (barrier + materialization of
+    a ~1M-row distinct-value table) for zero saved work."""
     mm = s.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
     b = (
         F.when(F.col("vmax") == F.col("vmin"), F.lit(0))
@@ -106,11 +104,8 @@ def grouped_cumulative_counts(
     bucket), and the bucket-prefix offsets come from the aggregate-sized
     (group, bucket) total table. No partition ever holds more than one
     bucket of one group — the per-group weighted-median / ECDF primitive
-    at 100 TB.
-
-    Input materialized once for the same three-consumer reason as
+    at 100 TB. Not checkpointed — same AQE-exchange-reuse reason as
     :func:`cumulative_counts`."""
-    s = s.localCheckpoint(eager=True)
     mm = s.groupBy(group_col).agg(
         F.min("value").alias("vmin"), F.max("value").alias("vmax")
     )

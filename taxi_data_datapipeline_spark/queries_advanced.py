@@ -3927,19 +3927,16 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     know. `retention_cohorts` gives the cohort triangle; this gives the
     flow decomposition growth teams act on."""
     ev = load(spark, sf_dir, "events")
-    # user-week grid, THREE consumers (windows, churn probe side, max
-    # week) — materialize so the events distinct runs once; `seq`
-    # likewise feeds both the classifier and the churn anti-join.
     weekly = ev.select(
         "user_id", F.date_trunc("week", "ts").alias("wk")
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct()
     w = Window.partitionBy("user_id").orderBy("wk")
     seq = weekly.select(
         "user_id",
         "wk",
         F.lag("wk").over(w).alias("prev_wk"),
         F.row_number().over(w).alias("rn"),
-    ).localCheckpoint(eager=True)
+    )
     classified = seq.select(
         "wk",
         F.when(F.col("rn") == 1, F.lit("new"))

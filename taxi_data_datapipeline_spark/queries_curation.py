@@ -959,10 +959,7 @@ def q_mrl_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     not a global sort."""
     from pyspark.sql import Window
 
-    # exploded unit table feeds the query-vector filter AND the distance
-    # aggregate — materialize once; the top-10 rank table below feeds
-    # both the d=64 truth set and the per-d hit join.
-    eu = _emb_units(spark, sf_dir).localCheckpoint(eager=True)
+    eu = _emb_units(spark, sf_dir)
     q = eu.filter(F.col("vec_id") == 0).select("pos", F.col("x").alias("qx"))
     dims = spark.range(1).select(
         F.explode(F.array(*[F.lit(d) for d in (8, 16, 32, 64)])).alias("d")
@@ -975,11 +972,7 @@ def q_mrl_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum((F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx"))).alias("d2"))
     )
     w = Window.partitionBy("d").orderBy("d2", "vec_id")
-    rk = (
-        dist.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .localCheckpoint(eager=True)  # <= 40 rows, 2 consumers
-    )
+    rk = dist.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
     truth = rk.filter(F.col("d") == 64).select(F.col("vec_id").alias("t_id"))
     return (
         rk.join(F.broadcast(truth), rk["vec_id"] == truth["t_id"], "left")
@@ -1038,9 +1031,7 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered top-1s."""
     from pyspark.sql import Window
 
-    # Exploded unit table consumed THREE times (norms, anchors, candidate
-    # dot products) — materialize once (16 scans / 32 Exchanges before).
-    eu = _emb_units(spark, sf_dir).localCheckpoint(eager=True)
+    eu = _emb_units(spark, sf_dir)
     nrm = eu.groupBy("vec_id").agg(F.sum(F.col("x") * F.col("x")).alias("n2"))
     anch = eu.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("anchor_id"),
@@ -1074,11 +1065,7 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("anchor_id", "same").orderBy(
         F.desc("sim"), "cand_id"
     )
-    best = (
-        sims.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .localCheckpoint(eager=True)  # <= 2 rows per anchor, 2 consumers
-    )
+    best = sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     p = best.filter(F.col("same")).select(
         "anchor_id", F.col("cand_id").alias("pos_id"), F.col("sim").alias("pos_sim")
     )

@@ -907,9 +907,6 @@ def q_ivf_nprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cs").desc(), "vec_id")
         .limit(10)
         .select("vec_id")
-        # 10 rows, joined in EVERY probe branch — materialize so the
-        # brute-force cosine top-10 runs once, not once per nprobe.
-        .localCheckpoint(eager=True)
     )
     rows = None
     for P in _NPROBES:
@@ -1046,10 +1043,10 @@ def q_fasttext_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"x{b}")
             for b in range(_FT_BUCKETS)
         ]
-        # 17 small ints per doc, consumed once per training round —
-        # materialize so the tokenize+explode+groupBy feature build runs
-        # once, not once per round.
-    ).localCheckpoint(eager=True)
+        # NOT checkpointed: the per-round consumers sit above the
+        # feature groupBy's exchange, which AQE reuses at runtime — an
+        # eager checkpoint measured +0.4 s of pure barrier.
+    )
     beta = spark.createDataFrame(
         [tuple(0 for _ in range(_FT_BUCKETS + 1))],
         ", ".join(f"u{i} bigint" for i in range(_FT_BUCKETS + 1)),

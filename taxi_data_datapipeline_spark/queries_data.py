@@ -1319,15 +1319,11 @@ def q_bloom_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 65536
         )
 
-    # Both distinct gram tables feed two consumers each (filter build +
-    # exact-verify join; probe + per-source totals) — materialize each
-    # once so the shingle explode + distinct shuffle doesn't re-execute
-    # per consumer (6 document scans / 22 Exchanges before).
+    # NB: the distinct gram tables are deliberately NOT checkpointed —
+    # both consumers sit above the distinct's exchange, which AQE reuses
+    # at runtime (checkpointing measured +0.8 s of barrier overhead).
     eval_grams = (
-        s.filter(F.col("b") < 2)
-        .select(F.explode("grams").alias("gram"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        s.filter(F.col("b") < 2).select(F.explode("grams").alias("gram")).distinct()
     )
     bloom = (
         eval_grams.select(
@@ -1342,7 +1338,6 @@ def q_bloom_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.filter(F.col("b") >= 2)
         .select("source", F.explode("grams").alias("gram"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     probe = train_grams.select(
         "source",
@@ -2155,13 +2150,7 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     contingency groupBy, which carries map-side partials.
     """
     docs = load(spark, sf_dir, "documents", fan_out=True)
-    # tiny contingency table, FOUR consumers (n, ml, ms, terms) — each
-    # re-ran the documents rollup before (8 scans / 22 Exchanges).
-    joint = (
-        docs.groupBy("lang", "source")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)
-    )
+    joint = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("c"))
     n = joint.agg(F.sum("c").alias("n"))
     ml = joint.groupBy("lang").agg(F.sum("c").alias("cl"))
     ms = joint.groupBy("source").agg(F.sum("c").alias("cs"))

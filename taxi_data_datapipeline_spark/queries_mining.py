@@ -135,15 +135,13 @@ def q_snm_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents", fan_out=True)
     from taxi_data_datapipeline_spark.functions.text import ngram_shingles
 
-    # doc-sized (id, lang, rank) triple, consumed by BOTH window-probe
-    # sides — materialize so the sort window runs once.
     ranked = docs.select(
         "doc_id",
         "lang",
         F.row_number()
         .over(Window.partitionBy("lang").orderBy("n_chars", "doc_id"))
         .alias("rn"),
-    ).localCheckpoint(eager=True)
+    )
     probes = ranked.select(
         F.col("doc_id").alias("doc_a"),
         "lang",
@@ -1549,11 +1547,8 @@ def q_hll_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             base.filter(pred).groupBy("bucket").agg(F.max("rho").alias("mr"))
         )
 
-    # <=256-row register tables, each consumed by the union merge AND its
-    # own estimate fold — materialize so each events rollup runs once
-    # (12 scans / 26 Exchanges in one plan before).
-    ra = regs(F.col("event_type") == "purchase").localCheckpoint(eager=True)
-    rb = regs(F.col("event_type") == "click").localCheckpoint(eager=True)
+    ra = regs(F.col("event_type") == "purchase")
+    rb = regs(F.col("event_type") == "click")
     ru = (
         ra.select(F.col("bucket").alias("ba"), F.col("mr").alias("ma"))
         .join(

@@ -70,18 +70,15 @@ def q_acf_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     any realistic day count; a DECIMAL(38) widening is the guard if daily
     volumes ever exceed ~3e9 x 3e9 products."""
     ev = load(spark, sf_dir, "events")
-    # day-sized series: daily has 2 consumers (stats, deviations), dev has
-    # THREE (denominator, both lag-join sides) — materialize each once so
-    # the events rollup runs once (12 scans / 34 Exchanges before).
     daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
         F.count(F.lit(1)).alias("x")
-    ).localCheckpoint(eager=True)
+    )
     st = daily.agg(
         F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
     )
     dev = daily.crossJoin(F.broadcast(st)).select(
         "day", (F.col("n") * F.col("x") - F.col("s")).alias("d")
-    ).localCheckpoint(eager=True)
+    )
     den = dev.agg(F.sum(F.col("d") * F.col("d")).alias("den"))
     lags = spark.range(1, _ACF_MAX_LAG + 1).select(
         F.col("id").cast("int").alias("lag")
@@ -2885,13 +2882,10 @@ def q_isotonic_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     cents = F.col("value").cast("decimal(18,2)") * 100
-    # day-sized series, THREE consumers (both prefix-join sides + final
-    # join) — materialize so the events rollup runs once; the prefix
-    # table p below likewise feeds both window-average sides.
     daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
         F.sum(cents).cast("bigint").alias("y"),
         F.count(F.lit(1)).alias("n"),
-    ).localCheckpoint(eager=True)
+    )
     b = daily.select(
         F.col("day").alias("bday"), F.col("y").alias("by"), F.col("n").alias("bn")
     )
@@ -2903,7 +2897,6 @@ def q_isotonic_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("by").alias("py"),
             F.sum("bn").alias("pn"),
         )
-        .localCheckpoint(eager=True)
     )
     pa = p.select(
         F.col("idx").alias("ai"),
@@ -4000,12 +3993,7 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("c")
     ).select("c.r", "c.w")
-    # 4 x 64 counter matrix, consumed once per depth row below.
-    cms = (
-        cells.groupBy("r", "w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=True)
-    )
+    cms = cells.groupBy("r", "w").agg(F.count(F.lit(1)).alias("cnt"))
     truth = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_cnt"))
     est = truth
     ests = []
@@ -5233,20 +5221,10 @@ def q_kmv_set_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .orderBy("h")
             .limit(_KMV_K)
-            # k-row sketch consumed by union, semi-joins and max —
-            # materialize so the corpus distinct+top-k runs once per set
-            # (18 lineitem scans / 32 Exchanges in one plan before).
-            .localCheckpoint(eager=True)
         )
 
     sa, sb = kmins("R"), kmins("A")
-    su = (
-        sa.unionAll(sb)
-        .distinct()
-        .orderBy("h")
-        .limit(_KMV_K)
-        .localCheckpoint(eager=True)  # k rows, 2 consumers
-    )
+    su = sa.unionAll(sb).distinct().orderBy("h").limit(_KMV_K)
     rho = (
         su.join(sa, "h", "left_semi")
         .join(sb, "h", "left_semi")
@@ -5552,7 +5530,7 @@ def q_grouped_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
         F.min("cents").alias("mn"),
         (F.max("cents") - F.min("cents") + 1).alias("span"),
         F.count(F.lit(1)).alias("n"),
-    ).localCheckpoint(eager=True)  # group-count rows, 2 consumers
+    )
     hist = (
         c.join(F.broadcast(bounds), "grp")
         .select("grp", F.expr("((cents - mn) * 256) DIV span").alias("bucket"))
