@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import threading
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from taxi_data_datapipeline_spark.functions.text import (
@@ -672,6 +672,11 @@ def q_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     a = pts.select(F.col("d").alias("d1"), F.col("y").alias("y1"))
     b = pts.select(F.col("d").alias("d2"), F.col("y").alias("y2"))
+    # count/min/max ride the checkpoint job as an Observation (the
+    # pagerank convention) — one job materializes the pair set AND
+    # returns the stats the histogram needs, instead of a separate
+    # aggregate pass over the checkpointed pairs.
+    obs = Observation()
     pairs = (
         a.join(F.broadcast(b), F.col("d2") > F.col("d1"))
         .select(
@@ -680,11 +685,16 @@ def q_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("d2") - F.col("d1"))
             ).alias("slope"),
         )
-        .localCheckpoint(eager=True)  # reused by stats, histogram, select
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.min("slope").alias("lo"),
+            F.max("slope").alias("hi"),
+        )
+        .localCheckpoint(eager=True)  # reused by histogram + in-bucket select
     )
-    n_pairs_, lo, hi = pairs.agg(
-        F.count(F.lit(1)), F.min("slope"), F.max("slope")
-    ).collect()[0]
+    got = obs.get
+    n_pairs_, lo, hi = got["n"], got["lo"], got["hi"]
     if n_pairs_ == 0:
         return spark.createDataFrame(
             [], "n_days bigint, n_pairs bigint, median_slope double"

@@ -79,6 +79,13 @@ def get_spark(
         # _executor_pythonpath above).
         .config("spark.executorEnv.PYTHONPATH", _executor_pythonpath())
     )
+    # Ad-hoc conf overrides for experiments/production sizing without
+    # code edits: SPARK_GRAFT_CONF="k=v;k2=v2" (applied before
+    # extra_conf, which callers control programmatically).
+    env_conf = os.environ.get("SPARK_GRAFT_CONF", "")
+    for pair in filter(None, env_conf.split(";")):
+        k, _, v = pair.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

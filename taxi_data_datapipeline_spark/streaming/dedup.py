@@ -194,6 +194,11 @@ def build_old_buckets(
 
     rows = num_perm // bands
     grams = ngram_shingles(F.col("text"), ngram)
+    # Kept as per-row array expressions (NOT the batch tier's
+    # explode+groupBy): the explode form was measured NEUTRAL here and
+    # adds a full shuffle of the exploded gram stream, while this form
+    # is mapper-only — the better shape for a static side that a batch
+    # pipeline rebuilds per ingest.
     def _perm(i: int):
         return lambda g: F.xxhash64(g, F.lit(i))  # see lsh_incremental_stream
 
