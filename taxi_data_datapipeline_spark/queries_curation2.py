@@ -1036,6 +1036,8 @@ def q_fasttext_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w"
         ),
     ).select("doc_id", "y", bucket.alias("b"))
+    from pyspark import StorageLevel
+
     feat = words.groupBy("doc_id", "y").agg(
         *[
             F.least(
@@ -1043,10 +1045,15 @@ def q_fasttext_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"x{b}")
             for b in range(_FT_BUCKETS)
         ]
-        # NOT checkpointed: the per-round consumers sit above the
-        # feature groupBy's exchange, which AQE reuses at runtime — an
-        # eager checkpoint measured +0.4 s of pure barrier.
-    )
+        # Persisted, NOT eagerly checkpointed: the training rounds run as
+        # SEPARATE actions (each round's gradient aggregate is an eager
+        # checkpoint), so AQE exchange reuse cannot help across rounds
+        # and the tokenize + explode + groupBy re-ran per round. A
+        # non-eager persist materializes inside round 1's own job (no
+        # standalone barrier — the eager-checkpoint variant measured
+        # +0.4 s of pure barrier in r12) and round 2 reads the cache;
+        # unpersisted right after the loop so nothing outlives the build.
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     beta = spark.createDataFrame(
         [tuple(0 for _ in range(_FT_BUCKETS + 1))],
         ", ".join(f"u{i} bigint" for i in range(_FT_BUCKETS + 1)),
@@ -1093,4 +1100,7 @@ def q_fasttext_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.col(f"u{i}") for i in range(_FT_BUCKETS + 1)],
         )
         out = row if out is None else out.unionAll(row)
+    # Every round's gradients are checkpointed above; the returned frame
+    # never touches feat again. Release the cache deterministically.
+    feat.unpersist()
     return out
