@@ -705,10 +705,27 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(dot(u, u).cast("double")) * F.sqrt(dot(v, v).cast("double"))
         )
 
-    scored = emb.crossJoin(F.broadcast(cv)).select(
-        "vec_id", "qv", cos(F.col("qv"), F.col("cv")).alias("cos_q")
+    # Hoist the centroid's norm out of the per-row expression: cos(qv, cv)
+    # re-ran the 64-element dot(cv, cv) fold (interpreted higher-order
+    # function) on EVERY row for a constant. Same IEEE ops in the same
+    # order — sqrt(nc) is computed once instead of per row.
+    cvn = cv.select(
+        "cv", F.sqrt(dot(F.col("cv"), F.col("cv")).cast("double")).alias("ncv")
     )
-    top = scored.orderBy(F.desc("cos_q"), "vec_id").limit(20)
+    scored = emb.crossJoin(F.broadcast(cvn)).select(
+        "vec_id",
+        "qv",
+        (
+            dot(F.col("qv"), F.col("cv")).cast("double")
+            / (F.sqrt(dot(F.col("qv"), F.col("qv")).cast("double")) * F.col("ncv"))
+        ).alias("cos_q"),
+    )
+    # The 20-row seed feeds BOTH sides of the pair crossJoin; its top is a
+    # TakeOrderedAndProject (not an exchange), so AQE cannot reuse it and
+    # the full scoring scan ran twice. Materialize the 20 rows once.
+    top = scored.orderBy(F.desc("cos_q"), "vec_id").limit(20).localCheckpoint(
+        eager=True
+    )
     a = top.select(
         F.col("vec_id").alias("va"),
         F.col("qv").alias("qa"),
