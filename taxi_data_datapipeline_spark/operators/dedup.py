@@ -241,23 +241,25 @@ def blocked_jaccard_pairs(
     """
     # The gram ARRAYS are never cached (the corpus-wide deserialized
     # string-array cache is the GC cliff fixed in minhash_lsh_pairs);
-    # shingling streams once into the per-doc size frame — numeric,
-    # ~16 B/row, checkpointed because it feeds both join sides — and once
-    # into the exploded inverted index.
+    # shingling streams ONCE into the exploded inverted index, which
+    # carries each doc's gram-set size per row (+4 B next to the gram
+    # string) — the containment_pairs convention. That kills the second
+    # full tokenize+shingle pass the separate per-doc size frame paid,
+    # its checkpoint job, and the two size joins after the aggregate
+    # (sz is functionally dependent on the doc id, so grouping by it
+    # yields identical groups).
     g = df.select(
         *[F.col(c) for c in block_cols],
         F.col(id_col).alias("_id"),
         ngram_shingles(F.col(text_col), ngram).alias("grams"),
     )
-    sizes = g.select("_id", F.size("grams").alias("sz")).localCheckpoint(
-        eager=True
-    )
-    # Flat (block, id, gram) rows consumed by BOTH self-join sides —
+    # Flat (block, id, sz, gram) rows consumed by BOTH self-join sides —
     # materialize so the shingle regex + explode runs once, not once per
     # side (this is NOT the corpus-wide gram-ARRAY cache the note above
     # forbids: rows are flat strings, MEMORY_AND_DISK spills).
     ex = g.select(
-        *block_cols, "_id", F.explode("grams").alias("gram")
+        *block_cols, "_id", F.size("grams").alias("sz"),
+        F.explode("grams").alias("gram"),
     ).localCheckpoint(eager=True)
     a, b = ex.alias("a"), ex.alias("b")
     # Gram-exploded self-join: both sides are the corpus-sized inverted
@@ -267,18 +269,16 @@ def blocked_jaccard_pairs(
     inter = (
         a.join(b.hint("shuffle_hash"), [*block_cols, "gram"])
         .filter(F.col("a._id") < F.col("b._id"))
-        .groupBy(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
+        .groupBy(
+            F.col("a._id").alias("doc_a"),
+            F.col("b._id").alias("doc_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = sizes.select(F.col("_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    # inter is a post-aggregate pair table (density-scaled, optimistic
-    # estimate); the size frames are corpus-sized. Pin the shuffled
-    # strategy on both joins rather than risk either side broadcasting.
     return (
-        inter.join(sa.hint("shuffle_hash"), "doc_a")
-        .join(sb.hint("shuffle_hash"), "doc_b")
-        .select(
+        inter.select(
             "doc_a",
             "doc_b",
             F.round(
